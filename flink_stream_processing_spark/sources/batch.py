@@ -1,0 +1,50 @@
+"""Batch file sources (SURVEY.md §2.1 S4).
+
+The reference has no file sources; this is the engine's batch scan path over
+the driver's parquet tables. Parquet scans get predicate pushdown, column
+pruning and partition-size splitting from Spark for free — at 100 TB the
+same code runs unchanged, with ``spark.sql.files.maxPartitionBytes``
+controlling split granularity.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import DRIVER_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The driver parquet stores these as TIMESTAMP(NANOS); with
+# spark.sql.legacy.parquet.nanosAsLong they arrive as epoch-nanos longs and
+# are converted here to TimestampType (microsecond truncation — identical to
+# how DuckDB reads TIMESTAMP_NS).
+TIMESTAMP_NANOS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Runtime-settable; guards sessions built outside session.get_spark
+    # (e.g. the driver's own session).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in TIMESTAMP_NANOS_COLS.get(name, ()):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in DRIVER_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every driver table as a temp view for spark.sql queries."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,55 @@
+"""Local mirror of the driver's DuckDB-oracle comparison: row count, column
+names, and order-insensitive value equality (we round doubles identically on
+both sides, so comparison is exact)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from flink_stream_processing_spark.schemas import DRIVER_TABLES
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in DRIVER_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con.execute(sql).df()
+
+
+def _canon(df: pd.DataFrame) -> list[tuple]:
+    df = df[sorted(df.columns)]
+    rows = []
+    for row in df.itertuples(index=False):
+        canon_row = []
+        for v in row:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                canon_row.append(None)
+            elif isinstance(v, float):
+                canon_row.append(round(v, 9))
+            elif hasattr(v, "item"):  # numpy scalar
+                canon_row.append(round(v.item(), 9) if isinstance(v.item(), float) else v.item())
+            elif isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                canon_row.append(tuple(round(float(x), 6) for x in v))
+            else:
+                canon_row.append(v)
+        rows.append(tuple(canon_row))
+    return sorted(rows, key=repr)
+
+
+def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str) -> None:
+    actual = spark_df.toPandas()
+    expected = run_oracle(oracle_sql, sf_dir)
+    assert sorted(actual.columns) == sorted(expected.columns), (
+        f"column mismatch: spark={sorted(actual.columns)} oracle={sorted(expected.columns)}"
+    )
+    assert len(actual) == len(expected), (
+        f"row count mismatch: spark={len(actual)} oracle={len(expected)}"
+    )
+    a, e = _canon(actual), _canon(expected)
+    for i, (ra, re_) in enumerate(zip(a, e)):
+        assert ra == re_, f"row {i} differs:\n  spark : {ra}\n  oracle: {re_}"
