@@ -5,9 +5,18 @@ metrics aggregate over the ``events`` stand-in stream.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-from ..operators.window_metrics import EVENT_TYPE_RATES, window_metrics_over_events
+from ..operators.json_ops import parse_json, roundtrip_json
+from ..operators.risk import format_risk_lines, label_risk
+from ..operators.window_metrics import (
+    EVENT_TYPE_RATES,
+    as_transactions,
+    window_metrics_over_events,
+)
 from ..queries import query
+from ..schemas import PROPS_SCHEMA
 from ..sources.batch import load_table
 
 # Shared CASE fragment: event_type -> exchange rate (mirrors
@@ -45,3 +54,87 @@ def q_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: 10 s tumbling event-time window metrics (A1-A5,
     StreamJob.java:109-173)."""
     return window_metrics_over_events(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# P2 risk labeling (deterministic projection; wall-clock latency covered by
+# streaming tests — nondeterministic by design, SURVEY.md §7 risk register).
+# Threshold 100 splits the stand-in stream's value range [0.01, 490].
+_RISK_ORACLE = """
+SELECT CAST(event_id AS VARCHAR) AS transactionId,
+       value AS amount,
+       CASE WHEN value > 100 THEN 'RISK' ELSE 'SAFE' END AS risk_type
+FROM events
+"""
+
+
+@query("risk_label", oracle=_RISK_ORACLE)
+def q_risk_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: riskType = amount > threshold ? RISK : SAFE (StreamJob.java:67-78)."""
+    tx = as_transactions(load_table(spark, sf_dir, "events"))
+    return label_risk(tx, threshold=100.0, with_latency=False).select(
+        "transactionId", "amount", "risk_type"
+    )
+
+
+# P3 format-string print-sink line (StreamJob.java:82-89).
+_FORMAT_ORACLE = """
+SELECT CAST(event_id AS VARCHAR) AS transactionId,
+       printf('TxId=%s, Amount=%.2f, Risk=%s',
+              CAST(event_id AS VARCHAR), round(value, 2),
+              CASE WHEN value > 100 THEN 'RISK' ELSE 'SAFE' END) AS line
+FROM events
+"""
+
+
+@query("risk_format_lines", oracle=_FORMAT_ORACLE)
+def q_risk_format_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = as_transactions(load_table(spark, sf_dir, "events"))
+    return format_risk_lines(
+        label_risk(tx, threshold=100.0, with_latency=False), with_latency=False
+    )
+
+
+# P1 JSON parse: events.props is a JSON payload ('{"k": <int>}').
+_JSON_PARSE_ORACLE = """
+SELECT event_type,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("json_parse_props", oracle=_JSON_PARSE_ORACLE)
+def q_json_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: from_json string->typed (StreamJob.java:61,:101), then aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = parse_json(ev, "props", PROPS_SCHEMA)
+    return parsed.groupBy("event_type").agg(
+        F.sum("k").cast("long").alias("sum_k"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+# P4+P5 JSON round-trip of the window-metrics aggregate
+# (StreamJob.java:150-188): serialize -> parse must be lossless, so the
+# oracle is the window_metrics oracle itself.
+_METRIC_JSON_SCHEMA = StructType(
+    [
+        StructField("window_start", LongType()),
+        StructField("window_end", LongType()),
+        StructField("cnt", LongType()),
+        StructField("success_count", LongType()),
+        StructField("failure_count", LongType()),
+        StructField("avg_amount", DoubleType()),
+        StructField("avg_exchange_rate", DoubleType()),
+        StructField("min_amount", DoubleType()),
+        StructField("max_amount", DoubleType()),
+    ]
+)
+
+
+@query("json_roundtrip_metrics", oracle=_WINDOW_METRICS_ORACLE)
+def q_json_roundtrip_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    metrics = window_metrics_over_events(load_table(spark, sf_dir, "events"))
+    return roundtrip_json(metrics, list(metrics.columns), _METRIC_JSON_SCHEMA)
