@@ -1,0 +1,71 @@
+"""Capability-parity relational core (SURVEY.md §2.6).
+
+The reference has no joins/sorts/set-ops/ranking — these are the additions
+that make the engine usable as a query engine on real tables, implemented
+100 % with Spark built-ins so Catalyst owns the physical strategy.
+
+Scale notes (100 TB):
+- Dimension joins (region/nation/customer-sized sides) use ``broadcast()``
+  hints — no shuffle of the fact table; Spark's AQE will also convert
+  sort-merge to broadcast at runtime when a side turns out small.
+- Fact-fact joins (orders x lineitem) shuffle on the join key; at scale,
+  bucketing both tables on the key (``writeTo.bucketBy``) removes the
+  shuffle — helper ``bucketed_write`` below documents the pattern.
+- Top-k is ``orderBy().limit(k)`` which Spark executes as TakeOrderedAndProject
+  (per-partition heap + driver merge of k rows) — never a full sort.
+- Skew: AQE skew-join splitting is enabled in session.py; ``salted_join``
+  provides explicit salting when a key's row share is pathological.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def broadcast_dim_join(fact: DataFrame, dim: DataFrame, on: list[str] | Column, how: str = "inner") -> DataFrame:
+    """Equi-join with an explicit broadcast of the dimension side."""
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
+    """Top-k: Catalyst plans TakeOrderedAndProject — O(k) memory/partition,
+    no global shuffle-sort. Callers must include a unique tiebreak column
+    for deterministic output."""
+    return df.orderBy(*order).limit(k)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: explode the (small) right side across
+    ``salt_buckets`` salt values and scatter the left side randomly-but-
+    deterministically (hash of whole row), so one hot key no longer lands in
+    a single shuffle partition. Use when AQE's skew splitting isn't enough
+    (e.g. a single key holding >5 % of a 100 TB fact table).
+    """
+    salted_left = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets))
+    )
+    salted_right = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("long"))
+    out = salted_left.join(salted_right, on=[key, "_salt"], how=how)
+    return out.drop("_salt")
+
+
+def bucketed_write(df: DataFrame, table: str, key: str, buckets: int, path: str) -> None:
+    """Persist a fact table bucketed on its join key: future joins between
+    tables bucketed the same way need no shuffle (co-located join). This is
+    the 100 TB answer to repeated orders-lineitem joins."""
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )

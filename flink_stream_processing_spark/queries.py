@@ -38,6 +38,6 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # Import side-effect registration: each module adds its queries on import.
-from .queries_impl import reference_parity  # noqa: E402,F401
+from .queries_impl import reference_parity, relational_core  # noqa: E402,F401
 
-_ALL_IMPL = [reference_parity]
+_ALL_IMPL = [reference_parity, relational_core]

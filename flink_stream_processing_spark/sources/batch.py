@@ -37,6 +37,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in TIMESTAMP_NANOS_COLS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+    # Normalize TIMESTAMP_NTZ -> TIMESTAMP (session tz is UTC, so this is
+    # value-preserving) so epoch/unix functions work uniformly downstream.
+    for field in df.schema.fields:
+        if field.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
