@@ -1,0 +1,127 @@
+"""Text-analysis operators for LLM training-data pipelines (north star,
+BASELINE.json): tokenization, token counting, quality scoring, language-ID
+heuristic, document fingerprinting.
+
+All pure Spark built-ins (JVM-side, whole-stage codegen) — no Python in the
+hot path. At 100 TB these are narrow per-row projections over the scan:
+no shuffle, perfectly parallel, and column pruning means only ``text`` is
+read when only text features are needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Word-boundary tokenizer shared by all text ops.
+TOKEN_SPLIT_RE = r"\s+"
+# BPE-ish pre-tokenizer: word pieces or single non-space punctuation —
+# the classic GPT-2-style coarse split expressible as a regex.
+BPE_ISH_RE = r"\w+|[^\w\s]"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+# Tiny per-language marker-word sets for the n-gram/stopword language-ID
+# heuristic. Deliberately small + deterministic so the same formula is
+# expressible in ANSI SQL for the oracle gate.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of"),
+    "fr": ("le", "la", "et"),
+    "es": ("el", "los", "y"),
+    "de": ("der", "die", "und"),
+}
+
+
+def tokens_col(text: str = "text") -> Column:
+    return F.split(F.lower(F.trim(F.col(text))), TOKEN_SPLIT_RE)
+
+
+def with_tokens(df: DataFrame, text: str = "text", out: str = "toks") -> DataFrame:
+    return df.withColumn(out, tokens_col(text))
+
+
+def _sum_token_len(text: str) -> Column:
+    return F.aggregate(
+        tokens_col(text), F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+
+
+def _count_in_set(text: str, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens_col(text), lambda x: x.isin(*words)))
+
+
+def token_stats(df: DataFrame, text: str = "text") -> DataFrame:
+    """Whitespace token count, BPE-ish token count, char count, avg token
+    length — the token-counting surface of a data pipeline."""
+    toks = tokens_col(text)
+    n_toks = F.size(toks)
+    sum_len = _sum_token_len(text)
+    return (
+        df.withColumn("n_tokens", n_toks.cast("long"))
+        .withColumn("n_bpe_tokens", F.regexp_count(F.col(text), F.lit(BPE_ISH_RE)).cast("long"))
+        .withColumn("n_chars_m", F.length(F.col(text)).cast("long"))
+        .withColumn(
+            "avg_token_len",
+            F.round(sum_len / F.nullif(n_toks, F.lit(0)), 6),
+        )
+    )
+
+
+def quality_score(df: DataFrame, text: str = "text") -> DataFrame:
+    """Deterministic document quality score in [0,1]:
+    0.3*min(tokens/100,1) + 0.3*(1-punct_ratio) + 0.2*stopword_ratio
+    + 0.2*min(avg_token_len/10,1). A stand-in for classifier-based quality
+    filters; the shape (cheap per-row features -> score -> filter) is the
+    production pattern."""
+    toks = tokens_col(text)
+    n_toks = F.size(toks).cast("double")
+    n_stop = _count_in_set(text, STOPWORDS).cast("double")
+    n_punct = F.regexp_count(F.col(text), F.lit(r"[^\w\s]")).cast("double")
+    n_chars = F.length(F.col(text)).cast("double")
+    sum_len = _sum_token_len(text).cast("double")
+    punct_ratio = n_punct / F.nullif(n_chars, F.lit(0.0))
+    stop_ratio = n_stop / F.nullif(n_toks, F.lit(0.0))
+    avg_len = sum_len / F.nullif(n_toks, F.lit(0.0))
+    score = (
+        0.3 * F.least(n_toks / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - F.coalesce(punct_ratio, F.lit(0.0)))
+        + 0.2 * F.coalesce(stop_ratio, F.lit(0.0))
+        + 0.2 * F.least(F.coalesce(avg_len, F.lit(0.0)) / 10.0, F.lit(1.0))
+    )
+    return (
+        df.withColumn("punct_ratio", F.round(F.coalesce(punct_ratio, F.lit(0.0)), 6))
+        .withColumn("stopword_ratio", F.round(F.coalesce(stop_ratio, F.lit(0.0)), 6))
+        .withColumn("quality", F.round(score, 6))
+    )
+
+
+def lang_id(df: DataFrame, text: str = "text") -> DataFrame:
+    """Marker-word language-ID heuristic: count per-language marker tokens,
+    argmax with fixed priority order (en > fr > es > de), 'und' when no
+    marker hits."""
+    counts: dict[str, Column] = {
+        lang: _count_in_set(text, markers) for lang, markers in LANG_MARKERS.items()
+    }
+    c = counts
+    best = F.greatest(*c.values())
+    pred = (
+        F.when(best == 0, F.lit("und"))
+        .when(c["en"] == best, F.lit("en"))
+        .when(c["fr"] == best, F.lit("fr"))
+        .when(c["es"] == best, F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return df.withColumn("lang_pred", pred)
+
+
+def fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
+    """Document fingerprints: md5 of whitespace-normalized lowercase text
+    (exact-dup key) + a polynomial rolling hash over tokens (order-sensitive
+    content signature, mod 1e9+7 to stay overflow-free in any engine)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text))), r"\s+", " ")
+    rolling = F.aggregate(
+        F.transform(tokens_col(text), lambda x: (F.ascii(x) * 7 + F.length(x)).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: (acc * 131 + v) % 1000000007,
+    )
+    return df.withColumn("fp_md5", F.md5(norm)).withColumn("fp_rolling", rolling)

@@ -38,6 +38,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 # Import side-effect registration: each module adds its queries on import.
-from .queries_impl import reference_parity, relational_core  # noqa: E402,F401
+from .queries_impl import (  # noqa: E402,F401
+    llm_dedup,
+    llm_multimodal,
+    llm_similarity,
+    llm_text,
+    reference_parity,
+    relational_core,
+)
 
-_ALL_IMPL = [reference_parity, relational_core]
+_ALL_IMPL = [
+    reference_parity,
+    relational_core,
+    llm_text,
+    llm_dedup,
+    llm_similarity,
+    llm_multimodal,
+]

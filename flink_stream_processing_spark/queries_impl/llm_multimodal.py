@@ -1,0 +1,25 @@
+"""Multimodal-plumbing query (LLM extension): binary payload ->
+Arrow-batched mapInPandas feature extraction. The features (byte length,
+sha256) are deterministic, so even the pandas-UDF path gets a full DuckDB
+oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.multimodal import attach_media, fake_feature_extract
+from ..queries import query
+from ..sources.batch import load_table
+
+_MM_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+@query("multimodal_feature_extract", oracle=_MM_ORACLE)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = attach_media(load_table(spark, sf_dir, "documents"))
+    return fake_feature_extract(docs)

@@ -1,0 +1,151 @@
+"""Text-analysis + exact-dedup queries over ``documents`` (LLM extension).
+Every formula is mirrored exactly in the DuckDB oracle (same tokenizer
+regex, same arithmetic order, same rounding)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import fingerprint, lang_id, quality_score, token_stats
+from ..operators.dedup import exact_dedup
+from ..queries import query
+from ..sources.batch import load_table
+
+_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+_STATS_ORACLE = f"""
+WITH s AS (
+  SELECT lang,
+         len({_TOKS}) AS n_tokens,
+         len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT)   AS cnt,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       round(avg(n_tokens), 6)    AS avg_tokens,
+       round(avg(n_bpe), 6)       AS avg_bpe_tokens,
+       round(avg(n_chars), 6)     AS avg_chars
+FROM s GROUP BY lang
+"""
+
+
+@query("text_stats_per_lang", oracle=_STATS_ORACLE)
+def q_text_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = token_stats(load_table(spark, sf_dir, "documents"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        F.round(F.avg("n_bpe_tokens"), 6).alias("avg_bpe_tokens"),
+        F.round(F.avg("n_chars_m"), 6).alias("avg_chars"),
+    )
+
+
+_TOKEN_COUNT_ORACLE = f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(list_sum(list_transform({_TOKS}, x -> length(x))) AS DOUBLE)
+             / nullif(len({_TOKS}), 0), 6) AS avg_token_len
+FROM documents
+"""
+
+
+@query("token_counts", oracle=_TOKEN_COUNT_ORACLE)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "n_bpe_tokens", "avg_token_len"
+    )
+
+
+_QUALITY_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(len({_TOKS}) AS DOUBLE) AS n_toks,
+         CAST(len(list_filter({_TOKS},
+              x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) AS n_stop,
+         CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(list_sum(list_transform({_TOKS}, x -> length(x))) AS DOUBLE) AS sum_len
+  FROM documents
+)
+SELECT doc_id,
+       round(coalesce(n_punct / nullif(n_chars, 0), 0.0), 6) AS punct_ratio,
+       round(coalesce(n_stop / nullif(n_toks, 0), 0.0), 6)  AS stopword_ratio,
+       round(0.3 * least(n_toks / 100.0, 1.0)
+             + 0.3 * (1.0 - coalesce(n_punct / nullif(n_chars, 0), 0.0))
+             + 0.2 * coalesce(n_stop / nullif(n_toks, 0), 0.0)
+             + 0.2 * least(coalesce(sum_len / nullif(n_toks, 0), 0.0) / 10.0, 1.0), 6) AS quality
+FROM b
+"""
+
+
+@query("quality_scores", oracle=_QUALITY_ORACLE)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "punct_ratio", "stopword_ratio", "quality"
+    )
+
+
+_LANG_ORACLE = f"""
+WITH c AS (
+  SELECT doc_id, lang,
+         len(list_filter({_TOKS}, x -> list_contains(['the','a','of'], x)))   AS c_en,
+         len(list_filter({_TOKS}, x -> list_contains(['le','la','et'], x)))   AS c_fr,
+         len(list_filter({_TOKS}, x -> list_contains(['el','los','y'], x)))   AS c_es,
+         len(list_filter({_TOKS}, x -> list_contains(['der','die','und'], x))) AS c_de
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN greatest(c_en, c_fr, c_es, c_de) = 0 THEN 'und'
+            WHEN c_en = greatest(c_en, c_fr, c_es, c_de) THEN 'en'
+            WHEN c_fr = greatest(c_en, c_fr, c_es, c_de) THEN 'fr'
+            WHEN c_es = greatest(c_en, c_fr, c_es, c_de) THEN 'es'
+            ELSE 'de' END AS lang_pred
+FROM c
+"""
+
+
+@query("lang_id_ngram", oracle=_LANG_ORACLE)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "lang_pred"
+    )
+
+
+_FP_ORACLE = f"""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_md5,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform({_TOKS}, x -> CAST(ascii(x) * 7 + length(x) AS BIGINT))),
+         (a, b) -> (a * 131 + b) % 1000000007) AS fp_rolling
+FROM documents
+"""
+
+
+@query("doc_fingerprints", oracle=_FP_ORACLE)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "fp_md5", "fp_rolling"
+    )
+
+
+_EXACT_DEDUP_ORACLE = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT)    AS dup_count
+FROM documents
+GROUP BY 1
+"""
+
+
+@query("dedup_exact_docs", oracle=_EXACT_DEDUP_ORACLE)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on the md5 fingerprint of normalized text — at
+    100 TB you group on the 16-byte hash, never the raw document."""
+    docs = fingerprint(load_table(spark, sf_dir, "documents"))
+    return exact_dedup(docs.withColumnRenamed("fp_md5", "fp"), ["fp"], "doc_id")
