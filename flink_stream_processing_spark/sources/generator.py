@@ -1,0 +1,78 @@
+"""Synthetic remittance-transaction generator (SURVEY.md §2.1 S3).
+
+Reference: ``RemittanceGenerator.java:31-63`` — a Spring @Scheduled producer
+emitting one JSON transaction every 2 s (uuid id, SENDER-/RECEIVER- +
+rand(100000), amount uniform [0,1), currency from 6 values with a static
+rate table where CNY -> 0.0, ts = now) to Kafka.
+
+Spark-first: the scheduler thread becomes a ``rate`` streaming source
+(0.5 rows/s to match) with deterministic column expressions replacing the
+imperative RNG — ``xxhash64`` of the rate-source ``value`` drives every
+"random" choice, so the stream is reproducible and the batch variant
+(``spark.range``) produces the identical dataset for differential tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import CURRENCIES, EXCHANGE_RATES
+
+
+def _synthesize(value: Column, event_ts: Column) -> list[Column]:
+    """Deterministic column expressions for one transaction, keyed on the
+    monotonically-increasing rate-source value."""
+    currency = F.element_at(
+        F.array(*[F.lit(c) for c in CURRENCIES]),
+        (F.pmod(F.xxhash64(value, F.lit(3)), F.lit(len(CURRENCIES))) + 1).cast("int"),
+    )
+    rate = None
+    for cur, r in EXCHANGE_RATES.items():
+        cond = currency == cur
+        rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
+    rate = rate.otherwise(F.lit(0.0))
+    return [
+        F.sha2(F.concat(F.lit("txn-"), value.cast("string")), 256).alias("transactionId"),
+        F.concat(
+            F.lit("SENDER-"), F.pmod(F.xxhash64(value, F.lit(1)), F.lit(100000)).cast("string")
+        ).alias("senderId"),
+        F.concat(
+            F.lit("RECEIVER-"), F.pmod(F.xxhash64(value, F.lit(2)), F.lit(100000)).cast("string")
+        ).alias("receiverId"),
+        # amount uniform [0,1) like the reference's random.nextDouble()
+        # (RemittanceGenerator.java:38): 53-bit hash fraction.
+        (
+            F.pmod(F.xxhash64(value, F.lit(4)), F.lit(1 << 53)) / F.lit(float(1 << 53))
+        ).alias("amount"),
+        currency.alias("currency"),
+        rate.alias("exchangeRate"),
+        F.unix_millis(event_ts).alias("timestamp"),
+        event_ts.alias("ts"),
+    ]
+
+
+def streaming_transactions(
+    spark: SparkSession, rows_per_second: float = 0.5
+) -> DataFrame:
+    """Streaming generator: rate source -> transaction columns. 0.5 rows/s
+    matches the reference's fixedRate=2000 cadence."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    return rate.select(_synthesize(F.col("value"), F.col("timestamp")))
+
+
+def batch_transactions(
+    spark: SparkSession, n: int, start_ts: str = "2024-01-01 00:00:00", step_ms: int = 2000
+) -> DataFrame:
+    """Batch variant producing the identical rows (deterministic hash
+    expressions) with synthetic event time advancing ``step_ms`` per row —
+    used for batch/streaming differential tests."""
+    base = spark.range(n)
+    event_ts = F.timestamp_millis(
+        F.unix_millis(F.lit(start_ts).cast("timestamp")) + F.col("id") * step_ms
+    )
+    return base.select(_synthesize(F.col("id"), event_ts))

@@ -1,0 +1,138 @@
+"""Structured Streaming pipelines (SURVEY.md §2.4, §2.2 sinks).
+
+Reference mapping:
+- W1 bounded out-of-orderness 5 s (StreamJob.java:62-65) ->
+  ``withWatermark(ts, "5 seconds")``
+- W2 monotonous timestamps (StreamJob.java:102-105) ->
+  ``withWatermark(ts, "0 seconds")``
+- W4 late-data drop: Structured Streaming drops rows behind the watermark in
+  windowed aggs — the same implicit behavior as the reference's window
+  assigner without allowedLateness.
+- K1/K2 print sinks -> console sink; K3 JDBC sink -> foreachBatch jdbc
+  append (the reference's batch-size-1/200 ms flush is subsumed by
+  micro-batch granularity); checkpointing is enabled (the reference never
+  enables it — a strict upgrade, SURVEY.md §4).
+
+Scale: the streaming window agg is a stateful partial+final hash aggregate;
+state is keyed by window, sized O(open windows), checkpointed. The
+reference instead buffers every event per window on one thread
+(AllWindowFunction, parallelism 1) — Spark's plan shards the same
+computation across executors and keeps only accumulators in state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..operators.risk import format_risk_lines, label_risk
+from ..operators.window_metrics import metric_agg_exprs
+
+# events parquet read as a stream: ts arrives as epoch-nanos long
+# (nanosAsLong), converted after read.
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_file_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """The ``events`` table as a file stream (test stand-in for the Kafka
+    topic; S1/S2). One source DataFrame can fan out to both the risk and
+    metrics sinks — the reference reads the topic twice instead."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    )
+
+
+def streaming_window_metrics(
+    tx: DataFrame,
+    watermark: str = "5 seconds",
+    window_duration: str = "10 seconds",
+) -> DataFrame:
+    """Streaming form of the flagship aggregate (A1-A5 + W1/W2). Append mode
+    emits each window once its end passes the watermark; late rows are
+    dropped (W4)."""
+    w = F.window(F.col("ts"), window_duration)
+    return (
+        tx.withWatermark("ts", watermark)
+        .groupBy(w.alias("w"))
+        .agg(*metric_agg_exprs())
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start"),
+            F.unix_millis(F.col("w.end")).alias("window_end"),
+            "cnt",
+            "success_count",
+            "failure_count",
+            "avg_amount",
+            "avg_exchange_rate",
+            "min_amount",
+            "max_amount",
+        )
+    )
+
+
+def risk_stream(tx: DataFrame, threshold: float = 1000.0) -> DataFrame:
+    """P2+P3 streaming path: label and format for the console sink."""
+    return format_risk_lines(label_risk(tx, threshold=threshold))
+
+
+def write_console(df: DataFrame, checkpoint: str | None = None) -> DataStreamWriter:
+    w = df.writeStream.format("console").outputMode("append")
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w
+
+
+def write_memory(
+    df: DataFrame, name: str, output_mode: str = "append", available_now: bool = True
+) -> StreamingQuery:
+    """Memory sink for tests: processes everything available, then stops."""
+    w = df.writeStream.format("memory").queryName(name).outputMode(output_mode)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def write_jdbc_metrics(
+    df: DataFrame,
+    url: str,
+    table: str = "remittance_metrics",
+    properties: dict[str, str] | None = None,
+    checkpoint: str = "/tmp/ckpt-remittance-metrics",
+) -> DataStreamWriter:
+    """K3: JDBC sink via foreachBatch append (StreamJob.java:176-215). Each
+    micro-batch holds the newly-closed windows, so the reference's
+    batch-size-1 cadence is subsumed; exactly-once to the table comes from
+    the checkpoint + idempotent append of closed windows."""
+    props = {"driver": "org.postgresql.Driver", **(properties or {})}
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").jdbc(url, table, properties=props)
+
+    return (
+        df.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )

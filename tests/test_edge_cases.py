@@ -1,0 +1,93 @@
+"""Operator unit tests for the edge cases in FIXTURES.md §3: all-failure
+windows, single-event windows, boundary timestamps, empty input, and the
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_stream_processing_spark.operators.multimodal import (
+    attach_media,
+    decode_media,
+    fake_feature_extract,
+)
+from flink_stream_processing_spark.operators.window_metrics import window_metrics
+
+TX_SCHEMA = "transactionId string, amount double, exchangeRate double, ts timestamp"
+
+
+def _tx(spark, rows):
+    from datetime import datetime
+
+    rows = [(*r[:-1], datetime.fromisoformat(r[-1])) for r in rows]
+    return spark.createDataFrame(rows, TX_SCHEMA)
+
+
+def test_all_failure_window_zero_guards(spark):
+    """exchangeRate==0 everywhere: averages and min/max forced to 0.0
+    (StreamJob.java:140-147 semantics)."""
+    df = _tx(
+        spark,
+        [("a", 5.0, 0.0, "2024-01-01 00:00:01"), ("b", 7.0, 0.0, "2024-01-01 00:00:02")],
+    )
+    [r] = window_metrics(df).collect()
+    assert r["cnt"] == 2 and r["failure_count"] == 2 and r["success_count"] == 0
+    assert r["avg_amount"] == 0.0 and r["avg_exchange_rate"] == 0.0
+    assert r["min_amount"] == 0.0 and r["max_amount"] == 0.0
+
+
+def test_single_event_window(spark):
+    df = _tx(spark, [("a", 5.0, 1.1, "2024-01-01 00:00:01")])
+    [r] = window_metrics(df).collect()
+    assert r["cnt"] == 1 and r["success_count"] == 1
+    assert r["avg_amount"] == 5.0 and r["min_amount"] == 5.0 == r["max_amount"]
+
+
+def test_boundary_event_belongs_to_window_it_starts(spark):
+    """An event exactly on a 10 s boundary goes to the window starting
+    there (Flink and Spark agree: start inclusive, end exclusive)."""
+    df = _tx(
+        spark,
+        [("a", 1.0, 1.0, "2024-01-01 00:00:10"), ("b", 2.0, 1.0, "2024-01-01 00:00:09.999")],
+    )
+    rows = {r["window_start"]: r["cnt"] for r in window_metrics(df).collect()}
+    epoch = 1704067200000
+    assert rows[epoch] == 1  # 09.999 -> [00, 10)
+    assert rows[epoch + 10000] == 1  # 10.000 -> [10, 20)
+
+
+def test_empty_input_no_windows(spark):
+    df = _tx(spark, [])
+    assert window_metrics(df).count() == 0
+
+
+def test_mixed_window_excludes_failures_from_stats(spark):
+    df = _tx(
+        spark,
+        [
+            ("a", 10.0, 2.0, "2024-01-01 00:00:01"),
+            ("b", 99.0, 0.0, "2024-01-01 00:00:02"),  # failure: excluded from stats
+            ("c", 20.0, 4.0, "2024-01-01 00:00:03"),
+        ],
+    )
+    [r] = window_metrics(df).collect()
+    assert r["cnt"] == 3 and r["success_count"] == 2 and r["failure_count"] == 1
+    assert r["avg_amount"] == 15.0 and r["min_amount"] == 10.0 and r["max_amount"] == 20.0
+    assert r["avg_exchange_rate"] == 3.0
+
+
+def test_multimodal_plumbing_matches_hashlib(spark):
+    df = spark.createDataFrame([(1, "hello world"), (2, "spark engine")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in fake_feature_extract(attach_media(df)).collect()}
+    for doc_id, text in [(1, "hello world"), (2, "spark engine")]:
+        assert out[doc_id]["byte_len"] == len(text.encode())
+        assert out[doc_id]["sha256"] == hashlib.sha256(text.encode()).hexdigest()
+
+
+def test_decode_media_is_stubbed(spark):
+    df = attach_media(spark.createDataFrame([(1, "x")], "doc_id long, text string"))
+    with pytest.raises(NotImplementedError):
+        decode_media(df)

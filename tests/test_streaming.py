@@ -1,0 +1,133 @@
+"""Streaming-semantics tests (SURVEY.md §5.2): batch/streaming parity of the
+flagship window aggregate, watermark late-drop behavior (W1/W4), and the
+deterministic generator (S3)."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from flink_stream_processing_spark.operators.window_metrics import (
+    as_transactions,
+    window_metrics,
+    window_metrics_over_events,
+)
+from flink_stream_processing_spark.sources.batch import load_table
+from flink_stream_processing_spark.sources.generator import batch_transactions
+from flink_stream_processing_spark.streaming.pipeline import (
+    events_file_stream,
+    streaming_window_metrics,
+    write_memory,
+)
+
+from .conftest import SF_SMALL
+
+
+def _rows(df):
+    return sorted([tuple(r) for r in df.collect()])
+
+
+def test_streaming_matches_batch_complete_mode(spark, tmp_path):
+    """Streaming (complete mode, availableNow) over the events parquet must
+    equal the batch flagship query exactly."""
+    # file source needs a directory; link the single-file table into one
+    d = tmp_path / "events_dir"
+    d.mkdir()
+    (d / "events.parquet").symlink_to(f"{SF_SMALL}/events.parquet")
+    stream = events_file_stream(spark, str(d))
+    tx = as_transactions(stream)
+    # complete mode needs no watermark and emits every window — exact parity.
+    agg = streaming_window_metrics(tx.drop("transactionId"), window_duration="10 seconds")
+    name = f"m_{uuid.uuid4().hex[:8]}"
+    q = write_memory(agg, name, output_mode="complete")
+    q.awaitTermination(120)
+    streamed = spark.table(name)
+    batch = window_metrics_over_events(load_table(spark, SF_SMALL, "events"))
+    assert _rows(streamed) == _rows(batch)
+
+
+def test_streaming_append_drops_late_rows(spark, tmp_path):
+    """W1+W4: with maxFilesPerTrigger=1, a second file containing an event
+    far behind the watermark is dropped from its (already-emitted) window."""
+    import os
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "events_in"
+    d.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def write_file(path, rows):
+        ts = [datetime.fromisoformat(r[1]).replace(tzinfo=timezone.utc) for r in rows]
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us", tz="UTC")),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array([r[2] for r in rows]),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    # file 1: events at t=1s,4s and t=60s (watermark after batch 0 -> 55s,
+    # taking effect one batch later — Spark applies watermark updates at the
+    # start of the NEXT batch).
+    write_file(d / "f1.parquet", [(1, "2024-01-01 00:00:01", "click", 10.0),
+                                  (2, "2024-01-01 00:00:04", "click", 20.0),
+                                  (3, "2024-01-01 00:01:00", "click", 30.0)])
+    # file 2: one in-order event; its batch runs with watermark=55s active.
+    write_file(d / "f2.parquet", [(6, "2024-01-01 00:01:05", "click", 50.0)])
+    # file 3: late event back at t=2s — now behind the active watermark,
+    # must be dropped — plus t=120s to flush windows past the watermark.
+    write_file(d / "f3.parquet", [(4, "2024-01-01 00:00:02", "click", 999.0),
+                                  (5, "2024-01-01 00:02:00", "click", 40.0)])
+    # deterministic processing order by mtime
+    now = 1_700_000_000
+    for i, f in enumerate(["f1", "f2", "f3"]):
+        os.utime(d / f"{f}.parquet", (now + i * 100, now + i * 100))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    tx = as_transactions(stream)
+    agg = streaming_window_metrics(tx, watermark="5 seconds")
+    name = f"m_{uuid.uuid4().hex[:8]}"
+    q = write_memory(agg, name, output_mode="append")
+    q.awaitTermination(120)
+    out = {r["window_start"]: r["cnt"] for r in spark.table(name).collect()}
+    epoch = 1704067200000  # 2024-01-01 00:00:00 UTC
+    # first window holds only events 1 and 2 — the late event 4 was dropped
+    assert out[epoch] == 2
+    # the 60 s window holds events 3 and 6
+    assert out[epoch + 60000] == 2
+
+
+def test_generator_deterministic_and_consistent(spark):
+    a = batch_transactions(spark, 200).collect()
+    b = batch_transactions(spark, 200).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    from flink_stream_processing_spark.schemas import EXCHANGE_RATES
+
+    for r in a:
+        assert 0.0 <= r["amount"] < 1.0
+        assert r["exchangeRate"] == EXCHANGE_RATES[r["currency"]]
+        assert r["senderId"].startswith("SENDER-")
+    # CNY poison present -> failure path exercised (RemittanceGenerator.java:70)
+    assert any(r["currency"] == "CNY" for r in a)
+
+
+def test_generator_window_metrics_failure_counting(spark):
+    """End-to-end on generated data: failureCount == #CNY events per window."""
+    tx = batch_transactions(spark, 100)
+    m = window_metrics(tx).collect()
+    total_failures = sum(r["failure_count"] for r in m)
+    cny = batch_transactions(spark, 100).filter(F.col("currency") == "CNY").count()
+    assert total_failures == cny
+    assert all(r["cnt"] == r["success_count"] + r["failure_count"] for r in m)
