@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing is end-to-end per query: plan construction + execution + collect.
+A warmup query first absorbs JVM/codegen startup so per-query numbers
+measure the engine, not JIT."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from flink_stream_processing_spark.queries import QUERIES
+from flink_stream_processing_spark.session import get_spark
+
+# Headline set: the flagship reference aggregate + the relational core +
+# every LLM-extension family (dedup, similarity, text).
+HEADLINE = [
+    "window_metrics",
+    "risk_label",
+    "json_parse_props",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "top_k_orders",
+    "agg_stats_orders",
+    "ranking_top3_per_segment",
+    "analytic_running_totals",
+    "left_join_order_counts",
+    "rollup_lineitem",
+    "text_stats_per_lang",
+    "quality_scores",
+    "doc_fingerprints",
+    "dedup_exact_docs",
+    "near_dup_topk_pairs",
+    "minhash_lsh_near_dups",
+    "simhash_near_dups",
+    "cosine_topk",
+    "pairwise_cosine_topk",
+    "label_centroids",
+    "multimodal_feature_extract",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + codegen + parquet footer caches
+    QUERIES["window_metrics"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

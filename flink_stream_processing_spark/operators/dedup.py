@@ -143,13 +143,36 @@ def minhash_near_dups(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle -> minhash -> LSH candidates ->
-    exact-Jaccard verification of candidates only. Output: (doc_a, doc_b,
-    jaccard) pairs above threshold."""
+    exact-Jaccard verification of the candidate pairs ONLY (the all-pairs
+    jaccard_pairs path is the small-scale oracle; here the expensive exact
+    check touches just the LSH survivors). Output: (doc_a, doc_b, jaccard)
+    pairs above threshold."""
     sh = word_shingles(df, text, id_col, n).cache()
     sigs = minhash_signatures(sh, id_col, num_perm)
     cand = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
-    exact = jaccard_pairs(sh, id_col)
-    return cand.join(exact, ["doc_a", "doc_b"]).filter(F.col("jaccard") >= threshold)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle"))
+    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle"))
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
