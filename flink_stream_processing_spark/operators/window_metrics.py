@@ -105,3 +105,47 @@ def window_metrics(tx: DataFrame, window_duration: str = "10 seconds") -> DataFr
 
 def window_metrics_over_events(events: DataFrame, window_duration: str = "10 seconds") -> DataFrame:
     return window_metrics(as_transactions(events), window_duration)
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    duration: str = "30 seconds",
+    slide: str = "10 seconds",
+    value_col: str = "value",
+) -> DataFrame:
+    """Sliding (hopping) event-time window — beyond the reference, which has
+    only tumbling (§2.6). Each event lands in duration/slide windows; Spark
+    expands via the window generator, the aggregation stays partial+final."""
+    w = F.window(F.col("ts"), duration, slide)
+    return (
+        events.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum(value_col), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start"),
+            F.unix_millis(F.col("w.end")).alias("window_end"),
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "10 minutes", key: str = "user_id"
+) -> DataFrame:
+    """Per-key session windows with a fixed inactivity gap (§2.6 — absent in
+    the reference). Spark's ``session_window`` merges events whose gap is
+    strictly less than ``gap``; the window end is last-event-time + gap."""
+    sw = F.session_window(F.col("ts"), gap)
+    return (
+        events.groupBy(F.col(key), sw.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.unix_millis(F.col("w.start")).alias("session_start"),
+            F.unix_millis(F.col("w.end")).alias("session_end"),
+            "n_events",
+        )
+    )

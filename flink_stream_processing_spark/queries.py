@@ -45,11 +45,15 @@ from .queries_impl import (  # noqa: E402,F401
     llm_text,
     reference_parity,
     relational_core,
+    relational_extra,
+    windows_extra,
 )
 
 _ALL_IMPL = [
     reference_parity,
     relational_core,
+    relational_extra,
+    windows_extra,
     llm_text,
     llm_dedup,
     llm_similarity,

@@ -1,0 +1,96 @@
+"""Window-variant queries beyond the reference's single tumbling window
+(SURVEY.md §2.6): sliding windows and per-key session windows, both with
+full DuckDB oracles (window expansion / gaps-and-islands SQL), plus the
+STREAMING flagship aggregate materialized through a real
+Structured-Streaming query and hash-checked against the batch oracle."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.window_metrics import (
+    as_transactions,
+    session_windows,
+    sliding_window_counts,
+)
+from ..queries import query
+from ..sources.batch import load_table
+from .reference_parity import _WINDOW_METRICS_ORACLE
+
+# Sliding window 30s/10s: each event belongs to 3 windows; the oracle
+# expands explicitly (time_bucket minus k*slide covers exactly the Spark
+# window-assignment rule).
+_SLIDING_ORACLE = """
+WITH w AS (
+  SELECT value,
+         epoch_ms(time_bucket(INTERVAL 10 SECONDS, ts)) - k * 10000 AS window_start
+  FROM events, UNNEST([0, 1, 2]) AS u(k)
+)
+SELECT window_start,
+       window_start + 30000 AS window_end,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(value), 2) AS sum_value
+FROM w
+GROUP BY window_start
+"""
+
+
+@query("sliding_window_counts", oracle=_SLIDING_ORACLE)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_window_counts(load_table(spark, sf_dir, "events"))
+
+
+# Session windows, gap 10 min: oracle is the classic gaps-and-islands
+# construction. New session when the gap is >= 10 min (Spark's session
+# window end is exclusive: an event exactly at last+gap starts a new one).
+_SESSION_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 10 MINUTES
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM o
+)
+SELECT user_id,
+       epoch_ms(min(ts)) AS session_start,
+       epoch_ms(max(ts)) + 600000 AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s
+GROUP BY user_id, sess_id
+"""
+
+
+@query("session_windows_per_user", oracle=_SESSION_ORACLE)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_windows(load_table(spark, sf_dir, "events"))
+
+
+@query("streaming_window_metrics", oracle=_WINDOW_METRICS_ORACLE)
+def q_streaming_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship aggregate through the real Structured-Streaming path
+    (file stream -> watermarked-window-capable agg -> memory sink, complete
+    mode, availableNow) — hash-checked against the same batch oracle, i.e.
+    streaming/batch parity as a first-class correctness gate."""
+    from ..streaming.pipeline import events_file_stream, streaming_window_metrics, write_memory
+
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    tx = as_transactions(events_file_stream(spark, d))
+    agg = streaming_window_metrics(tx, window_duration="10 seconds")
+    name = f"swm_{uuid.uuid4().hex[:10]}"
+    q = write_memory(agg, name, output_mode="complete")
+    q.awaitTermination(300)
+    return spark.table(name)

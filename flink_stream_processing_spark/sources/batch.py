@@ -36,7 +36,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in TIMESTAMP_NANOS_COLS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
-            df = df.withColumn(c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")))
+            # integer division — a double divide loses exactness at 1e15+
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
     # Normalize TIMESTAMP_NTZ -> TIMESTAMP (session tz is UTC, so this is
     # value-preserving) so epoch/unix functions work uniformly downstream.
     for field in df.schema.fields:

@@ -61,9 +61,7 @@ def events_file_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-    )
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def streaming_window_metrics(
