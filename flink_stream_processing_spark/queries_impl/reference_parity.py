@@ -138,3 +138,14 @@ _METRIC_JSON_SCHEMA = StructType(
 def q_json_roundtrip_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     metrics = window_metrics_over_events(load_table(spark, sf_dir, "events"))
     return roundtrip_json(metrics, list(metrics.columns), _METRIC_JSON_SCHEMA)
+
+
+@query("generator_transactions")  # rows-only: hash-seeded synthesis (S3)
+def q_generator_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: the deterministic batch variant of the rate-source generator
+    (RemittanceGenerator.java:31-63) feeding the flagship aggregate —
+    generator -> window metrics end to end."""
+    from ..operators.window_metrics import window_metrics
+    from ..sources.generator import batch_transactions
+
+    return window_metrics(batch_transactions(spark, 1000))

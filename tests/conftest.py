@@ -13,3 +13,10 @@ def spark():
     s = get_spark(app_name="tests", master="local[8]", shuffle_partitions=8)
     yield s
     s.stop()
+
+
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    """Alias usable inside hypothesis @given tests (function-scoped fixtures
+    are rejected there; this one is session-scoped)."""
+    return spark
