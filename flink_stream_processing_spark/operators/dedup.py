@@ -33,22 +33,31 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     )
 
 
-def word_shingles(df: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles, exploded to (id, shingle) rows.
-    Docs with fewer than ``n`` tokens produce no shingles."""
+def shingle_array(df: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Word n-gram shingles as an array column (``sh_arr``) — a narrow
+    projection, no explode/shuffle. Docs with fewer than ``n`` tokens get an
+    empty array."""
     idx = ", ".join(f"t[i+{j}]" for j in range(n))
+    return df.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text))), TOKEN_SPLIT_RE).alias("t"),
+    ).select(
+        id_col,
+        F.when(
+            F.size("t") >= n,
+            F.expr(f"transform(sequence(0, size(t) - {n}), i -> concat_ws(' ', {idx}))"),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("sh_arr"),
+    )
+
+
+def word_shingles(df: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles, exploded to (id, shingle) rows — the
+    set-table form used by the exact-Jaccard (verification/oracle) path."""
     return (
-        df.select(
-            F.col(id_col),
-            F.split(F.lower(F.trim(F.col(text))), TOKEN_SPLIT_RE).alias("t"),
-        )
-        .filter(F.size("t") >= n)
-        .select(
-            id_col,
-            F.explode(
-                F.expr(f"transform(sequence(0, size(t) - {n}), i -> concat_ws(' ', {idx}))")
-            ).alias("shingle"),
-        )
+        shingle_array(df, text, id_col, n)
+        .select(id_col, F.explode("sh_arr").alias("shingle"))
         .distinct()
     )
 
@@ -80,16 +89,23 @@ def jaccard_pairs(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def minhash_signatures(
-    shingles: DataFrame, id_col: str = "doc_id", num_perm: int = 32
+    with_shingle_arr: DataFrame, id_col: str = "doc_id", num_perm: int = 32
 ) -> DataFrame:
-    """Per-doc MinHash signature: permutation i is min(xxhash64(shingle, i)).
-    One narrow pass + one groupBy; signature width is ``num_perm`` longs.
-    Seeded xxhash64 (a Catalyst expression) keeps everything JVM-side."""
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
+    """Per-doc MinHash signature: permutation i is min(xxhash64(shingle, i)),
+    folded over the per-row shingle ARRAY — a pure narrow projection with
+    ZERO shuffle (duplicates in the array can't change a min). At 100 TB
+    this is the difference between shuffling O(docs*shingles) rows and
+    shuffling nothing. Seeded xxhash64 keeps everything JVM-side."""
+    max_long = F.lit(0x7FFFFFFFFFFFFFFF).cast("long")
+
+    def min_hash(i: int):
+        return lambda acc, s: F.least(acc, F.xxhash64(s, F.lit(i)))
+
+    sig_cols = [
+        F.aggregate(F.col("sh_arr"), max_long, min_hash(i)).alias(f"mh{i}")
         for i in range(num_perm)
     ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    return with_shingle_arr.select(id_col, *sig_cols)
 
 
 def lsh_candidate_pairs(
@@ -148,7 +164,7 @@ def minhash_near_dups(
     check touches just the LSH survivors). Output: (doc_a, doc_b, jaccard)
     pairs above threshold."""
     sh = word_shingles(df, text, id_col, n).cache()
-    sigs = minhash_signatures(sh, id_col, num_perm)
+    sigs = minhash_signatures(shingle_array(df, text, id_col, n), id_col, num_perm)
     cand = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle"))
@@ -177,22 +193,23 @@ def minhash_near_dups(
 
 def simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over tokens: per bit j, sign of sum over tokens of
-    (bit_j(xxhash64(token)) ? +1 : -1). Computed fully with built-ins:
-    explode tokens -> 64 conditional-sum aggregates -> assemble the long."""
-    toks = (
-        df.select(
-            id_col,
-            F.explode(F.split(F.lower(F.trim(F.col(text))), TOKEN_SPLIT_RE)).alias("tok"),
-        )
-        .withColumn("h", F.xxhash64("tok"))
+    (bit_j(xxhash64(token)) ? +1 : -1). Computed as array folds over the
+    per-row token-hash array — a narrow projection, no explode, no shuffle
+    (the earlier explode+groupBy formulation shuffled O(tokens) rows)."""
+    hashes = F.transform(
+        F.split(F.lower(F.trim(F.col(text))), TOKEN_SPLIT_RE), lambda t: F.xxhash64(t)
     )
-    bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{j}")
+    with_h = df.select(F.col(id_col), hashes.alias("hs"))
+    def bit_sum(j: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_sums = [
+        F.aggregate(F.col("hs"), F.lit(0), bit_sum(j)).alias(f"s{j}")
         for j in range(64)
     ]
-    sums = toks.groupBy(id_col).agg(*bit_aggs)
+    sums = with_h.select(id_col, *bit_sums)
     sig = None
     for j in range(64):
         bit = F.when(F.col(f"s{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))

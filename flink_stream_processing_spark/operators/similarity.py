@@ -60,16 +60,23 @@ def cosine_topk(
 def pairwise_cosine(
     embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Exact all-pairs cosine (small-scale / verification path only)."""
-    a = embeddings.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    """Exact all-pairs cosine (small-scale / verification path only).
+    Norms are computed once per side before the pair join, so each of the
+    O(n²) pairs folds the vectors once (dot) instead of three times."""
+    with_norm = embeddings.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("nrm")
     )
-    b = embeddings.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    a = with_norm.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("nrm").alias("na")
+    )
+    b = with_norm.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb")
     )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return pairs.select(
-        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 5).alias("sim")
+        "id_a",
+        "id_b",
+        F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 5).alias("sim"),
     )
 
 
