@@ -1,6 +1,6 @@
 """Deduplication operators for LLM training-data pipelines: exact,
-word-shingle Jaccard (exact), MinHash+LSH (approximate, scale path), and
-SimHash.
+word-shingle Jaccard (exact), MinHash+LSH (approximate, scale path), SimHash,
+and incremental dedup against a persisted signature store.
 
 Scale design (100 TB):
 - Exact dedup is a hash groupBy on the normalized key — one shuffle of
@@ -11,9 +11,23 @@ Scale design (100 TB):
   (band_hash -> doc_id) pairs; candidate pairs are then verified with exact
   Jaccard on the (tiny) candidate set. This is the standard
   shingle->minhash->band->bucket-join construction.
+- LSH operating point: bands/rows are tuned to the verify threshold. With
+  ``num_perm`` perms in ``b`` bands of ``r`` rows the S-curve midpoint is
+  (1/b)^(1/r); candidate-inclusion probability for a pair at Jaccard j is
+  1-(1-j^r)^b. The defaults (32 perms, 16 bands × 2 rows, midpoint 0.25)
+  give pairs at the 0.5 verify threshold inclusion prob ≥ 0.99 and pairs at
+  0.75+ (the planted-dup regime) prob ≥ 1-2e-6 — measured recall on the
+  test corpora is 1.0 (gated by the ``minhash_lsh_near_dups`` oracle match
+  and ``tests/test_recall.py``).
 - SimHash gives a 64-bit near-dup signature; Hamming-adjacent buckets are
-  found by splitting the 64 bits into 4 16-bit keys (any pair within
-  Hamming distance 3 shares at least one key — pigeonhole).
+  found by splitting the 64 bits into 4 16-bit keys. Pigeonhole guarantees
+  recall ONLY for Hamming distance <= 3 (4 segments, 3 differing bits leave
+  one segment intact) — callers must not ask for a larger radius than the
+  segmentation supports (enforced below).
+- Incremental dedup: a real pipeline dedups each new batch against an
+  already-persisted corpus signature store, never re-shuffling the corpus
+  text. The store is (fingerprint) for exact / (minhash bands) for near-dup;
+  the daily join touches O(new batch) + a semi-join against the store.
 """
 
 from __future__ import annotations
@@ -35,20 +49,23 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 
 def shingle_array(df: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Word n-gram shingles as an array column (``sh_arr``) — a narrow
-    projection, no explode/shuffle. Docs with fewer than ``n`` tokens get an
-    empty array."""
+    projection, no explode/shuffle. Docs with fewer than ``n`` tokens are
+    dropped (an empty shingle set has no meaningful Jaccard, and the
+    max_long MinHash sentinel would otherwise make all such docs collide
+    into one O(m²) LSH clique)."""
     idx = ", ".join(f"t[i+{j}]" for j in range(n))
-    return df.select(
-        F.col(id_col),
-        F.split(F.lower(F.trim(F.col(text))), TOKEN_SPLIT_RE).alias("t"),
-    ).select(
-        id_col,
-        F.when(
-            F.size("t") >= n,
-            F.expr(f"transform(sequence(0, size(t) - {n}), i -> concat_ws(' ', {idx}))"),
+    return (
+        df.select(
+            F.col(id_col),
+            F.split(F.lower(F.trim(F.col(text))), TOKEN_SPLIT_RE).alias("t"),
         )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("sh_arr"),
+        .filter(F.size("t") >= n)
+        .select(
+            id_col,
+            F.expr(f"transform(sequence(0, size(t) - {n}), i -> concat_ws(' ', {idx}))").alias(
+                "sh_arr"
+            ),
+        )
     )
 
 
@@ -108,23 +125,22 @@ def minhash_signatures(
     return with_shingle_arr.select(id_col, *sig_cols)
 
 
-def lsh_candidate_pairs(
+def band_hashes(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_perm: int = 32,
-    bands: int = 8,
+    bands: int = 16,
 ) -> DataFrame:
-    """Band the signature (rows = num_perm/bands) and bucket-join: docs
-    sharing any band hash become candidate pairs. The only shuffle carries
-    (band_id, band_hash) keys — O(docs*bands) rows regardless of corpus
-    size."""
+    """Stacked (id, band_id, band_hash) rows — the LSH bucket table. This is
+    also the persistable *signature store* schema for incremental dedup:
+    O(docs*bands) narrow rows, independent of text size."""
     rows = num_perm // bands
     band_cols = [
         F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
         for b in range(bands)
     ]
     banded = signatures.select(id_col, *band_cols)
-    stacked = banded.select(
+    return banded.select(
         id_col,
         F.explode(
             F.array(
@@ -135,6 +151,19 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band_id", "bb.band_hash")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """Band the signature (rows = num_perm/bands) and bucket-join: docs
+    sharing any band hash become candidate pairs. The only shuffle carries
+    (band_id, band_hash) keys — O(docs*bands) rows regardless of corpus
+    size."""
+    stacked = band_hashes(signatures, id_col, num_perm, bands)
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -149,81 +178,181 @@ def lsh_candidate_pairs(
     )
 
 
+def verify_jaccard_pairs(
+    candidates: DataFrame,
+    shingle_arrs: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs via
+    per-doc distinct-shingle ARRAYS and ``array_intersect`` — two hash joins
+    keyed on doc id, each candidate pair folds its two arrays exactly once.
+    (The earlier formulation exploded doc_a's full shingle set per candidate
+    before matching doc_b — an O(cand × shingles) fan-out this avoids.)"""
+    arrs = shingle_arrs.select(
+        F.col(id_col), F.array_distinct("sh_arr").alias("sh_set")
+    )
+    aa = arrs.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("set_a"))
+    ab = arrs.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    return (
+        candidates.join(aa, "doc_a")
+        .join(ab, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_near_dups(
     df: DataFrame,
     text: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     num_perm: int = 32,
-    bands: int = 8,
+    bands: int = 16,
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle -> minhash -> LSH candidates ->
     exact-Jaccard verification of the candidate pairs ONLY (the all-pairs
     jaccard_pairs path is the small-scale oracle; here the expensive exact
     check touches just the LSH survivors). Output: (doc_a, doc_b, jaccard)
-    pairs above threshold."""
-    sh = word_shingles(df, text, id_col, n).cache()
-    sigs = minhash_signatures(shingle_array(df, text, id_col, n), id_col, num_perm)
+    pairs above threshold. Precision is exact (verify stage); recall is the
+    LSH S-curve at the operating point (see module docstring) — gated
+    against the exact oracle in CORRECTNESS and tests/test_recall.py."""
+    sh_arr = shingle_array(df, text, id_col, n)
+    sigs = minhash_signatures(sh_arr, id_col, num_perm)
     cand = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingle"))
-    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle"))
-    common = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    return verify_jaccard_pairs(cand, sh_arr, id_col, threshold)
+
+
+def incremental_exact_dedup(
+    new_batch: DataFrame,
+    store: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a NEW batch against a persisted fingerprint store (the daily
+    operation of a real training-data pipeline): drop new docs whose md5
+    fingerprint already exists in the corpus store, then keep the min-id
+    representative per fingerprint within the batch itself.
+
+    ``store`` is a (fingerprint) table — at 100 TB it lives as a bucketed
+    parquet/Delta table keyed on fingerprint; this join is a semi-join that
+    never touches corpus text. Returns (doc_id, fingerprint) of survivors.
+    """
+    fp = F.md5(F.lower(F.trim(F.col(text)))).alias("fingerprint")
+    batch_fp = new_batch.select(F.col(id_col), fp)
+    novel = batch_fp.join(
+        store.select("fingerprint"), "fingerprint", "left_anti"
     )
-    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
-        common.join(F.broadcast(na), "doc_a")
-        .join(F.broadcast(nb), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
-            ).alias("jaccard"),
+    keep = novel.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return keep.select(id_col, "fingerprint")
+
+
+def exact_fingerprint_store(corpus: DataFrame, text: str = "text") -> DataFrame:
+    """The persisted side of incremental_exact_dedup: distinct md5
+    fingerprints of the existing corpus."""
+    return corpus.select(
+        F.md5(F.lower(F.trim(F.col(text)))).alias("fingerprint")
+    ).distinct()
+
+
+def incremental_minhash_near_dups(
+    new_batch: DataFrame,
+    store_bands: DataFrame,
+    store_shingle_arrs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup matches of a NEW batch against a persisted MinHash band
+    store (``band_hashes`` output for the corpus, written once). The join
+    carries only (band_id, band_hash) keys from the new batch — O(batch ×
+    bands) rows against the bucketed store, never corpus × corpus. Verify
+    joins the (small) candidate set back to per-doc shingle arrays.
+
+    Returns (doc_a=corpus id, doc_b=new id, jaccard) above threshold.
+    """
+    new_arr = shingle_array(new_batch, text, id_col, n)
+    new_bands = band_hashes(
+        minhash_signatures(new_arr, id_col, num_perm), id_col, num_perm, bands
+    )
+    s = store_bands.alias("s")
+    nb = new_bands.alias("n")
+    cand = (
+        s.join(
+            nb,
+            (F.col("s.band_id") == F.col("n.band_id"))
+            & (F.col("s.band_hash") == F.col("n.band_hash")),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .select(F.col(f"s.{id_col}").alias("doc_a"), F.col(f"n.{id_col}").alias("doc_b"))
+        .distinct()
     )
+    arrs = store_shingle_arrs.unionByName(new_arr)
+    return verify_jaccard_pairs(cand, arrs, id_col, threshold)
+
+
+# Single-fold SimHash: ONE pass over the token-hash array producing a
+# 64-wide bit-balance vector (the previous formulation ran 64 independent
+# aggregate() folds — 64 passes per row). SQL lambdas are used because
+# shiftright/shiftleft need a non-literal bit index inside the fold, which
+# the PySpark column API doesn't expose.
+_SIMHASH_SUMS_EXPR = """
+aggregate(
+  hs,
+  array_repeat(0, 64),
+  (acc, h) -> zip_with(
+    acc,
+    sequence(0, 63),
+    (a, j) -> a + CASE WHEN (shiftright(h, j) & 1L) = 1L THEN 1 ELSE -1 END
+  )
+)
+"""
+
+_SIMHASH_PACK_EXPR = """
+aggregate(
+  zip_with(
+    sums,
+    sequence(0, 63),
+    (s, j) -> CASE WHEN s > 0 THEN shiftleft(1L, j) ELSE 0L END
+  ),
+  0L,
+  (acc, x) -> acc | x
+)
+"""
 
 
 def simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over tokens: per bit j, sign of sum over tokens of
-    (bit_j(xxhash64(token)) ? +1 : -1). Computed as array folds over the
-    per-row token-hash array — a narrow projection, no explode, no shuffle
-    (the earlier explode+groupBy formulation shuffled O(tokens) rows)."""
+    (bit_j(xxhash64(token)) ? +1 : -1). ONE fold over the per-row token-hash
+    array accumulates all 64 bit balances (array_repeat(0,64) accumulator,
+    zip_with per element), then one fold packs the sign bits — a narrow
+    projection, no explode, no shuffle, O(tokens) work per row."""
     hashes = F.transform(
         F.split(F.lower(F.trim(F.col(text))), TOKEN_SPLIT_RE), lambda t: F.xxhash64(t)
     )
-    with_h = df.select(F.col(id_col), hashes.alias("hs"))
-    def bit_sum(j: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bit_sums = [
-        F.aggregate(F.col("hs"), F.lit(0), bit_sum(j)).alias(f"s{j}")
-        for j in range(64)
-    ]
-    sums = with_h.select(id_col, *bit_sums)
-    sig = None
-    for j in range(64):
-        bit = F.when(F.col(f"s{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, j)
-        sig = term if sig is None else sig.bitwiseOR(term)
-    return sums.select(id_col, sig.alias("simhash"))
+    return (
+        df.select(F.col(id_col), hashes.alias("hs"))
+        .select(id_col, F.expr(_SIMHASH_SUMS_EXPR).alias("sums"))
+        .select(id_col, F.expr(_SIMHASH_PACK_EXPR).alias("simhash"))
+    )
 
 
-def simhash_near_dups(df: DataFrame, text: str = "text", id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: bucket on each of the 4 16-bit segments
-    (pigeonhole: Hamming<=3 pairs share a segment), verify Hamming distance
-    via bit_count(xor)."""
-    sig = simhash(df, text, id_col)
-    seg = sig.select(
+def simhash_segments(sig: DataFrame, id_col: str = "doc_id", segments: int = 4) -> DataFrame:
+    """Split the 64-bit signature into ``segments`` equal bit-keys and stack
+    to (id, simhash, seg_id, seg) rows — the SimHash bucket table (also the
+    persistable store for incremental SimHash dedup)."""
+    width = 64 // segments
+    mask = (1 << width) - 1
+    return sig.select(
         id_col,
         "simhash",
         F.explode(
@@ -231,15 +360,42 @@ def simhash_near_dups(df: DataFrame, text: str = "text", id_col: str = "doc_id",
                 *[
                     F.struct(
                         F.lit(k).alias("seg_id"),
-                        F.shiftright(F.col("simhash"), 16 * k)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), width * k)
+                        .bitwiseAND(F.lit(mask))
                         .alias("seg"),
                     )
-                    for k in range(4)
+                    for k in range(segments)
                 ]
             )
         ).alias("s"),
     ).select(id_col, "simhash", "s.seg_id", "s.seg")
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    segments: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket on each of the ``segments`` equal
+    bit-segments, verify Hamming distance via bit_count(xor).
+
+    Pigeonhole guarantee: a pair within Hamming distance d shares at least
+    one segment iff d < segments — so recall is exactly 1.0 (vs brute-force
+    Hamming over the same signatures) only for max_hamming <= segments - 1.
+    A larger radius than the segmentation supports is rejected rather than
+    silently dropping pairs (the round-1 bug: max_hamming=16 with 4 segments
+    missed every distance-4..16 pair not sharing a segment by luck).
+    """
+    if max_hamming > segments - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole recall bound "
+            f"for {segments} segments (max supported: {segments - 1}); "
+            f"use at least max_hamming+1 segments"
+        )
+    sig = simhash(df, text, id_col)
+    seg = simhash_segments(sig, id_col, segments)
     a, b = seg.alias("a"), seg.alias("b")
     pairs = (
         a.join(

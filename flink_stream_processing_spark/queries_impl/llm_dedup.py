@@ -1,8 +1,24 @@
-"""Near-duplicate detection queries (LLM extension). The exact
-shingle-Jaccard path has a full DuckDB oracle; the MinHash-LSH and SimHash
-paths are approximate/hash-seeded (xxhash64 has no DuckDB equivalent) and
-register as rows-only checks — their *verification* stage reuses the
-oracle-backed exact Jaccard."""
+"""Near-duplicate detection queries (LLM extension).
+
+Recall gating (round-2 upgrade): the MinHash-LSH path now registers a FULL
+DuckDB oracle — the exact shingle-Jaccard pairs at the same threshold. The
+LSH verify stage computes exact Jaccard on candidates, so precision is 1.0
+by construction; a hash match against the exact-pairs oracle therefore
+asserts recall == 1.0 at the operating point (32 perms, 16 bands × 2 rows,
+S-curve midpoint 0.25, verify threshold 0.5 — chosen so every pair at or
+above threshold has candidate-inclusion probability ≥ 0.99, and measured
+recall on the test corpora is exactly 1.0; see tests/test_recall.py for the
+brute-force gates). SimHash remains rows-only in CORRECTNESS (xxhash64 has
+no DuckDB equivalent) but is gated in tests against brute-force Hamming
+pairs over the same signatures, where pigeonhole makes recall exactly 1.0
+for max_hamming <= 3 with 4 segments.
+
+Incremental dedup: the new-batch-vs-persisted-store operation. The batch
+split is deterministic (doc_id % 10 == 0 is "today's batch") so DuckDB can
+mirror it; exact incremental dedup is fully oracle-checked, and the
+incremental MinHash path is oracle-checked the same way as the batch LSH
+path (exact corpus×batch pairs at the threshold).
+"""
 
 from __future__ import annotations
 
@@ -10,8 +26,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    band_hashes,
+    exact_fingerprint_store,
+    incremental_exact_dedup,
+    incremental_minhash_near_dups,
     jaccard_pairs,
     minhash_near_dups,
+    minhash_signatures,
+    shingle_array,
     simhash,
     simhash_near_dups,
     word_shingles,
@@ -21,7 +43,7 @@ from ..sources.batch import load_table
 
 # Exact word-3-gram Jaccard: top-20 most similar pairs (deterministic order:
 # jaccard desc, then pair ids). DuckDB mirrors the same shingle construction.
-_JACCARD_ORACLE = r"""
+_JACCARD_CTES = r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
   FROM documents
@@ -36,15 +58,37 @@ common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b,
+         round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
 )
-SELECT doc_a, doc_b,
-       round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
-FROM common
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
+"""
+
+_JACCARD_ORACLE = (
+    _JACCARD_CTES
+    + """
+SELECT doc_a, doc_b, jaccard FROM jac
 ORDER BY jaccard DESC, doc_a, doc_b
 LIMIT 20
 """
+)
+
+# All exact pairs at the LSH operating threshold — the recall oracle for the
+# approximate path. (Data note: the corpus has planted dups at Jaccard >=
+# 0.75 and background pairs at ~0.1, so any threshold in (0.15, 0.75)
+# selects the same pair set; 0.5 is the documented operating point.)
+_JACCARD_THRESHOLD_ORACLE = (
+    _JACCARD_CTES
+    + """
+SELECT doc_a, doc_b, jaccard FROM jac
+WHERE jaccard >= 0.5
+ORDER BY doc_a, doc_b
+"""
+)
 
 
 @query("near_dup_topk_pairs", oracle=_JACCARD_ORACLE)
@@ -57,12 +101,14 @@ def q_near_dup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("minhash_lsh_near_dups")  # rows-only: LSH candidate recall is probabilistic
+@query("minhash_lsh_near_dups", oracle=_JACCARD_THRESHOLD_ORACLE)
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path: shingle -> 32-perm MinHash -> 8-band LSH -> exact verify.
-    Output pairs with verified jaccard >= 0.3."""
+    """Scale path: shingle -> 32-perm MinHash -> 16-band LSH -> exact verify
+    at Jaccard >= 0.5. The oracle is the EXACT pair set at the same
+    threshold, so a hash match certifies LSH recall == 1.0 (precision is
+    1.0 by construction of the verify stage)."""
     return minhash_near_dups(
-        load_table(spark, sf_dir, "documents"), threshold=0.3
+        load_table(spark, sf_dir, "documents"), threshold=0.5
     ).orderBy("doc_a", "doc_b")
 
 
@@ -71,8 +117,88 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
-@query("simhash_near_dups")  # rows-only
+@query("simhash_near_dups")  # rows-only; brute-force-gated in tests/test_recall.py
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups at the pigeonhole-complete radius (Hamming <= 3
+    with 4 16-bit segments — recall is exactly 1.0 vs brute force by
+    construction; the round-1 max_hamming=16 call sat outside that bound
+    and silently missed distance-4..16 pairs)."""
     return simhash_near_dups(
-        load_table(spark, sf_dir, "documents"), max_hamming=16
+        load_table(spark, sf_dir, "documents"), max_hamming=3
+    ).orderBy("doc_a", "doc_b")
+
+
+def _split_batch(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Deterministic corpus/new-batch split mirrored in the oracles:
+    doc_id % 10 == 0 is the incoming batch, the rest is the corpus."""
+    return docs.filter(F.col("doc_id") % 10 != 0), docs.filter(F.col("doc_id") % 10 == 0)
+
+
+_INCR_EXACT_ORACLE = """
+WITH store AS (
+  SELECT DISTINCT md5(lower(trim(text))) AS fingerprint
+  FROM documents WHERE doc_id % 10 <> 0
+),
+batch AS (
+  SELECT doc_id, md5(lower(trim(text))) AS fingerprint
+  FROM documents WHERE doc_id % 10 = 0
+),
+novel AS (
+  SELECT b.doc_id, b.fingerprint FROM batch b
+  WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.fingerprint = b.fingerprint)
+)
+SELECT min(doc_id) AS doc_id, fingerprint
+FROM novel GROUP BY fingerprint
+ORDER BY doc_id
+"""
+
+
+@query("incremental_exact_dedup", oracle=_INCR_EXACT_ORACLE)
+def q_incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch exact dedup against the persisted corpus fingerprint store:
+    the anti-join every real pipeline runs daily. Survivors = batch docs
+    whose fingerprint is not in the store, min-id per in-batch group."""
+    corpus, batch = _split_batch(load_table(spark, sf_dir, "documents"))
+    store = exact_fingerprint_store(corpus)
+    return incremental_exact_dedup(batch, store).orderBy("doc_id")
+
+
+_INCR_MINHASH_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents
+  WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s
+  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("incremental_minhash_near_dups", oracle=_INCR_MINHASH_ORACLE)
+def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup matches of the new batch against the persisted MinHash band
+    store (bands written once for the corpus; the daily join carries only
+    O(batch × bands) keys). Oracle = exact corpus×batch Jaccard pairs at
+    the threshold, so a hash match certifies incremental recall == 1.0."""
+    corpus, batch = _split_batch(load_table(spark, sf_dir, "documents"))
+    corpus_arr = shingle_array(corpus)
+    store = band_hashes(minhash_signatures(corpus_arr))
+    return incremental_minhash_near_dups(
+        batch, store, corpus_arr, threshold=0.5
     ).orderBy("doc_a", "doc_b")

@@ -1,0 +1,145 @@
+"""Recall gates for every approximate operator (VERDICT round-1 item #1):
+each LSH/SimHash/ANN path is measured against its exact brute-force
+counterpart on the same data. The hash seeds are fixed, so recall on a fixed
+corpus is DETERMINISTIC — these asserts are exact, not statistical.
+
+Also holds the SimHash single-fold regression test: the optimized one-pass
+formulation must produce bit-identical signatures to the straightforward
+64-fold reference formulation it replaced.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_stream_processing_spark.operators.dedup import (
+    exact_dedup,
+    exact_fingerprint_store,
+    incremental_exact_dedup,
+    jaccard_pairs,
+    minhash_near_dups,
+    simhash,
+    simhash_near_dups,
+    word_shingles,
+)
+from flink_stream_processing_spark.operators.text import TOKEN_SPLIT_RE
+
+from .conftest import SF_DIR, SF_SMALL
+
+
+def _docs(spark, sf_dir=SF_DIR):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------- MinHash LSH
+
+
+def test_minhash_lsh_recall_is_total_at_threshold(spark):
+    """LSH-found pairs at the 0.5 operating threshold must equal the exact
+    brute-force pair set — recall 1.0 AND precision 1.0 (precision is by
+    construction: the verify stage computes exact Jaccard)."""
+    d = _docs(spark)
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(word_shingles(d)).filter(F.col("jaccard") >= 0.5).collect()
+    }
+    lsh = {(r.doc_a, r.doc_b) for r in minhash_near_dups(d, threshold=0.5).collect()}
+    assert exact, "fixture has no near-dup pairs; recall gate is vacuous"
+    missed = exact - lsh
+    assert not missed, f"LSH missed {len(missed)}/{len(exact)} exact pairs: {sorted(missed)[:5]}"
+    assert lsh == exact
+
+
+# -------------------------------------------------------------------- SimHash
+
+
+def _reference_simhash_64fold(df, text="text", id_col="doc_id"):
+    """The round-1 formulation (64 independent aggregate folds) kept as the
+    regression reference for the optimized single-fold simhash()."""
+    hashes = F.transform(
+        F.split(F.lower(F.trim(F.col(text))), TOKEN_SPLIT_RE), lambda t: F.xxhash64(t)
+    )
+    with_h = df.select(F.col(id_col), hashes.alias("hs"))
+
+    def bit_sum(j):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    sums = with_h.select(
+        id_col,
+        *[F.aggregate(F.col("hs"), F.lit(0), bit_sum(j)).alias(f"s{j}") for j in range(64)],
+    )
+    sig = None
+    for j in range(64):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, j)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return sums.select(id_col, sig.alias("simhash"))
+
+
+def test_simhash_single_fold_matches_reference(spark):
+    d = _docs(spark, SF_SMALL)
+    new = {r.doc_id: r.simhash for r in simhash(d).collect()}
+    ref = {r.doc_id: r.simhash for r in _reference_simhash_64fold(d).collect()}
+    assert new == ref
+
+
+def test_simhash_bucketed_recall_vs_brute_force(spark):
+    """Segment-bucketed pairs at Hamming <= 3 must equal brute-force
+    all-pairs Hamming over the SAME signatures (pigeonhole: 4 segments
+    guarantee every distance-<=3 pair shares a segment)."""
+    d = _docs(spark)
+    sig = simhash(d)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    brute = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("h")
+        )
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    bucketed = {
+        (r.doc_a, r.doc_b) for r in simhash_near_dups(d, max_hamming=3).collect()
+    }
+    assert brute, "fixture has no Hamming<=3 pairs; recall gate is vacuous"
+    assert bucketed == brute
+
+
+def test_simhash_rejects_radius_beyond_pigeonhole_bound(spark):
+    """The round-1 bug: max_hamming=16 with 4 segments silently dropped
+    distance-4..16 pairs. Now it's a hard error."""
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dups(_docs(spark, SF_SMALL), max_hamming=16)
+
+
+# --------------------------------------------------------- incremental dedup
+
+
+def test_incremental_exact_dedup_equals_union_dedup(spark):
+    """The defining property: dedup(corpus ∪ batch) restricted to batch-novel
+    fingerprints == incremental result. Corpus ids are < batch ids here so
+    min-id keeps corpus representatives for shared fingerprints."""
+    d = _docs(spark)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+
+    incr = {
+        (r.doc_id, r.fingerprint)
+        for r in incremental_exact_dedup(batch, exact_fingerprint_store(corpus)).collect()
+    }
+
+    fp = F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint")
+    union_kept = exact_dedup(d.select("doc_id", fp), ["fingerprint"], "doc_id")
+    corpus_fps = {r.fingerprint for r in corpus.select(fp).distinct().collect()}
+    expected = {
+        (r.keep_id, r.fingerprint)
+        for r in union_kept.collect()
+        if r.fingerprint not in corpus_fps
+    }
+    assert incr == expected
+    assert incr, "batch contained no novel docs; property test is vacuous"
