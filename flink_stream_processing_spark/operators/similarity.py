@@ -80,33 +80,121 @@ def pairwise_cosine(
     )
 
 
+def _plane_bit(vec_col: str, p: int) -> Column:
+    """Sign bit of the projection of the vector onto deterministic
+    pseudo-random hyperplane ``p``. Plane p's component for dimension d is
+    derived from xxhash64(p, d) mapped to [-1, 1] — fully reproducible, no
+    driver-side RNG, no broadcast of a plane matrix."""
+    proj = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
+            lambda x, d: x.cast("double")
+            * ((F.xxhash64(F.lit(p), d).bitwiseAND(F.lit(0xFFFFFFFF)) / F.lit(2147483648.0)) - 1.0),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+
+
 def lsh_hyperplane_buckets(
     embeddings: DataFrame,
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: int = 0,
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket = sign-bit pattern of ``n_planes``
-    deterministic pseudo-random hyperplanes. Plane p's component for
-    dimension d is derived from xxhash64(p, d) mapped to [-1, 1] — fully
-    reproducible, no driver-side RNG, no broadcast of a plane matrix."""
+    hash-derived hyperplanes (plane indices seed..seed+n_planes-1, so
+    multi-table OR-constructions get independent planes per table)."""
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
-        # h(p,d) in [-1,1): hash to 32-bit, scale. zip_with over the vector
-        # and its index sequence gives the projection sum.
-        proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
-                lambda x, d: x.cast("double")
-                * ((F.xxhash64(F.lit(p), d).bitwiseAND(F.lit(0xFFFFFFFF)) / F.lit(2147483648.0)) - 1.0),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig = sig.bitwiseOR(F.shiftleft(bit, p))
+        sig = sig.bitwiseOR(F.shiftleft(_plane_bit(vec_col, seed + p), p))
     return embeddings.select(id_col, vec_col, sig.alias("bucket"))
+
+
+def hyperplane_lsh_tables(
+    embeddings: DataFrame,
+    n_tables: int = 12,
+    planes_per_table: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table (OR-construction) hyperplane LSH: ``n_tables``
+    independent bucket assignments of ``planes_per_table`` planes each,
+    stacked to (id, table_id, bucket) rows. A pair at cosine s has
+    per-table collision prob (1 - acos(s)/pi)^p and overall candidate
+    prob 1 - (1 - (1-acos(s)/pi)^p)^L — tune (p, L) to the target
+    similarity. All tables are computed in ONE pass over the vectors
+    (every plane bit is a column expression over the same row); the only
+    shuffle carries (table_id, bucket) keys, O(rows × L)."""
+    tables = []
+    for t in range(n_tables):
+        sig = F.lit(0).cast("long")
+        for p in range(planes_per_table):
+            sig = sig.bitwiseOR(
+                F.shiftleft(_plane_bit(vec_col, t * planes_per_table + p), p)
+            )
+        tables.append(F.struct(F.lit(t).alias("table_id"), sig.alias("bucket")))
+    return embeddings.select(
+        id_col, vec_col, F.explode(F.array(*tables)).alias("tb")
+    ).select(id_col, vec_col, "tb.table_id", "tb.bucket")
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.5,
+    n_tables: int = 12,
+    planes_per_table: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via multi-table LSH: candidates =
+    pairs sharing a bucket in ANY table, verified with exact cosine >=
+    threshold. Precision is exact (verify stage); recall is the OR-construction
+    S-curve at the operating point — deterministic on fixed data and gated
+    against the exact all-pairs oracle (CORRECTNESS) and a planted-near-dup
+    fixture (tests/test_recall.py).
+
+    Operating point note: (p=2, L=12) targets the test corpus' 0.5-cosine
+    regime (miss prob per pair ~(1-0.444)^12 < 1e-3). A production 0.9+
+    near-dup dedup would run (p=8..10, L=8..12): far fewer candidates per
+    table, same OR-construction recall shape.
+    """
+    stacked = hyperplane_lsh_tables(
+        embeddings, n_tables, planes_per_table, id_col, vec_col
+    ).select(id_col, "table_id", "bucket")
+    a, b = stacked.alias("a"), stacked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    with_norm = embeddings.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("nrm")
+    )
+    va = with_norm.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("nrm").alias("na")
+    )
+    vb = with_norm.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 5).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
 
 
 def ann_topk_lsh(
@@ -116,20 +204,36 @@ def ann_topk_lsh(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_radius: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: probe only the query's LSH bucket, exact cosine
-    within it. The scale path — candidate set is ~n/2^planes."""
+    """Approximate top-k with MULTIPROBE: probe every bucket within Hamming
+    distance ``probe_radius`` of the query's LSH bucket, exact cosine within
+    the probed candidate set. radius 0 is single-bucket (~n/2^planes
+    candidates); each +1 of radius adds C(planes, r) buckets — the standard
+    recall/cost dial. Everything stays in-plan: the query bucket is a 1-row
+    broadcast, xor'd against the literal probe-mask array (no driver-side
+    collect of the bucket)."""
+    import itertools
+
     bucketed = lsh_hyperplane_buckets(embeddings, n_planes, id_col, vec_col)
-    # Compute the query's bucket with the same hash-derived planes, in-plan
-    # (single-row DataFrame cross-joined as a broadcast literal).
     spark = embeddings.sparkSession
     qdf = spark.createDataFrame([(query_vec,)], f"{vec_col}: array<double>")
-    qbucket = lsh_hyperplane_buckets(qdf, n_planes, vec_col, vec_col).select(
-        F.col("bucket").alias("q_bucket")
+    # All xor masks with popcount <= radius over n_planes bits.
+    masks = [0]
+    for r in range(1, probe_radius + 1):
+        for bits in itertools.combinations(range(n_planes), r):
+            masks.append(sum(1 << b for b in bits))
+    probes = (
+        lsh_hyperplane_buckets(qdf, n_planes, vec_col, vec_col)
+        .select(
+            F.explode(
+                F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)).cast("long") for m in masks])
+            ).alias("probe_bucket")
+        )
     )
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        bucketed.join(F.broadcast(qbucket), F.col("bucket") == F.col("q_bucket"))
+        bucketed.join(F.broadcast(probes), F.col("bucket") == F.col("probe_bucket"))
         .select(id_col, F.round(cosine(F.col(vec_col), q), 5).alias("sim"))
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
