@@ -19,11 +19,16 @@ from flink_stream_processing_spark.queries import QUERIES
 from flink_stream_processing_spark.session import get_spark
 
 # Headline set: the flagship reference aggregate + the relational core +
-# every LLM-extension family (dedup, similarity, text).
+# every LLM-extension family (dedup, similarity, text), measuring the SCALE
+# paths. The O(n²) exact-verification paths (near_dup_topk_pairs, all-pairs
+# cosine) are deliberately NOT here — they exist as sf0.01 recall oracles,
+# not as operations anyone would run at 100 TB; benching them would reward
+# the wrong plan.
 HEADLINE = [
     "window_metrics",
     "risk_label",
     "json_parse_props",
+    "kafka_wire_roundtrip",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
@@ -37,13 +42,16 @@ HEADLINE = [
     "quality_scores",
     "doc_fingerprints",
     "dedup_exact_docs",
-    "near_dup_topk_pairs",
+    "incremental_exact_dedup",
     "minhash_lsh_near_dups",
+    "incremental_minhash_near_dups",
     "simhash_near_dups",
     "cosine_topk",
-    "pairwise_cosine_topk",
+    "ann_lsh_topk",
+    "embedding_near_dup_pairs",
     "label_centroids",
     "multimodal_feature_extract",
+    "multimodal_feature_extract_builtin",
 ]
 
 

@@ -78,6 +78,22 @@ def decode_media(df: DataFrame, media_col: str = "media") -> DataFrame:
     )
 
 
+def builtin_feature_extract(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """The FAST-PATH twin of fake_feature_extract: the same features via
+    pure JVM built-ins (length / sha2), no Python, whole-stage codegen.
+    Both paths share one oracle, so the Arrow plumbing and the built-in
+    path are cross-checked against each other. Use this form whenever the
+    per-row feature is expressible as a column function; reserve
+    mapInPandas for real decoders."""
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(f"{media_col}.data")).cast("long").alias("byte_len"),
+        F.lower(F.sha2(F.col(f"{media_col}.data"), 256)).alias("sha256"),
+    )
+
+
 def fake_feature_extract(df: DataFrame, id_col: str = "doc_id", media_col: str = "media") -> DataFrame:
     """Deterministic stand-in for decode/feature-extraction: byte length +
     sha256 of the payload, via Arrow-batched mapInPandas. Exercises the

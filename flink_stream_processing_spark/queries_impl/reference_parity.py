@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
 
 from ..operators.json_ops import parse_json, roundtrip_json
 from ..operators.risk import format_risk_lines, label_risk
@@ -149,3 +149,40 @@ def q_generator_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.generator import batch_transactions
 
     return window_metrics(batch_transactions(spark, 1000))
+
+
+# S1/S2 + K4 wire format, brokerless: the sink's exact to_json(struct(*))
+# serialization piped into the source's exact from_json parse over the
+# transaction shape the events table adapts to. A hash match against the
+# plain projection proves the Kafka value format round-trips losslessly —
+# the only reference-surface Kafka path testable without a broker.
+_KAFKA_WIRE_ORACLE = """
+SELECT event_id, event_type, round(value, 6) AS amount, epoch_ms(ts) AS timestamp
+FROM events
+ORDER BY event_id
+"""
+
+
+@query("kafka_wire_roundtrip", oracle=_KAFKA_WIRE_ORACLE)
+def q_kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import StructType as _St
+
+    from ..sources.kafka import transaction_wire_value
+
+    wire_schema = _St(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("amount", DoubleType()),
+            StructField("timestamp", LongType()),
+        ]
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("amount"),
+        F.unix_millis("ts").alias("timestamp"),
+    )
+    values = transaction_wire_value(ev)
+    parsed = values.select(F.from_json(F.col("value"), wire_schema).alias("t"))
+    return parsed.select("t.*").orderBy("event_id")

@@ -76,21 +76,60 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_windows(load_table(spark, sf_dir, "events"))
 
 
+# One symlink dir per sf_dir, created once and reused across invocations
+# (the round-1 version leaked a fresh mkdtemp + symlink per call).
+_STREAM_DIRS: dict[str, str] = {}
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    d = _STREAM_DIRS.get(sf_dir)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(f"{sf_dir}/events.parquet", os.path.join(d, "events.parquet"))
+        _STREAM_DIRS[sf_dir] = d
+    return d
+
+
+def _run_stream_to_table(spark: SparkSession, agg: DataFrame, output_mode: str) -> DataFrame:
+    """Materialize a finite stream through a memory sink (availableNow) and
+    return the table. awaitTermination's result is CHECKED: a timeout would
+    otherwise silently return a partially-filled table."""
+    from ..streaming.pipeline import write_memory
+
+    name = f"s_{uuid.uuid4().hex[:10]}"
+    q = write_memory(agg, name, output_mode=output_mode)
+    try:
+        finished = q.awaitTermination(300)
+        if not finished:
+            raise TimeoutError("streaming query did not finish within 300 s")
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
 @query("streaming_window_metrics", oracle=_WINDOW_METRICS_ORACLE)
 def q_streaming_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship aggregate through the real Structured-Streaming path
     (file stream -> watermarked-window-capable agg -> memory sink, complete
     mode, availableNow) — hash-checked against the same batch oracle, i.e.
     streaming/batch parity as a first-class correctness gate."""
-    from ..streaming.pipeline import events_file_stream, streaming_window_metrics, write_memory
+    from ..streaming.pipeline import events_file_stream, streaming_window_metrics
 
-    d = tempfile.mkdtemp(prefix="events_stream_")
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
-    tx = as_transactions(events_file_stream(spark, d))
+    tx = as_transactions(events_file_stream(spark, _events_stream_dir(sf_dir)))
     agg = streaming_window_metrics(tx, window_duration="10 seconds")
-    name = f"swm_{uuid.uuid4().hex[:10]}"
-    q = write_memory(agg, name, output_mode="complete")
-    q.awaitTermination(300)
-    return spark.table(name)
+    return _run_stream_to_table(spark, agg, "complete")
+
+
+@query("streaming_session_windows", oracle=_SESSION_ORACLE)
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows through the REAL streaming path —
+    ``session_window`` under a watermark is where streaming state semantics
+    actually bite (merging sessions, not just accumulating panes). Complete
+    mode over the finite stream, hash-checked against the same
+    gaps-and-islands batch oracle as the batch query."""
+    from ..streaming.pipeline import events_file_stream, streaming_session_windows
+
+    events = events_file_stream(spark, _events_stream_dir(sf_dir))
+    agg = streaming_session_windows(events, gap="10 minutes", watermark="5 seconds")
+    return _run_stream_to_table(spark, agg, "complete")

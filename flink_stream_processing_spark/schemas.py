@@ -68,9 +68,11 @@ RISK_LABEL_SCHEMA = StructType(
 # reference's P1 JSON-parse operator analogue).
 PROPS_SCHEMA = StructType([StructField("k", LongType())])
 
-# Static per-currency exchange-rate table of the reference generator
-# (RemittanceGenerator.java:65-74). CNY -> 0.0 is the deliberate poison
-# value that drives failureCount in the window aggregate.
+# Static per-currency exchange-rate table, reference-SHAPED (same currency
+# set and the same deliberate CNY -> 0.0 poison value that drives
+# failureCount in the window aggregate, RemittanceGenerator.java:65-74) but
+# not value-identical: the non-poison rates here are this engine's own
+# constants, roughly-current market rates rather than the reference's.
 EXCHANGE_RATES: dict[str, float] = {
     "USD": 1.0,
     "NPR": 132.5,

@@ -21,15 +21,40 @@ from ..schemas import TRANSACTION_SCHEMA
 DEFAULT_TOPIC = "remittance-stream"  # StreamJob.java:14
 
 
+def parse_transaction_wire(values: DataFrame) -> DataFrame:
+    """The source's exact value-side parse (S1/S2), broker-independent so
+    the wire format is testable without Kafka: JSON ``value`` -> typed
+    columns + event-time ``ts``. Malformed records are dropped instead of
+    the reference's fail-fast job kill. NOTE: from_json in PERMISSIVE mode
+    yields an all-NULL STRUCT (not a NULL struct) for unparseable input, so
+    the drop filter must test required fields — a record without the
+    identity and event-time fields is unusable downstream either way."""
+    parsed = values.select(
+        F.from_json(F.col("value").cast("string"), TRANSACTION_SCHEMA).alias("tx")
+    )
+    return (
+        parsed.filter(
+            F.col("tx.transactionId").isNotNull() & F.col("tx.timestamp").isNotNull()
+        )
+        .select("tx.*")
+        .withColumn("ts", F.timestamp_millis(F.col("timestamp")))
+    )
+
+
+def transaction_wire_value(df: DataFrame) -> DataFrame:
+    """The sink's exact value serialization (K4): all columns as one JSON
+    object per record — the same shape the reference generator produces
+    (RemittanceGenerator.java:43-58). Shared with the wire round-trip test."""
+    return df.selectExpr("to_json(struct(*)) AS value")
+
+
 def kafka_transaction_source(
     spark: SparkSession,
     bootstrap_servers: str = "kafka:9093",
     topic: str = DEFAULT_TOPIC,
     starting_offsets: str = "latest",
 ) -> DataFrame:
-    """S1/S2: JSON-on-Kafka -> typed columns + event-time ``ts``. Malformed
-    records become NULL structs (filtered) instead of the reference's
-    fail-fast job kill."""
+    """S1/S2: JSON-on-Kafka -> typed transaction stream."""
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -37,14 +62,7 @@ def kafka_transaction_source(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    parsed = raw.select(
-        F.from_json(F.col("value").cast("string"), TRANSACTION_SCHEMA).alias("tx")
-    )
-    return (
-        parsed.filter(F.col("tx").isNotNull())
-        .select("tx.*")
-        .withColumn("ts", F.timestamp_millis(F.col("timestamp")))
-    )
+    return parse_transaction_wire(raw)
 
 
 def kafka_transaction_sink(
@@ -55,7 +73,7 @@ def kafka_transaction_sink(
 ):
     """K4: serialize all columns to one JSON value per record."""
     return (
-        df.selectExpr("to_json(struct(*)) AS value")
+        transaction_wire_value(df)
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)

@@ -91,6 +91,32 @@ def streaming_window_metrics(
     )
 
 
+def streaming_session_windows(
+    events: DataFrame,
+    gap: str = "10 minutes",
+    key: str = "user_id",
+    watermark: str = "5 seconds",
+) -> DataFrame:
+    """Streaming per-key session windows (stateful session MERGING, not just
+    pane accumulation): Spark keeps per-key open-session state, merges
+    sessions when a new event bridges two, and the watermark bounds how long
+    a session can stay open for late events. Output shape matches the batch
+    ``session_windows`` operator so the same gaps-and-islands oracle gates
+    both paths."""
+    sw = F.session_window(F.col("ts"), gap)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.col(key), sw.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.unix_millis(F.col("w.start")).alias("session_start"),
+            F.unix_millis(F.col("w.end")).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def risk_stream(tx: DataFrame, threshold: float = 1000.0) -> DataFrame:
     """P2+P3 streaming path: label and format for the console sink."""
     return format_risk_lines(label_risk(tx, threshold=threshold))

@@ -27,8 +27,13 @@ def _tx(spark, rows):
 
 
 def test_all_failure_window_zero_guards(spark):
-    """exchangeRate==0 everywhere: averages and min/max forced to 0.0
-    (StreamJob.java:140-147 semantics)."""
+    """exchangeRate==0 everywhere: averages and min/max forced to 0.0.
+
+    This is this engine's documented intended-semantics deviation (SURVEY.md
+    A4/A5), NOT reference parity: the reference's zero-guard
+    (StreamJob.java:140-147) only fires when totalCount==0 — unreachable
+    inside a non-empty window — so the reference would emit
+    Double.MAX_VALUE/MIN_VALUE seeds for an all-failure window."""
     df = _tx(
         spark,
         [("a", 5.0, 0.0, "2024-01-01 00:00:01"), ("b", 7.0, 0.0, "2024-01-01 00:00:02")],

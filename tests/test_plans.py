@@ -39,9 +39,14 @@ def test_q5_broadcasts_dimension_chain(spark):
 
 
 def test_top_k_orders_never_global_sorts(spark):
+    from flink_stream_processing_spark.plans import formatted_plan
+
     df = QUERIES["top_k_orders"](spark, SF_DIR)
     assert has_take_ordered(df)
-    assert "Sort " not in df.sparkSession.sparkContext.version or True  # heap only
+    # top-k must be the per-partition heap only — no standalone global Sort
+    # node may appear in the physical plan.
+    plan = formatted_plan(df)
+    assert "Sort [" not in plan and "(Sort" not in plan, plan
 
 
 def test_semi_join_stays_semi(spark):

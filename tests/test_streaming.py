@@ -109,6 +109,98 @@ def test_streaming_append_drops_late_rows(spark, tmp_path):
     assert out[epoch + 60000] == 2
 
 
+def test_streaming_session_windows_drop_late_and_merge(spark, tmp_path):
+    """Session windows under a watermark in APPEND mode: a late event behind
+    the watermark is dropped (would otherwise have joined the first
+    session), an in-gap event MERGES into an open session, and only
+    sessions whose end the watermark has passed are emitted."""
+    import os
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_stream_processing_spark.streaming.pipeline import streaming_session_windows
+
+    d = tmp_path / "sess_in"
+    d.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def write_file(path, rows):
+        ts = [datetime.fromisoformat(r[1]).replace(tzinfo=timezone.utc) for r in rows]
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us", tz="UTC")),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    # f1: session A events at 1s,4s; event at 600s pushes watermark to 595s
+    # (active from the next batch on).
+    write_file(d / "f1.parquet", [(1, "2024-01-01 00:00:01"),
+                                  (2, "2024-01-01 00:00:04"),
+                                  (3, "2024-01-01 00:10:00")])
+    # f2: 605s is within the 10s gap of the open 600s session -> MERGE.
+    write_file(d / "f2.parquet", [(4, "2024-01-01 00:10:05")])
+    # f3: 2s is behind the active 595s watermark -> dropped (would have
+    # joined session A); 1200s advances the watermark to flush session B.
+    write_file(d / "f3.parquet", [(5, "2024-01-01 00:00:02"),
+                                  (6, "2024-01-01 00:20:00")])
+    now = 1_700_000_000
+    for i, f in enumerate(["f1", "f2", "f3"]):
+        os.utime(d / f"{f}.parquet", (now + i * 100, now + i * 100))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    agg = streaming_session_windows(stream, gap="10 seconds", watermark="5 seconds")
+    name = f"m_{uuid.uuid4().hex[:8]}"
+    q = write_memory(agg, name, output_mode="append")
+    assert q.awaitTermination(120)
+    out = {r["session_start"]: r["n_events"] for r in spark.table(name).collect()}
+    epoch = 1704067200000
+    # session A: events 1+2 only — late event 5 dropped (else n_events == 3)
+    assert out[epoch + 1000] == 2
+    # session B: events 3+4 merged into one [600s, 615s) session
+    assert out[epoch + 600000] == 2
+    # session C (1200s) is still open behind the watermark — not emitted
+    assert epoch + 1200000 not in out
+
+
+def test_kafka_wire_format_roundtrips_losslessly(spark):
+    """S1/S2+K4 brokerless wire check: the sink's to_json(struct(*)) value,
+    re-parsed with the source's from_json, must reproduce the generator's
+    rows exactly — including the CNY poison rows and the epoch-millis
+    timestamp field (RemittanceGenerator.java:43-58 shape)."""
+    from flink_stream_processing_spark.sources.kafka import (
+        parse_transaction_wire,
+        transaction_wire_value,
+    )
+
+    tx = batch_transactions(spark, 200).drop("ts")
+    wire = transaction_wire_value(tx)
+    back = parse_transaction_wire(wire)
+    # parse re-derives ts from the wire's epoch-millis timestamp
+    orig = batch_transactions(spark, 200)
+    assert _rows(back.select(*orig.columns)) == _rows(orig)
+
+
+def test_kafka_wire_parse_drops_malformed_records(spark):
+    from flink_stream_processing_spark.sources.kafka import parse_transaction_wire
+
+    good = '{"transactionId":"t1","senderId":"s","receiverId":"r","amount":0.5,"currency":"USD","exchangeRate":1.0,"timestamp":1704067200000}'
+    values = spark.createDataFrame([(good,), ("not json at all",)], "value: string")
+    rows = parse_transaction_wire(values).collect()
+    assert len(rows) == 1 and rows[0]["transactionId"] == "t1"
+
+
 def test_generator_deterministic_and_consistent(spark):
     a = batch_transactions(spark, 200).collect()
     b = batch_transactions(spark, 200).collect()
