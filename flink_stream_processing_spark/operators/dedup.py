@@ -153,27 +153,40 @@ def band_hashes(
     ).select(id_col, "bb.band_id", "bb.band_hash")
 
 
+# Pairs within one bucket, generated INSIDE the collected array (ids only).
+_BUCKET_PAIR_EXPR = """
+flatten(transform(ds, x ->
+  filter(transform(ds, y -> IF(x < y, struct(x AS doc_a, y AS doc_b), null)),
+         z -> z IS NOT NULL)))
+"""
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_perm: int = 32,
     bands: int = 16,
 ) -> DataFrame:
-    """Band the signature (rows = num_perm/bands) and bucket-join: docs
-    sharing any band hash become candidate pairs. The only shuffle carries
-    (band_id, band_hash) keys — O(docs*bands) rows regardless of corpus
-    size."""
+    """Band the signature (rows = num_perm/bands) and bucket: docs sharing
+    any band hash become candidate pairs. Implemented as groupBy(bucket) ->
+    collect_list -> in-array pair generation rather than a self-join: a
+    self-join would evaluate the whole signature pipeline TWICE (the build
+    side of the join cannot reuse the probe side's exchange), while this
+    form computes signatures once and shuffles only (band_id, band_hash,
+    id) rows — O(docs*bands) regardless of corpus size. Per-bucket pair
+    generation is O(bucket²), which is inherent to LSH candidate generation
+    in any formulation; pathological buckets (giant duplicate cliques) are
+    a data property, and the empty-shingle clique — the one systematic
+    source — is filtered upstream in shingle_array."""
     stacked = band_hashes(signatures, id_col, num_perm, bands)
-    a = stacked.alias("a")
-    b = stacked.alias("b")
+    buckets = (
+        stacked.groupBy("band_id", "band_hash")
+        .agg(F.collect_list(id_col).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        buckets.select(F.explode(F.expr(_BUCKET_PAIR_EXPR)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -396,19 +409,30 @@ def simhash_near_dups(
         )
     sig = simhash(df, text, id_col)
     seg = simhash_segments(sig, id_col, segments)
-    a, b = seg.alias("a"), seg.alias("b")
+    # Same one-pass bucket-collect shape as lsh_candidate_pairs (the
+    # signature pipeline would otherwise run once per self-join side);
+    # signatures ride along in the bucket so Hamming verification needs no
+    # join back.
+    pair_expr = f"""
+    flatten(transform(ds, x ->
+      filter(transform(ds, y -> IF(x.{id_col} < y.{id_col},
+               struct(x.{id_col} AS doc_a, y.{id_col} AS doc_b,
+                      x.simhash AS ha, y.simhash AS hb), null)),
+             z -> z IS NOT NULL)))
+    """
+    buckets = (
+        seg.groupBy("seg_id", "seg")
+        .agg(F.collect_list(F.struct(id_col, "simhash")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.seg_id") == F.col("b.seg_id"))
-            & (F.col("a.seg") == F.col("b.seg"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            "p.doc_a",
+            "p.doc_b",
+            F.bit_count(F.col("p.ha").bitwiseXOR(F.col("p.hb"))).alias("hamming"),
         )
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("hamming").alias("hamming"))
     )
     return pairs.filter(F.col("hamming") <= max_hamming)

@@ -80,17 +80,31 @@ def pairwise_cosine(
     )
 
 
-def _plane_bit(vec_col: str, p: int) -> Column:
-    """Sign bit of the projection of the vector onto deterministic
-    pseudo-random hyperplane ``p``. Plane p's component for dimension d is
-    derived from xxhash64(p, d) mapped to [-1, 1] — fully reproducible, no
-    driver-side RNG, no broadcast of a plane matrix."""
+EMBED_DIM = 64  # driver embeddings table dimension
+
+
+def plane_matrix(n_planes: int, dim: int = EMBED_DIM, seed: int = 0) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane components in [-1, 1), from a
+    seeded PRNG on the driver — the matrix is a pure function of
+    (seed, n_planes, dim), embedded in the plan as literals, so it is
+    reproducible across runs and executors. (A first version derived each
+    component from xxhash64(p, d) per ROW inside a fold — recomputing
+    n_planes×dim hashes for every vector; the literal matrix removes all
+    of that from the hot path at a cost of n_planes×dim constants in the
+    plan.)"""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _plane_bit(vec_col: str, weights: list[float]) -> Column:
+    """Sign bit of the projection of the vector onto one literal plane."""
     proj = F.aggregate(
         F.zip_with(
             F.col(vec_col),
-            F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1),
-            lambda x, d: x.cast("double")
-            * ((F.xxhash64(F.lit(p), d).bitwiseAND(F.lit(0xFFFFFFFF)) / F.lit(2147483648.0)) - 1.0),
+            F.array(*[F.lit(w) for w in weights]),
+            lambda x, w: x.cast("double") * w,
         ),
         F.lit(0.0),
         lambda acc, v: acc + v,
@@ -104,13 +118,15 @@ def lsh_hyperplane_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 0,
+    dim: int = EMBED_DIM,
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket = sign-bit pattern of ``n_planes``
-    hash-derived hyperplanes (plane indices seed..seed+n_planes-1, so
-    multi-table OR-constructions get independent planes per table)."""
+    literal hyperplanes (seeded, so multi-table OR-constructions get
+    independent planes per table)."""
+    planes = plane_matrix(n_planes, dim, seed)
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
-        sig = sig.bitwiseOR(F.shiftleft(_plane_bit(vec_col, seed + p), p))
+        sig = sig.bitwiseOR(F.shiftleft(_plane_bit(vec_col, planes[p]), p))
     return embeddings.select(id_col, vec_col, sig.alias("bucket"))
 
 
@@ -120,26 +136,72 @@ def hyperplane_lsh_tables(
     planes_per_table: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
 ) -> DataFrame:
-    """Multi-table (OR-construction) hyperplane LSH: ``n_tables``
-    independent bucket assignments of ``planes_per_table`` planes each,
-    stacked to (id, table_id, bucket) rows. A pair at cosine s has
-    per-table collision prob (1 - acos(s)/pi)^p and overall candidate
-    prob 1 - (1 - (1-acos(s)/pi)^p)^L — tune (p, L) to the target
-    similarity. All tables are computed in ONE pass over the vectors
-    (every plane bit is a column expression over the same row); the only
-    shuffle carries (table_id, bucket) keys, O(rows × L)."""
-    tables = []
-    for t in range(n_tables):
-        sig = F.lit(0).cast("long")
-        for p in range(planes_per_table):
-            sig = sig.bitwiseOR(
-                F.shiftleft(_plane_bit(vec_col, t * planes_per_table + p), p)
-            )
-        tables.append(F.struct(F.lit(t).alias("table_id"), sig.alias("bucket")))
-    return embeddings.select(
-        id_col, vec_col, F.explode(F.array(*tables)).alias("tb")
-    ).select(id_col, vec_col, "tb.table_id", "tb.bucket")
+    """Multi-table (OR-construction) hyperplane LSH bucket assignment via a
+    single Arrow-batched ``mapInPandas`` pass: ``n_tables`` independent
+    bucket codes of ``planes_per_table`` planes each, stacked to
+    (id, vec, table_id, bucket) rows. A pair at cosine s has per-table
+    collision prob (1 - acos(s)/pi)^p and overall candidate prob
+    1 - (1 - (1-acos(s)/pi)^p)^L — tune (p, L) to the target similarity.
+
+    Why pandas and not column expressions: the projection is a dense
+    (n, dim) @ (dim, L*p) product — numpy does the whole Arrow batch as one
+    GEMM, where per-element fold expressions evaluate interpreted. This is
+    exactly the "vectorized Pandas UDF for wide vectors" tradeoff. The
+    output carries each vector L times (O(rows × L × dim) shuffle) so
+    downstream per-bucket work needs no join back to fetch vectors."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    planes = [
+        plane_matrix(planes_per_table, dim, seed=1000 + t) for t in range(n_tables)
+    ]
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(vec_col, ArrayType(DoubleType())),
+            StructField("table_id", IntegerType()),
+            StructField("bucket", LongType()),
+        ]
+    )
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        P = np.array(planes)  # (L, p, dim)
+        L, p, _ = P.shape
+        flat = P.reshape(L * p, -1)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (n, dim)
+            proj = V @ flat.T  # (n, L*p)
+            bits = (proj > 0).astype(np.int64).reshape(len(V), L, p)
+            buckets = np.zeros((len(V), L), dtype=np.int64)
+            for j in range(p):
+                buckets |= bits[:, :, j] << j
+            frames = [
+                pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        vec_col: pdf[vec_col],
+                        "table_id": t,
+                        "bucket": buckets[:, t],
+                    }
+                )
+                for t in range(L)
+            ]
+            yield pd.concat(frames, ignore_index=True)
+
+    return embeddings.select(id_col, vec_col).mapInPandas(assign, out_schema)
 
 
 def embedding_near_dup_pairs(
@@ -149,31 +211,55 @@ def embedding_near_dup_pairs(
     planes_per_table: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via multi-table LSH: candidates =
-    pairs sharing a bucket in ANY table, verified with exact cosine >=
-    threshold. Precision is exact (verify stage); recall is the OR-construction
-    S-curve at the operating point — deterministic on fixed data and gated
-    against the exact all-pairs oracle (CORRECTNESS) and a planted-near-dup
-    fixture (tests/test_recall.py).
+    pairs sharing a bucket in ANY table, found by a per-bucket numpy GEMM
+    (``applyInPandas`` per (table_id, bucket): normalize the bucket's
+    (n, dim) block once, one n×n matmul, threshold with a float-order
+    epsilon). Final sims are then re-computed EXACTLY with the JVM fold on
+    the (tiny) surviving candidate set, so output values are bit-stable
+    against the SQL oracle regardless of numpy summation order. Precision
+    is exact (verify stage); recall is the OR-construction S-curve at the
+    operating point — deterministic on fixed data and gated against the
+    exact all-pairs oracle (CORRECTNESS) and a planted-near-dup fixture
+    (tests/test_recall.py).
 
-    Operating point note: (p=2, L=12) targets the test corpus' 0.5-cosine
-    regime (miss prob per pair ~(1-0.444)^12 < 1e-3). A production 0.9+
-    near-dup dedup would run (p=8..10, L=8..12): far fewer candidates per
-    table, same OR-construction recall shape.
-    """
+    Operating point note: (p=2, L=12) targets the test corpus' 0.45-cosine
+    regime (per-pair miss prob < 2e-3). A production 0.9+ near-dup dedup
+    would run (p=8..10, L=8..12): far fewer candidates per table, same
+    construction. Skew note: per-bucket work is O(bucket²·dim); a giant
+    bucket means the planes under-partition that region — raise
+    planes_per_table rather than salting (salting splits true pairs across
+    buckets and silently cuts recall)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
     stacked = hyperplane_lsh_tables(
-        embeddings, n_tables, planes_per_table, id_col, vec_col
-    ).select(id_col, "table_id", "bucket")
-    a, b = stacked.alias("a"), stacked.alias("b")
+        embeddings, n_tables, planes_per_table, id_col, vec_col, dim
+    )
+    pair_schema = StructType(
+        [StructField("id_a", LongType()), StructField("id_b", LongType())]
+    )
+    eps = 1e-6  # covers numpy-vs-JVM summation-order drift at the boundary
+
+    def bucket_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        N = V / np.linalg.norm(V, axis=1, keepdims=True)
+        S = N @ N.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = S[iu, ju] >= threshold - eps
+        return pd.DataFrame({"id_a": ids[iu[keep]], "id_b": ids[ju[keep]]})
+
     cand = (
-        a.join(
-            b,
-            (F.col("a.table_id") == F.col("b.table_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        stacked.groupBy("table_id", "bucket")
+        .applyInPandas(bucket_pairs, pair_schema)
         .distinct()
     )
     with_norm = embeddings.select(

@@ -93,15 +93,16 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ann_lsh_topk", oracle=_COSINE_ORACLE)
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 via multiprobe hyperplane LSH (6 planes, probe
-    radius 4). The oracle is the EXACT brute-force top-10, so a hash match
+    radius 5). The oracle is the EXACT brute-force top-10, so a hash match
     certifies ANN recall == 1.0 at the operating point. (This corpus is
     random vectors — nearest neighbors sit at cosine ~0.5-0.65, the hardest
-    LSH regime, hence the wide probe radius; on real clustered embeddings
-    the same construction runs radius 0-1. The round-1 single-bucket probe
-    returned only 6 of k=10 with no recall measurement.)"""
+    LSH regime, hence a probe radius that covers most of the code space; on
+    real clustered embeddings the same construction runs radius 0-1. The
+    round-1 single-bucket probe returned only 6 of k=10 with no recall
+    measurement.)"""
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_topk_lsh(
-        emb, _query_vec(spark, sf_dir), k=10, n_planes=6, probe_radius=4
+        emb, _query_vec(spark, sf_dir), k=10, n_planes=6, probe_radius=5
     )
 
 
@@ -120,18 +121,19 @@ SELECT id_a, id_b, sim FROM p WHERE sim >= 0.45 ORDER BY id_a, id_b
 @query("embedding_near_dup_pairs", oracle=_NEAR_DUP_ORACLE)
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection via multi-table hyperplane LSH
-    (12 tables × 2 planes), exact-cosine verified at >= 0.45. The oracle is
-    the exact all-pairs result at the same threshold: precision is 1.0 by
-    construction (verify stage), so a hash match certifies recall == 1.0.
-    (Round 1 used a single table and a 0.95 threshold on a corpus whose max
-    pairwise cosine is ~0.65 — a structurally-empty result that verified
-    nothing. 0.45 sits in the corpus' actual near-dup regime; a production
-    0.9-threshold dedup would use 8-10 planes/table instead of 2.)"""
+    (16 tables × 2 planes, per-bucket numpy GEMM candidates), exact-cosine
+    verified at >= 0.45. The oracle is the exact all-pairs result at the
+    same threshold: precision is 1.0 by construction (verify stage), so a
+    hash match certifies recall == 1.0. (Round 1 used a single table and a
+    0.95 threshold on a corpus whose max pairwise cosine is ~0.65 — a
+    structurally-empty result that verified nothing. 0.45 sits in the
+    corpus' actual near-dup regime; a production 0.9-threshold dedup would
+    use 8-10 planes/table instead of 2.)"""
     from ..operators.similarity import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"),
         threshold=0.45,
-        n_tables=12,
+        n_tables=16,
         planes_per_table=2,
     ).orderBy("id_a", "id_b")

@@ -121,14 +121,15 @@ def test_simhash_rejects_radius_beyond_pigeonhole_bound(spark):
 
 
 def test_ann_multiprobe_recall_is_total(spark):
-    """Multiprobe ANN (6 planes, radius 4) must return exactly the
-    brute-force top-10 for the standard query vector (vec_id 0)."""
+    """Multiprobe ANN (6 planes, radius 5 — the operating point the query
+    registers) must return exactly the brute-force top-10 for the standard
+    query vector (vec_id 0)."""
     from flink_stream_processing_spark.operators.similarity import ann_topk_lsh, cosine_topk
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
     gold = [r.vec_id for r in cosine_topk(emb, qv, k=10).collect()]
-    got = [r.vec_id for r in ann_topk_lsh(emb, qv, k=10, n_planes=6, probe_radius=4).collect()]
+    got = [r.vec_id for r in ann_topk_lsh(emb, qv, k=10, n_planes=6, probe_radius=5).collect()]
     assert got == gold
 
 
@@ -147,7 +148,7 @@ def test_embedding_near_dup_lsh_recall_is_total(spark):
     }
     lsh = {
         (r.id_a, r.id_b)
-        for r in embedding_near_dup_pairs(emb, threshold=0.45).collect()
+        for r in embedding_near_dup_pairs(emb, threshold=0.45, n_tables=16).collect()
     }
     assert exact, "corpus has no pairs at the threshold; gate is vacuous"
     assert lsh == exact
@@ -183,7 +184,7 @@ def test_embedding_near_dup_planted_fixture(spark):
     found = {
         (r.id_a, r.id_b)
         for r in embedding_near_dup_pairs(
-            emb, threshold=0.9, n_tables=12, planes_per_table=4
+            emb, threshold=0.9, n_tables=12, planes_per_table=4, dim=dim
         ).collect()
     }
     missed = set(planted) - found
