@@ -48,8 +48,10 @@ HEADLINE = [
     "simhash_near_dups",
     "cosine_topk",
     "ann_lsh_topk",
+    "ivf_ann_topk",
     "embedding_near_dup_pairs",
     "label_centroids",
+    "training_corpus_clean",
     "multimodal_feature_extract",
     "multimodal_feature_extract_builtin",
 ]

@@ -326,6 +326,62 @@ def ann_topk_lsh(
     )
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse-quantizer centroids as (label, centroid array<double>).
+    Same posexplode + partial-agg shuffle as label_centroids (O(labels×dims)
+    shuffled rows), then the per-dim averages are re-assembled into an
+    ordered array per label. In a full IVF the labels come from k-means;
+    here the corpus ships a cluster label column, which plays the role of
+    the trained coarse quantizer."""
+    exploded = embeddings.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("dim", "v")
+    )
+    per_dim = exploded.groupBy(label_col, "dim").agg(
+        F.avg(F.col("v").cast("double")).alias("c")
+    )
+    return per_dim.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 3,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: rank the coarse-quantizer centroids by similarity to
+    the query, probe only the ``n_probe`` nearest inverted lists (labels),
+    exact cosine within them. The centroid table is O(labels) — a broadcast;
+    the probe is a broadcast-semi-join that prunes the scan to the probed
+    lists (with the table partitioned by label, that's partition pruning at
+    100 TB). n_probe is the recall/cost dial, exactly like LSH probe
+    radius."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probed_labels = (
+        ivf_centroids(embeddings, label_col, vec_col)
+        .select(label_col, cosine(F.col("centroid"), q).alias("csim"))
+        .orderBy(F.col("csim").desc(), label_col)
+        .limit(n_probe)
+        .select(label_col)
+    )
+    return (
+        embeddings.join(F.broadcast(probed_labels), label_col)
+        .select(id_col, F.round(cosine(F.col(vec_col), q), 5).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def label_centroids(
     embeddings: DataFrame,
     label_col: str = "label",

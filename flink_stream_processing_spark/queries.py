@@ -39,6 +39,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # Import side-effect registration: each module adds its queries on import.
 from .queries_impl import (  # noqa: E402,F401
+    corpus_pipeline,
     llm_dedup,
     llm_multimodal,
     llm_similarity,
@@ -58,4 +59,5 @@ _ALL_IMPL = [
     llm_dedup,
     llm_similarity,
     llm_multimodal,
+    corpus_pipeline,
 ]

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from ..operators.similarity import (
     ann_topk_lsh,
     cosine_topk,
+    ivf_topk,
     label_centroids,
     pairwise_cosine,
 )
@@ -104,6 +105,19 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(
         emb, _query_vec(spark, sf_dir), k=10, n_planes=6, probe_radius=5
     )
+
+
+@query("ivf_ann_topk", oracle=_COSINE_ORACLE)
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: probe the n_probe nearest label-centroid inverted
+    lists, exact cosine within. Oracle = exact brute-force top-10, so the
+    hash match certifies recall 1.0 at the operating point. Honesty note:
+    this corpus' labels are random (no cluster structure), so exact top-10
+    here needs n_probe=8 of 10 lists — near-exhaustive; the operator's real
+    pruning power is shown in tests/test_recall.py on a genuinely clustered
+    fixture where n_probe=1 suffices."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _query_vec(spark, sf_dir), k=10, n_probe=8)
 
 
 _NEAR_DUP_ORACLE = """

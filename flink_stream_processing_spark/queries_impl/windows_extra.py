@@ -121,6 +121,44 @@ def q_streaming_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream_to_table(spark, agg, "complete")
 
 
+@query("streaming_sliding_window_counts", oracle=_SLIDING_ORACLE)
+def q_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows through the real streaming path, complete
+    mode — same window-expansion oracle as the batch operator, so every
+    window-variant aggregation (tumbling/sliding/session) now has a
+    streaming/batch-parity gate."""
+    from ..streaming.pipeline import events_file_stream
+
+    events = events_file_stream(spark, _events_stream_dir(sf_dir))
+    return _run_stream_to_table(
+        spark, sliding_window_counts(events), "complete"
+    )
+
+
+_DEDUP_KEYS_ORACLE = """
+SELECT user_id, event_type FROM events
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+"""
+
+
+@query("streaming_dedup_keys", oracle=_DEDUP_KEYS_ORACLE)
+def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-stream deduplication (the stream twin of exact dedup): emit each
+    (user_id, event_type) key once, on first sight, via streaming
+    dropDuplicates in append mode. State is one entry per distinct key —
+    fine for a bounded backfill like this; an unbounded 24/7 stream would
+    use dropDuplicatesWithinWatermark to bound state at the cost of
+    re-emitting keys not seen within the watermark horizon."""
+    from ..streaming.pipeline import events_file_stream
+
+    events = events_file_stream(spark, _events_stream_dir(sf_dir))
+    deduped = events.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    return _run_stream_to_table(spark, deduped, "append")
+
+
 @query("streaming_session_windows", oracle=_SESSION_ORACLE)
 def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows through the REAL streaming path —
