@@ -32,6 +32,11 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q22_wealthy_no_orders",
     "top_k_orders",
     "agg_stats_orders",
     "ranking_top3_per_segment",

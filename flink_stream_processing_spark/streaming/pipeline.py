@@ -149,7 +149,9 @@ def write_jdbc_metrics(
     """K3: JDBC sink via foreachBatch append (StreamJob.java:176-215). Each
     micro-batch holds the newly-closed windows, so the reference's
     batch-size-1 cadence is subsumed; exactly-once to the table comes from
-    the checkpoint + idempotent append of closed windows."""
+    the checkpoint + idempotent append of closed windows. Exercised
+    end-to-end against a live embedded-Derby JDBC database in
+    tests/test_jdbc_sink.py (PostgreSQL swaps in via url/properties)."""
     props = {"driver": "org.postgresql.Driver", **(properties or {})}
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
