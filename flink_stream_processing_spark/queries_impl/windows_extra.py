@@ -159,6 +159,29 @@ def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream_to_table(spark, deduped, "append")
 
 
+_RUNNING_COUNT_ORACLE = """
+SELECT user_id, event_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+         AS running_count
+FROM events
+ORDER BY user_id, event_id
+"""
+
+
+@query("streaming_running_counts", oracle=_RUNNING_COUNT_ORACLE)
+def q_streaming_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    event counter with GroupState across batches. Over the finite stream
+    (single availableNow batch per key here) the result equals the batch
+    row_number window — the full oracle gates the custom-state path the
+    same way the built-in aggregations are gated."""
+    from ..streaming.pipeline import events_file_stream
+    from ..streaming.stateful import running_event_counts
+
+    events = events_file_stream(spark, _events_stream_dir(sf_dir))
+    return _run_stream_to_table(spark, running_event_counts(events), "append")
+
+
 @query("streaming_session_windows", oracle=_SESSION_ORACLE)
 def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows through the REAL streaming path —

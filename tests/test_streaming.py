@@ -201,6 +201,60 @@ def test_kafka_wire_parse_drops_malformed_records(spark):
     assert len(rows) == 1 and rows[0]["transactionId"] == "t1"
 
 
+def test_stateful_running_counts_carry_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState: the per-key GroupState must persist across
+    micro-batches — file 2's events continue counting where file 1's state
+    left off, and an interleaved second key keeps independent state."""
+    import os
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_stream_processing_spark.streaming.stateful import running_event_counts
+
+    d = tmp_path / "state_in"
+    d.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def write_file(path, rows):  # (event_id, iso_ts, user_id)
+        ts = [datetime.fromisoformat(r[1]).replace(tzinfo=timezone.utc) for r in rows]
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us", tz="UTC")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    write_file(d / "f1.parquet", [(1, "2024-01-01 00:00:01", 7),
+                                  (2, "2024-01-01 00:00:02", 7),
+                                  (3, "2024-01-01 00:00:03", 8)])
+    write_file(d / "f2.parquet", [(4, "2024-01-01 00:00:04", 7),
+                                  (5, "2024-01-01 00:00:05", 8),
+                                  (6, "2024-01-01 00:00:06", 7)])
+    now = 1_700_000_000
+    for i, f in enumerate(["f1", "f2"]):
+        os.utime(d / f"{f}.parquet", (now + i * 100, now + i * 100))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    name = f"m_{uuid.uuid4().hex[:8]}"
+    q = write_memory(running_event_counts(stream), name, output_mode="append")
+    assert q.awaitTermination(120)
+    out = {r["event_id"]: r["running_count"] for r in spark.table(name).collect()}
+    # user 7: events 1,2 in batch 0 -> 1,2; events 4,6 in batch 1 -> 3,4
+    # user 8: event 3 -> 1; event 5 -> 2
+    assert out == {1: 1, 2: 2, 3: 1, 4: 3, 6: 4, 5: 2}
+
+
 def test_generator_deterministic_and_consistent(spark):
     a = batch_transactions(spark, 200).collect()
     b = batch_transactions(spark, 200).collect()
