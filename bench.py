@@ -68,8 +68,11 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM + codegen + parquet footer caches
+    # warmup: JVM + codegen + parquet footer caches, plus Python/Arrow
+    # worker spawn (a trivial non-headline mapInPandas) so pandas-path
+    # timings measure the operators, not process startup.
     QUERIES["window_metrics"](spark, sf_dir).collect()
+    spark.range(1000).mapInPandas(lambda it: it, "id long").collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
