@@ -5,9 +5,9 @@ from __future__ import annotations
 
 import uuid
 
+from flink_stream_processing_spark.operators.relational import bucketed_write, salted_join
 from flink_stream_processing_spark.plans import formatted_plan
 from flink_stream_processing_spark.sources.batch import load_table
-from flink_stream_processing_spark.sources.bucketed import write_bucketed
 
 from .conftest import SF_SMALL
 
@@ -18,8 +18,8 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
     suffix = uuid.uuid4().hex[:8]
     t_orders, t_lineitem = f"orders_b_{suffix}", f"lineitem_b_{suffix}"
     try:
-        write_bucketed(orders, t_orders, "o_orderkey", 8, str(tmp_path / "o"))
-        write_bucketed(lineitem, t_lineitem, "l_orderkey", 8, str(tmp_path / "l"))
+        bucketed_write(orders, t_orders, "o_orderkey", 8, str(tmp_path / "o"))
+        bucketed_write(lineitem, t_lineitem, "l_orderkey", 8, str(tmp_path / "l"))
 
         # force the sort-merge path (broadcast would hide the exchange
         # question for these small test tables)
@@ -45,3 +45,32 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
         spark.sql(f"DROP TABLE IF EXISTS {t_lineitem}")
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join must produce exactly the plain join's rows while
+    scattering each key across salt buckets (the skew-mitigation contract).
+    Includes a pathological hot key holding most of the left side."""
+    left = spark.createDataFrame(
+        [(1, i) for i in range(500)] + [(2, i) for i in range(5)] + [(3, 0)],
+        "k long, payload long",
+    )
+    right = spark.createDataFrame([(1, "hot"), (2, "warm"), (4, "unmatched")], "k long, label string")
+
+    plain = left.join(right, "k")
+    salted = salted_join(left, right, "k", salt_buckets=8)
+
+    assert sorted(tuple(r) for r in salted.select("k", "payload", "label").collect()) == \
+           sorted(tuple(r) for r in plain.select("k", "payload", "label").collect())
+
+    # the hot key's rows really are spread over multiple salt buckets
+    from pyspark.sql import functions as F
+
+    n_buckets = (
+        left.filter(F.col("k") == 1)
+        .withColumn("_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(8)))
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 1
