@@ -48,7 +48,7 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force cosine top-k against a literal query vector.
     Plans as scan -> project -> TakeOrderedAndProject (per-partition heap)."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_double_array([float(x) for x in query_vec])
     sim = F.round(cosine(F.col(vec_col), q), 5).alias("sim")
     return (
         embeddings.select(id_col, sim)
@@ -98,18 +98,26 @@ def plane_matrix(n_planes: int, dim: int = EMBED_DIM, seed: int = 0) -> list[lis
     return [[rng.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
-def _plane_bit(vec_col: str, weights: list[float]) -> Column:
-    """Sign bit of the projection of the vector onto one literal plane."""
-    proj = F.aggregate(
-        F.zip_with(
-            F.col(vec_col),
-            F.array(*[F.lit(w) for w in weights]),
-            lambda x, w: x.cast("double") * w,
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def lit_double_array(values: list[float]) -> Column:
+    """Literal array<double> built from ONE parsed SQL expression. Building
+    it as F.array(*[F.lit(v) ...]) costs one py4j round-trip per element —
+    ~2 s of driver time for a 6×64 plane matrix — while a single expr
+    string parses in microseconds. repr() round-trips doubles exactly, so
+    the values are bit-identical."""
+    return F.expr("array(" + ",".join(f"{v!r}D" for v in values) + ")")
+
+
+def _plane_bit_sql(vec_col: str, weights: list[float]) -> str:
+    """SQL for the sign bit of the projection onto one literal plane. The
+    whole bucket expression is assembled as ONE string and parsed in a
+    single py4j call — building it from Column-API higher-order functions
+    costs a py4j round-trip per lambda and dominated plan-construction
+    time (~1 s per query) before this."""
+    arr = "array(" + ",".join(f"{w!r}D" for w in weights) + ")"
+    return (
+        f"CASE WHEN aggregate(zip_with({vec_col}, {arr}, (x, w) -> CAST(x AS DOUBLE) * w), "
+        f"0D, (a, v) -> a + v) > 0 THEN 1L ELSE 0L END"
     )
-    return F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
 
 
 def lsh_hyperplane_buckets(
@@ -124,10 +132,10 @@ def lsh_hyperplane_buckets(
     literal hyperplanes (seeded, so multi-table OR-constructions get
     independent planes per table)."""
     planes = plane_matrix(n_planes, dim, seed)
-    sig = F.lit(0).cast("long")
-    for p in range(n_planes):
-        sig = sig.bitwiseOR(F.shiftleft(_plane_bit(vec_col, planes[p]), p))
-    return embeddings.select(id_col, vec_col, sig.alias("bucket"))
+    bucket = " | ".join(
+        f"shiftleft({_plane_bit_sql(vec_col, planes[p])}, {p})" for p in range(n_planes)
+    )
+    return embeddings.select(id_col, vec_col, F.expr(bucket).alias("bucket"))
 
 
 def hyperplane_lsh_tables(
@@ -296,30 +304,35 @@ def ann_topk_lsh(
     distance ``probe_radius`` of the query's LSH bucket, exact cosine within
     the probed candidate set. radius 0 is single-bucket (~n/2^planes
     candidates); each +1 of radius adds C(planes, r) buckets — the standard
-    recall/cost dial. Everything stays in-plan: the query bucket is a 1-row
-    broadcast, xor'd against the literal probe-mask array (no driver-side
-    collect of the bucket)."""
+    recall/cost dial.
+
+    The query's bucket and the probe set are computed on the DRIVER in pure
+    Python — the plane matrix is already a driver-side literal, and the
+    Python left-to-right sum reproduces the JVM fold's float order exactly,
+    so driver and executor agree bit-for-bit. The probed scan is then a
+    simple ``bucket IN (...)`` filter: no second bucket plan for the query
+    vector, no broadcast join, and with the table laid out partitioned by
+    bucket this is pure partition pruning at 100 TB."""
     import itertools
 
-    bucketed = lsh_hyperplane_buckets(embeddings, n_planes, id_col, vec_col)
-    spark = embeddings.sparkSession
-    qdf = spark.createDataFrame([(query_vec,)], f"{vec_col}: array<double>")
-    # All xor masks with popcount <= radius over n_planes bits.
-    masks = [0]
+    dim = len(query_vec)
+    planes = plane_matrix(n_planes, dim)
+    q_bucket = 0
+    for p in range(n_planes):
+        proj = 0.0
+        for x, w in zip(query_vec, planes[p]):  # JVM fold order
+            proj += float(x) * w
+        if proj > 0:
+            q_bucket |= 1 << p
+    probe_set = {q_bucket}
     for r in range(1, probe_radius + 1):
         for bits in itertools.combinations(range(n_planes), r):
-            masks.append(sum(1 << b for b in bits))
-    probes = (
-        lsh_hyperplane_buckets(qdf, n_planes, vec_col, vec_col)
-        .select(
-            F.explode(
-                F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)).cast("long") for m in masks])
-            ).alias("probe_bucket")
-        )
-    )
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+            probe_set.add(q_bucket ^ sum(1 << b for b in bits))
+
+    bucketed = lsh_hyperplane_buckets(embeddings, n_planes, id_col, vec_col, dim=dim)
+    q = lit_double_array([float(x) for x in query_vec])
     return (
-        bucketed.join(F.broadcast(probes), F.col("bucket") == F.col("probe_bucket"))
+        bucketed.filter(F.col("bucket").isin(*sorted(probe_set)))
         .select(id_col, F.round(cosine(F.col(vec_col), q), 5).alias("sim"))
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
@@ -366,7 +379,7 @@ def ivf_topk(
     lists (with the table partitioned by label, that's partition pruning at
     100 TB). n_probe is the recall/cost dial, exactly like LSH probe
     radius."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_double_array([float(x) for x in query_vec])
     probed_labels = (
         ivf_centroids(embeddings, label_col, vec_col)
         .select(label_col, cosine(F.col("centroid"), q).alias("csim"))
