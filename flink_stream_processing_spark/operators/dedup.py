@@ -343,14 +343,38 @@ aggregate(
 """
 
 
-def simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+def _md5_token_h64(t):
+    """64-bit token hash from md5's first 16 hex chars, as two 32-bit halves
+    (bits 32-63 = hex chars 1-8, bits 0-31 = chars 9-16). Exists so the
+    SimHash pipeline can be oracle-checked: DuckDB has no xxhash64, but both
+    engines produce identical md5 hex and can cast 8-hex-char substrings to
+    int64 (DuckDB can't shift into bit 63 without overflow, so the oracle
+    keeps the halves separate — same bits either way)."""
+    h1 = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long")
+    return F.shiftleft(h1, 32).bitwiseOR(h2)
+
+
+def simhash(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", token_hash: str = "xxhash64"
+) -> DataFrame:
     """64-bit SimHash over tokens: per bit j, sign of sum over tokens of
-    (bit_j(xxhash64(token)) ? +1 : -1). ONE fold over the per-row token-hash
+    (bit_j(hash(token)) ? +1 : -1). ONE fold over the per-row token-hash
     array accumulates all 64 bit balances (array_repeat(0,64) accumulator,
     zip_with per element), then one fold packs the sign bits — a narrow
-    projection, no explode, no shuffle, O(tokens) work per row."""
+    projection, no explode, no shuffle, O(tokens) work per row.
+
+    ``token_hash``: "xxhash64" (default — cheapest, the scale path) or
+    "md5" (DuckDB-reproducible, used by the oracle-checked queries; the
+    bucketing/verify machinery is identical either way)."""
+    if token_hash == "md5":
+        hash_one = _md5_token_h64
+    elif token_hash == "xxhash64":
+        hash_one = lambda t: F.xxhash64(t)  # noqa: E731
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
     hashes = F.transform(
-        F.split(F.lower(F.trim(F.col(text))), TOKEN_SPLIT_RE), lambda t: F.xxhash64(t)
+        F.split(F.lower(F.trim(F.col(text))), TOKEN_SPLIT_RE), hash_one
     )
     return (
         df.select(F.col(id_col), hashes.alias("hs"))
@@ -390,6 +414,7 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     segments: int = 4,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on each of the ``segments`` equal
     bit-segments, verify Hamming distance via bit_count(xor).
@@ -407,7 +432,7 @@ def simhash_near_dups(
             f"for {segments} segments (max supported: {segments - 1}); "
             f"use at least max_hamming+1 segments"
         )
-    sig = simhash(df, text, id_col)
+    sig = simhash(df, text, id_col, token_hash)
     seg = simhash_segments(sig, id_col, segments)
     # Same one-pass bucket-collect shape as lsh_candidate_pairs (the
     # signature pipeline would otherwise run once per self-join side);
@@ -430,7 +455,7 @@ def simhash_near_dups(
         .select(
             "p.doc_a",
             "p.doc_b",
-            F.bit_count(F.col("p.ha").bitwiseXOR(F.col("p.hb"))).alias("hamming"),
+            F.bit_count(F.col("p.ha").bitwiseXOR(F.col("p.hb"))).cast("long").alias("hamming"),
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.first("hamming").alias("hamming"))

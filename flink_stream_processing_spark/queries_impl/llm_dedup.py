@@ -112,19 +112,79 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
-@query("simhash_signatures")  # rows-only: xxhash64 has no DuckDB equivalent
+def _simhash_sig_ctes() -> str:
+    """DuckDB CTEs computing the EXACT same 64-bit SimHash signatures as the
+    Spark md5-token-hash pipeline. Token hash = md5 hex chars 1-8 (bits
+    32-63) and 9-16 (bits 0-31), kept as two 32-bit halves because DuckDB
+    errors on shifting into bit 63; per-bit ±1 sums are 64 generated
+    aggregate expressions, and the pack step adds bit 63 as the min-long
+    literal (its only representable form)."""
+    bit = lambda j: f"((h2 >> {j}) & 1)" if j < 32 else f"((h1 >> {j - 32}) & 1)"  # noqa: E731
+    sums = ",\n         ".join(
+        f"sum(case when {bit(j)} = 1 then 1 else -1 end) AS s{j}" for j in range(64)
+    )
+    pos = " + ".join(f"(case when s{j} > 0 then {1 << j} else 0 end)" for j in range(63))
+    pack = (
+        f"(({pos})::BIGINT"
+        " + (case when s63 > 0 then (-9223372036854775807 - 1) else 0 end))::BIGINT"
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id,
+         cast('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h1,
+         cast('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS h2
+  FROM toks
+),
+sums AS (
+  SELECT doc_id, {sums}
+  FROM th GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, {pack} AS simhash FROM sums
+)
+"""
+
+
+_SIMHASH_SIG_ORACLE = _simhash_sig_ctes() + "SELECT doc_id, simhash FROM sigs ORDER BY doc_id"
+
+_SIMHASH_PAIRS_ORACLE = (
+    _simhash_sig_ctes()
+    + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY doc_a, doc_b
+"""
+)
+
+
+@query("simhash_signatures", oracle=_SIMHASH_SIG_ORACLE)
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+    """SimHash signatures with the md5 token hash — bit-identical to the
+    DuckDB oracle's 64 generated per-bit sums, so the full signature
+    computation is hash-checked (the xxhash64 default is the cheaper scale
+    path; its machinery is identical and unit-tested)."""
+    return simhash(
+        load_table(spark, sf_dir, "documents"), token_hash="md5"
+    ).orderBy("doc_id")
 
 
-@query("simhash_near_dups")  # rows-only; brute-force-gated in tests/test_recall.py
+@query("simhash_near_dups", oracle=_SIMHASH_PAIRS_ORACLE)
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dups at the pigeonhole-complete radius (Hamming <= 3
     with 4 16-bit segments — recall is exactly 1.0 vs brute force by
     construction; the round-1 max_hamming=16 call sat outside that bound
-    and silently missed distance-4..16 pairs)."""
+    and silently missed distance-4..16 pairs). Oracle = brute-force
+    all-pairs Hamming over the SAME (DuckDB-recomputed) signatures, so a
+    hash match certifies both the signature computation and bucketed
+    recall."""
     return simhash_near_dups(
-        load_table(spark, sf_dir, "documents"), max_hamming=3
+        load_table(spark, sf_dir, "documents"), max_hamming=3, token_hash="md5"
     ).orderBy("doc_a", "doc_b")
 
 
