@@ -43,6 +43,8 @@ HEADLINE = [
     "analytic_running_totals",
     "left_join_order_counts",
     "rollup_lineitem",
+    "asof_join_latest_view",
+    "interval_join_click_errors",
     "text_stats_per_lang",
     "quality_scores",
     "doc_fingerprints",

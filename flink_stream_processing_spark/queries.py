@@ -47,6 +47,7 @@ from .queries_impl import (  # noqa: E402,F401
     reference_parity,
     relational_core,
     relational_extra,
+    temporal,
     windows_extra,
 )
 
@@ -55,6 +56,7 @@ _ALL_IMPL = [
     relational_core,
     relational_extra,
     windows_extra,
+    temporal,
     llm_text,
     llm_dedup,
     llm_similarity,

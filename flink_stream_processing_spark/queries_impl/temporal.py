@@ -1,0 +1,94 @@
+"""Temporal join queries: as-of join and interval join over the events
+table.
+
+These are capability-parity entries for the two stream-to-stream join shapes
+Flink offers natively (``intervalJoin``; as-of enrichment via keyed state)
+— SURVEY.md §2.6. Both oracles are exact: DuckDB has a native ASOF JOIN,
+and the interval join is plain SQL with a BETWEEN predicate, so the bucketed
+Spark implementations are hash-checked end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.temporal import as_of_join, interval_join
+from ..queries import query
+from ..sources.batch import load_table
+
+_ASOF_ORACLE = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+),
+quotes AS (
+  SELECT user_id, ts, max(value) AS value
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id, epoch_ms(c.ts)::BIGINT AS ts_ms,
+       epoch_ms(q.ts)::BIGINT AS asof_ts_ms,
+       round(q.value, 6) AS asof_value
+FROM clicks c ASOF JOIN quotes q
+  ON c.user_id = q.user_id AND c.ts >= q.ts
+ORDER BY event_id
+"""
+
+
+@query("asof_join_latest_view", oracle=_ASOF_ORACLE)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click enriched with the user's most recent view at-or-before the
+    click (the latest-quote pattern). Spark path: union + marker + running
+    last(ignorenulls) over (user, time) — one shuffle, no range join; the
+    oracle is DuckDB's native ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    joined = as_of_join(
+        clicks, views, key="user_id", right_value_cols=["value"], how="inner"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.unix_millis("asof_ts").alias("asof_ts_ms"),
+        F.round("asof_value", 6).alias("asof_value"),
+    ).orderBy("event_id")
+
+
+_INTERVAL_ORACLE = """
+SELECT c.event_id AS click_id, e.event_id AS error_id,
+       c.user_id AS user_id, round(e.value, 6) AS error_value
+FROM events c
+JOIN events e
+  ON c.user_id = e.user_id
+ AND e.ts >= c.ts - INTERVAL 1 HOUR
+ AND e.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND e.event_type = 'error'
+ORDER BY click_id, error_id
+"""
+
+
+@query("interval_join_click_errors", oracle=_INTERVAL_ORACLE)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink intervalJoin analogue: every (click, error) pair for the same
+    user within ±1 hour. Spark path: equi-join on (user, time-bucket) with
+    bucket width = the 2-hour span (each click probes at most 2 buckets)
+    plus the exact range filter — never a per-key cross product."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = interval_join(clicks, errors, key="user_id", lower_s=3600, upper_s=3600)
+    return joined.select(
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("error_id"),
+        F.col("l_user_id").alias("user_id"),
+        F.round("r_value", 6).alias("error_value"),
+    ).orderBy("click_id", "error_id")
