@@ -32,10 +32,21 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q2_min_cost_supplier",
     "q4_order_priority",
     "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_shipmode_priority",
+    "q13_order_count_distribution",
     "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
     "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_excess_stock_suppliers",
+    "q21_waiting_suppliers",
     "q22_wealthy_no_orders",
     "top_k_orders",
     "agg_stats_orders",

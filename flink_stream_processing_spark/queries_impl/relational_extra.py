@@ -217,7 +217,7 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation cn ON c_nationkey = cn.n_nationkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation sn ON s_nationkey = sn.n_nationkey
-WHERE sn.n_name IN ('FRANCE', 'GERMANY') AND cn.n_name IN ('FRANCE', 'GERMANY')
+WHERE sn.n_name IN ('NATION_1', 'NATION_2') AND cn.n_name IN ('NATION_1', 'NATION_2')
   AND sn.n_name <> cn.n_name
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3
@@ -240,8 +240,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
         .filter(
-            F.col("supp_nation").isin("FRANCE", "GERMANY")
-            & F.col("cust_nation").isin("FRANCE", "GERMANY")
+            F.col("supp_nation").isin("NATION_1", "NATION_2")
+            & F.col("cust_nation").isin("NATION_1", "NATION_2")
             & (F.col("supp_nation") != F.col("cust_nation"))
         )
     )
