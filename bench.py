@@ -54,6 +54,10 @@ HEADLINE = [
     "analytic_running_totals",
     "left_join_order_counts",
     "rollup_lineitem",
+    "cube_order_stats",
+    "grouping_sets_revenue",
+    "approx_distinct_bounds",
+    "approx_quantile_bounds",
     "asof_join_latest_view",
     "interval_join_click_errors",
     "text_stats_per_lang",

@@ -47,6 +47,7 @@ from .queries_impl import (  # noqa: E402,F401
     reference_parity,
     relational_core,
     relational_extra,
+    relational_olap,
     relational_tpch2,
     temporal,
     windows_extra,
@@ -56,6 +57,7 @@ _ALL_IMPL = [
     reference_parity,
     relational_core,
     relational_extra,
+    relational_olap,
     relational_tpch2,
     windows_extra,
     temporal,

@@ -1,0 +1,151 @@
+"""OLAP grouping queries (cube, grouping sets) and approximate aggregates
+(HyperLogLog distinct, approximate percentiles) with bound-checked oracles.
+
+Approximate aggregates can't hash-match an exact oracle by definition, so
+their queries output (a) the exact value, computed alongside, and (b) a
+BOOLEAN asserting the approximate result landed within its documented error
+bound. The oracle computes the same exact value and a literal TRUE — so a
+CORRECTNESS hash match certifies the sketch actually ran and met its bound,
+rather than leaving the query rows-only. (The sketches matter at 100 TB:
+approx_count_distinct is a fixed-size HLL merge instead of a distinct
+shuffle, approx_percentile a mergeable KLL-style sketch instead of a global
+sort.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import query
+from ..sources.batch import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# Cube over (status, priority) with grouping_id — all 4 grouping combos in
+# one pass (Spark plans Expand + single aggregate, not 4 scans). Spark's
+# grouping_id() and DuckDB's GROUPING() use the same bit order (first listed
+# column = MSB), verified empirically.
+_CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@query("cube_order_stats", oracle=_CUBE_ORACLE)
+def q_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "cnt", "total")
+    )
+
+
+# Explicit GROUPING SETS — the general form (cube/rollup are special cases);
+# exercised through the SQL surface since that's where the clause lives.
+_GSETS_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+"""
+
+
+@query("grouping_sets_revenue", oracle=_GSETS_ORACLE)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return li.sparkSession.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS cnt,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        """
+    )
+
+
+# HyperLogLog distinct counts, bound-checked: Spark's approx_count_distinct
+# at rsd=0.02 (2% relative standard deviation); the query asserts the
+# estimate is within 5% (2.5 sigma) of the exact distinct computed in the
+# same pass. Output = exact value + the assertion bit, both reproducible by
+# the oracle.
+_APPROX_DISTINCT_ORACLE = """
+SELECT o_orderpriority,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+       TRUE AS hll_within_5pct
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("approx_distinct_bounds", oracle=_APPROX_DISTINCT_ORACLE)
+def q_approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct("o_custkey").alias("exact_custs"),
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("hll"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_custs",
+            (
+                F.abs(F.col("hll") - F.col("exact_custs"))
+                <= 0.05 * F.col("exact_custs")
+            ).alias("hll_within_5pct"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# Approximate percentiles, bound-checked by RANK: approx_percentile(0.5,
+# accuracy=10000) guarantees rank error <= n/10000, which is dominated by
+# the exact p45..p55 value envelope at these group sizes. The query outputs
+# the exact interpolated median and the envelope assertion.
+_APPROX_PCT_ORACLE = """
+SELECT c_mktsegment,
+       round(quantile_cont(c_acctbal, 0.5), 4) AS exact_p50,
+       TRUE AS approx_within_decile
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@query("approx_quantile_bounds", oracle=_APPROX_PCT_ORACLE)
+def q_approx_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("exact_p50"),
+            F.approx_percentile("c_acctbal", F.lit(0.5), F.lit(10000)).alias("ap50"),
+            F.percentile("c_acctbal", F.lit(0.45)).alias("p45"),
+            F.percentile("c_acctbal", F.lit(0.55)).alias("p55"),
+        )
+        .select(
+            "c_mktsegment",
+            "exact_p50",
+            (
+                (F.col("ap50") >= F.col("p45")) & (F.col("ap50") <= F.col("p55"))
+            ).alias("approx_within_decile"),
+        )
+        .orderBy("c_mktsegment")
+    )
