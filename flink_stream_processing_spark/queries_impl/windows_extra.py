@@ -20,6 +20,7 @@ from ..operators.window_metrics import (
 from ..queries import query
 from ..sources.batch import load_table
 from .reference_parity import _WINDOW_METRICS_ORACLE
+from .temporal import _INTERVAL_ORACLE
 
 # Sliding window 30s/10s: each event belongs to 3 windows; the oracle
 # expands explicitly (time_bucket minus k*slide covers exactly the Spark
@@ -180,6 +181,57 @@ def q_streaming_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = events_file_stream(spark, _events_stream_dir(sf_dir))
     return _run_stream_to_table(spark, running_event_counts(events), "append")
+
+
+@query("streaming_interval_join", oracle=_INTERVAL_ORACLE)
+def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join — Structured Streaming's marquee stateful
+    operator: two independently-watermarked streams (clicks, errors) joined
+    on user with an event-time range condition. The watermarks plus the
+    range bound let Spark expire join state on both sides (without them a
+    stream-stream join's state grows forever); inner-join results emit as
+    matched, so the finite availableNow run produces exactly the batch
+    interval-join result and is hash-checked against the SAME oracle as
+    `interval_join_click_errors`."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.pipeline import events_file_stream
+
+    d = _events_stream_dir(sf_dir)
+    clicks = (
+        events_file_stream(spark, d)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    errors = (
+        events_file_stream(spark, d)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+            F.col("value").alias("e_value"),
+        )
+        .withWatermark("e_ts", "2 hours")
+    )
+    joined = clicks.join(
+        errors,
+        F.expr(
+            "c_user = e_user AND e_ts >= c_ts - INTERVAL 1 HOUR"
+            " AND e_ts <= c_ts + INTERVAL 1 HOUR"
+        ),
+    ).select(
+        "click_id",
+        "error_id",
+        F.col("c_user").alias("user_id"),
+        F.round("e_value", 6).alias("error_value"),
+    )
+    return _run_stream_to_table(spark, joined, "append")
 
 
 @query("streaming_session_windows", oracle=_SESSION_ORACLE)
