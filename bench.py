@@ -73,6 +73,7 @@ HEADLINE = [
     "ivf_ann_topk",
     "embedding_near_dup_pairs",
     "label_centroids",
+    "pandas_udf_vector_norms",
     "training_corpus_clean",
     "multimodal_feature_extract",
     "multimodal_feature_extract_builtin",

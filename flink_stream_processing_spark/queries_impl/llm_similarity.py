@@ -151,3 +151,35 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tables=16,
         planes_per_table=2,
     ).orderBy("id_a", "id_b")
+
+
+_NORM_ORACLE = """
+SELECT vec_id,
+       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 5) AS l2_norm,
+       round(list_sum(embedding::DOUBLE[]) / len(embedding), 5) AS mean_dim
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+@query("pandas_udf_vector_norms", oracle=_NORM_ORACLE)
+def q_pandas_udf_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar VECTORIZED Pandas UDF (Arrow batches -> numpy) computing the
+    L2 norm and mean component of each embedding — the canonical "when you
+    must leave the JVM, batch it" path, completing the UDF surface next to
+    mapInPandas (multimodal) and applyInPandasWithState (stateful). The
+    same values are expressible with built-in F.aggregate folds (the other
+    queries here do exactly that); this entry deliberately runs the Arrow
+    lane and is hash-checked against the same exact oracle, so the UDF
+    transfer path itself is correctness-gated."""
+    from ..operators.vector_udfs import l2_norm, mean_dim
+
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.round(l2_norm("embedding"), 5).alias("l2_norm"),
+            F.round(mean_dim("embedding"), 5).alias("mean_dim"),
+        )
+        .orderBy("vec_id")
+    )
