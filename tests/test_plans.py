@@ -54,3 +54,39 @@ def test_semi_join_stays_semi(spark):
 
     plan = formatted_plan(QUERIES["semi_join_having"](spark, SF_DIR))
     assert "LeftSemi" in plan
+
+
+def test_q8_single_wide_shuffle_all_dims_broadcast(spark):
+    """Q8's 6-table join: every dimension must broadcast — the only
+    shuffle the semantics allow is lineitem⨝orders on orderkey."""
+    from flink_stream_processing_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["q8_market_share"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_asof_join_is_window_not_range_join(spark):
+    """The as-of join must plan as union + window (one shuffle on the key),
+    never a join operator (a range join explodes at scale)."""
+    from flink_stream_processing_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["asof_join_latest_view"](spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_interval_join_is_equi_join(spark):
+    """The interval join must plan as a hash/SMJ equi-join on (key, bucket)
+    — no broadcast-nested-loop or cartesian fallback from the range
+    predicate."""
+    from flink_stream_processing_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["interval_join_click_errors"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q19_or_predicate_prunes_part_columns(spark):
+    df = QUERIES["q19_disjunctive_revenue"](spark, SF_DIR)
+    cols = read_schema_columns(df)
+    assert "p_name" not in cols and "p_retailprice" not in cols
