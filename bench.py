@@ -74,7 +74,7 @@ HEADLINE = [
     "embedding_near_dup_pairs",
     "label_centroids",
     "pandas_udf_vector_norms",
-    "grouped_pandas_user_trend",
+    "user_trend_partition_local",
     "training_corpus_clean",
     "multimodal_feature_extract",
     "multimodal_feature_extract_builtin",
