@@ -40,6 +40,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Import side-effect registration: each module adds its queries on import.
 from .queries_impl import (  # noqa: E402,F401
     corpus_pipeline,
+    file_formats,
     grouped_pandas,
     llm_dedup,
     llm_multimodal,
@@ -68,4 +69,5 @@ _ALL_IMPL = [
     llm_multimodal,
     corpus_pipeline,
     grouped_pandas,
+    file_formats,
 ]

@@ -54,3 +54,41 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every driver table as a temp view for spark.sql queries."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# Schema-on-read file sources beyond parquet. CSV and JSON-lines carry no
+# embedded types, so reads take an EXPLICIT schema (never inferSchema — a
+# full extra pass over 100 TB) and an explicit timestampFormat. ORC keeps
+# its types like parquet. Avro would need the spark-avro package (absent in
+# this container) and is deliberately not stubbed.
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def export_table(
+    spark: SparkSession, sf_dir: str, name: str, fmt: str, out_dir: str
+) -> None:
+    """Write a driver table in another format (test fixture for the
+    schema-on-read paths; at scale this is the engine's file SINK for the
+    same formats)."""
+    df = load_table(spark, sf_dir, name)
+    w = df.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        w = w.option("header", "true").option("timestampFormat", _TS_FMT)
+    if fmt == "json":
+        w = w.option("timestampFormat", _TS_FMT)
+    w.save(out_dir)
+
+
+def load_table_fmt(spark: SparkSession, path: str, schema, fmt: str) -> DataFrame:
+    """Read a table from csv/json/orc with an EXPLICIT schema (schema-on-
+    read; no inference pass). ``schema`` is a StructType — in practice the
+    canonical table's own schema (``load_table(...).schema``), i.e. the
+    catalog supplies types, the file supplies bytes."""
+    r = spark.read.format(fmt)
+    if fmt in ("csv", "json"):
+        r = r.schema(schema).option("timestampFormat", _TS_FMT)
+        if fmt == "csv":
+            r = r.option("header", "true")
+    return r.load(path)
