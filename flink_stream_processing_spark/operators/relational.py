@@ -69,3 +69,12 @@ def bucketed_write(df: DataFrame, table: str, key: str, buckets: int, path: str)
         .sortBy(key)
         .saveAsTable(table)
     )
+
+
+def partitioned_write(df: DataFrame, partition_col: str, path: str) -> None:
+    """Persist a table hive-partitioned on a low-cardinality column: queries
+    filtering on it prune whole directories at planning time (zero I/O for
+    excluded partitions) — the first-line layout decision at 100 TB. Keep
+    partition columns low-cardinality (date, type, tenant); high-cardinality
+    partitioning produces millions of tiny files instead."""
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)

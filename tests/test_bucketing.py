@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import uuid
 
+from pyspark.sql import functions as F
+
 from flink_stream_processing_spark.operators.relational import bucketed_write, salted_join
 from flink_stream_processing_spark.plans import formatted_plan
 from flink_stream_processing_spark.sources.batch import load_table
@@ -74,3 +76,24 @@ def test_salted_join_matches_plain_join(spark):
         .count()
     )
     assert n_buckets > 1
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """A filter on the partition column must become a PartitionFilter
+    (planning-time directory pruning), not a data filter: the pruned scan
+    reads 1 of 5 partitions and zero row-group I/O elsewhere."""
+    from flink_stream_processing_spark.operators.relational import partitioned_write
+    from flink_stream_processing_spark.sources.batch import load_table
+
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "events_by_type")
+    partitioned_write(ev, "event_type", path)
+
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "event_type" in plan.split("PartitionFilters:")[1][:200]
+    n = back.count()
+    expect = ev.filter(F.col("event_type") == "click").count()
+    assert n == expect and n > 0

@@ -247,3 +247,52 @@ def test_incremental_exact_dedup_equals_union_dedup(spark):
     }
     assert incr == expected
     assert incr, "batch contained no novel docs; property test is vacuous"
+
+
+# ---------------------------------------------------------------------------
+# Property-based recall: on ARBITRARY small corpora (random docs + planted
+# near-dups), the MinHash-LSH pipeline's output must equal the exact
+# all-pairs Jaccard result at the threshold — set equality, i.e. recall AND
+# precision both 1.0, not just on the fixed test corpus.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_VOCAB = [f"w{i}" for i in range(30)]
+
+
+@st.composite
+def _corpus(draw):
+    n_docs = draw(st.integers(4, 10))
+    docs = []
+    for i in range(n_docs):
+        toks = draw(st.lists(st.sampled_from(_VOCAB), min_size=5, max_size=20))
+        docs.append((i, " ".join(toks)))
+    # plant a near-dup of doc 0: same tokens with one substitution
+    base = docs[0][1].split()
+    pos = draw(st.integers(0, len(base) - 1))
+    dup = base.copy()
+    dup[pos] = draw(st.sampled_from(_VOCAB))
+    docs.append((n_docs, " ".join(dup)))
+    return docs
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_corpus())
+def test_minhash_lsh_equals_exact_on_random_corpora(spark_global, docs):
+    from flink_stream_processing_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_near_dups,
+        word_shingles,
+    )
+
+    df = spark_global.createDataFrame(docs, "doc_id long, text string")
+    lsh = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_near_dups(df, threshold=0.5).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_pairs(word_shingles(df)).filter("jaccard >= 0.5").collect()
+    }
+    assert lsh == exact
