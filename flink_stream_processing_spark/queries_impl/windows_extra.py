@@ -234,6 +234,117 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream_to_table(spark, joined, "append")
 
 
+_OUTER_INTERVAL_ORACLE = """
+SELECT c.event_id AS click_id, e.event_id AS error_id,
+       c.user_id AS user_id, round(e.value, 6) AS error_value
+FROM events c
+LEFT JOIN events e
+  ON c.user_id = e.user_id
+ AND e.event_type = 'error'
+ AND e.ts >= c.ts - INTERVAL 1 HOUR
+ AND e.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click'
+ORDER BY click_id, error_id
+"""
+
+# One watermark-flush sentinel dir per sf_dir (symlink to events.parquet +
+# one sentinel file holding a click and an error 3 h past max event time).
+_OUTER_DIRS: dict[str, str] = {}
+
+
+def _events_outer_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    d = _OUTER_DIRS.get(sf_dir)
+    if d is None or not os.path.isdir(d):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        d = tempfile.mkdtemp(prefix="events_outer_")
+        os.symlink(f"{sf_dir}/events.parquet", os.path.join(d, "events.parquet"))
+        mx_us = (
+            load_table(spark, sf_dir, "events").agg(F.max(F.unix_micros("ts"))).head()[0]
+        )
+        sent_ns = (mx_us + 3 * 3600 * 10**6) * 1000
+        tbl = pa.table(
+            {
+                "event_id": pa.array([-1, -2], pa.int64()),
+                "ts": pa.array([sent_ns, sent_ns], pa.int64()),
+                "user_id": pa.array([-1, -1], pa.int64()),
+                "event_type": pa.array(["click", "error"]),
+                "value": pa.array([0.0, 0.0], pa.float64()),
+                "props": pa.array(["{}", "{}"]),
+            }
+        )
+        pq.write_table(tbl, os.path.join(d, "z_sentinel.parquet"))
+        _OUTER_DIRS[sf_dir] = d
+    return d
+
+
+@query("streaming_interval_join_outer", oracle=_OUTER_INTERVAL_ORACLE)
+def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM **LEFT OUTER** interval join — the hardest streaming
+    join semantics: an unmatched left row may only emit (with nulls) once
+    the watermark proves no future match can arrive, so the finite stream
+    needs its watermark pushed past the last click's join window. A
+    SENTINEL event pair 3 h after max event time does that (the punctuation
+    /heartbeat pattern real pipelines use), and the availableNow run's
+    trailing no-data microbatch flushes the outer state.
+
+    Two traps this query pins down, on purpose:
+    - The sentinel must flow through BOTH watermark nodes (the global
+      watermark is the min across inputs), hence one sentinel per side.
+    - Sentinels must be removed AFTER materialization, in the batch read of
+      the memory table. Filtering `user_id >= 0` inside the streaming plan
+      propagates through the join's equi-condition into the parquet scans,
+      where min/max stats skip the whole sentinel file — silently deleting
+      the watermark advance and withholding the late tail. (Predicate
+      pushdown and watermark punctuation interact!)
+
+    Hash-checked against the batch LEFT JOIN oracle: every click appears,
+    matched rows carry the error, unmatched carry nulls."""
+    from pyspark.sql import functions as F
+
+    d = _events_outer_stream_dir(spark, sf_dir)
+    from ..streaming.pipeline import events_file_stream
+
+    s = events_file_stream(spark, d)
+    clicks = (
+        s.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    errors = (
+        s.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+            F.col("value").alias("e_value"),
+        )
+        .withWatermark("e_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        errors,
+        F.expr(
+            "c_user = e_user AND e_ts >= c_ts - INTERVAL 1 HOUR"
+            " AND e_ts <= c_ts + INTERVAL 1 HOUR"
+        ),
+        "leftOuter",
+    ).select(
+        "click_id",
+        "error_id",
+        F.col("c_user").alias("user_id"),
+        F.round("e_value", 6).alias("error_value"),
+    )
+    out = _run_stream_to_table(spark, joined, "append")
+    # batch-side sentinel removal (see docstring: NOT inside the stream)
+    return out.filter(F.col("click_id") >= 0).orderBy("click_id", "error_id")
+
+
 @query("streaming_session_windows", oracle=_SESSION_ORACLE)
 def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows through the REAL streaming path —
