@@ -160,6 +160,28 @@ def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream_to_table(spark, deduped, "append")
 
 
+@query("streaming_dedup_within_watermark", oracle=_DEDUP_KEYS_ORACLE)
+def q_streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-BOUNDED streaming dedup: dropDuplicatesWithinWatermark keeps a
+    key's state only for the watermark horizon instead of forever — the
+    24/7 form of `streaming_dedup_keys`. With the horizon (45 days) wider
+    than the finite corpus' time span, no key can be re-emitted, so the
+    result equals the batch distinct oracle; an unbounded deployment picks
+    the horizon as its dedup guarantee window and trades re-emission beyond
+    it for bounded state."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.pipeline import events_file_stream
+
+    events = events_file_stream(spark, _events_stream_dir(sf_dir))
+    deduped = (
+        events.withWatermark("ts", "45 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_stream_to_table(spark, deduped, "append")
+
+
 _RUNNING_COUNT_ORACLE = """
 SELECT user_id, event_id,
        CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
