@@ -55,6 +55,8 @@ HEADLINE = [
     "left_join_order_counts",
     "rollup_lineitem",
     "cube_order_stats",
+    "analytic_distribution_windows",
+    "unpivot_returnflag",
     "grouping_sets_revenue",
     "approx_distinct_bounds",
     "approx_quantile_bounds",
@@ -64,6 +66,7 @@ HEADLINE = [
     "quality_scores",
     "doc_fingerprints",
     "dedup_exact_docs",
+    "fuzzy_name_matches",
     "incremental_exact_dedup",
     "minhash_lsh_near_dups",
     "incremental_minhash_near_dups",

@@ -371,3 +371,27 @@ def q22_wealthy_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# Banded fuzzy self-join: customer-name pairs within 1 Levenshtein edit.
+# Oracle = brute-force all-pairs levenshtein at sf0.01; the Spark path
+# bands on (length, segment) so the shuffle carries O(names * segments)
+# keys — a hash match certifies banding recall 1.0 in the substitution
+# regime (all names here are equal-length).
+_FUZZY_ORACLE = """
+WITH n AS (SELECT DISTINCT c_name FROM customer)
+SELECT a.c_name AS name_a, b.c_name AS name_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM n a JOIN n b ON a.c_name < b.c_name
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY name_a, name_b
+"""
+
+
+@query("fuzzy_name_matches", oracle=_FUZZY_ORACLE)
+def q_fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import fuzzy_name_pairs
+
+    return fuzzy_name_pairs(
+        _t(spark, sf_dir, "customer"), "c_name", max_dist=1
+    ).orderBy("name_a", "name_b")

@@ -149,3 +149,73 @@ def q_approx_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# Second analytic-window battery: distribution functions (ntile,
+# percent_rank, cume_dist) and positional window values (first/last/nth) —
+# one shuffle on the partition key, computed in a single Window operator.
+_ANALYTIC2_ORACLE = """
+SELECT o_orderkey,
+       o_orderpriority,
+       CAST(ntile(4) OVER w AS BIGINT)            AS price_quartile,
+       round(percent_rank() OVER w, 6)            AS pct_rank,
+       round(cume_dist() OVER w, 6)               AS cum_dist,
+       round(first_value(o_totalprice) OVER w, 2) AS cheapest,
+       round(nth_value(o_totalprice, 2) OVER w, 2) AS second_cheapest
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderkey
+"""
+
+
+@query("analytic_distribution_windows", oracle=_ANALYTIC2_ORACLE)
+def q_analytic_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).cast("long").alias("price_quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+            F.round(F.first("o_totalprice").over(w), 2).alias("cheapest"),
+            F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_cheapest"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# UNPIVOT (melt): wide per-flag quantity columns back to long form. The
+# Spark side uses unpivot()/melt; the oracle uses DuckDB's UNPIVOT clause.
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT l_linestatus,
+         round(coalesce(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 0.0), 2) AS A,
+         round(coalesce(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 0.0), 2) AS N,
+         round(coalesce(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 0.0), 2) AS R
+  FROM lineitem GROUP BY l_linestatus
+)
+SELECT l_linestatus, flag, qty
+FROM wide UNPIVOT (qty FOR flag IN (A, N, R))
+ORDER BY l_linestatus, flag
+"""
+
+
+@query("unpivot_returnflag", oracle=_UNPIVOT_ORACLE)
+def q_unpivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .select(
+            "l_linestatus",
+            *[F.round(F.coalesce(F.col(c), F.lit(0.0)), 2).alias(c) for c in ("A", "N", "R")],
+        )
+    )
+    return wide.unpivot(
+        ["l_linestatus"], ["A", "N", "R"], "flag", "qty"
+    ).orderBy("l_linestatus", "flag")
