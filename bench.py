@@ -65,6 +65,10 @@ HEADLINE = [
     "text_stats_per_lang",
     "quality_scores",
     "doc_fingerprints",
+    "doc_chunks",
+    "train_validation_split",
+    "top_bigrams",
+    "benchmark_decontamination",
     "dedup_exact_docs",
     "fuzzy_name_matches",
     "incremental_exact_dedup",

@@ -42,6 +42,7 @@ from .queries_impl import (  # noqa: E402,F401
     corpus_pipeline,
     file_formats,
     grouped_pandas,
+    llm_corpus_ops,
     llm_dedup,
     llm_multimodal,
     llm_similarity,
@@ -67,6 +68,7 @@ _ALL_IMPL = [
     llm_dedup,
     llm_similarity,
     llm_multimodal,
+    llm_corpus_ops,
     corpus_pipeline,
     grouped_pandas,
     file_formats,
