@@ -52,6 +52,8 @@ HEADLINE = [
     "agg_stats_orders",
     "ranking_top3_per_segment",
     "analytic_running_totals",
+    "range_frame_trailing_counts",
+    "json_path_extraction",
     "left_join_order_counts",
     "rollup_lineitem",
     "cube_order_stats",

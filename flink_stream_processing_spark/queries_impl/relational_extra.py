@@ -395,3 +395,69 @@ def q_fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_name_pairs(
         _t(spark, sf_dir, "customer"), "c_name", max_dist=1
     ).orderBy("name_a", "name_b")
+
+
+# RANGE-frame window: trailing 1-hour per-user event counts/sums — the
+# value-based frame (RANGE BETWEEN ... PRECEDING) that rows-frames can't
+# express. Spark's rangeBetween needs a numeric ordering column, so the
+# frame is defined over epoch seconds; DuckDB's RANGE over an interval on
+# the timestamp is the same frame.
+_RANGE_FRAME_ORACLE = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+       round(sum(value) OVER w, 2) AS sum_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+@query("range_frame_trailing_counts", oracle=_RANGE_FRAME_ORACLE)
+def q_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts_s", F.unix_micros("ts") / 1_000_000)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+            F.round(F.sum("value").over(w), 2).alias("sum_trailing_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# JSON-path extraction battery over events.props ('{"k": <int>}'):
+# get_json_object / typed extraction / existence — the reference's P1
+# parse surface generalized to path queries.
+_JSON_PATH_ORACLE = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT)  AS k_val,
+       CAST(json_extract(props, '$.k') IS NOT NULL AS BOOLEAN) AS has_k,
+       CAST(json_extract(props, '$.missing') IS NOT NULL AS BOOLEAN) AS has_missing,
+       CAST(json_extract(props, '$[0]') IS NOT NULL AS BOOLEAN) AS first_elem_exists
+FROM events
+ORDER BY event_id
+"""
+
+
+@query("json_path_extraction", oracle=_JSON_PATH_ORACLE)
+def q_json_path_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+            F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
+            F.get_json_object("props", "$.missing").isNotNull().alias("has_missing"),
+            F.get_json_object("props", "$[0]").isNotNull().alias("first_elem_exists"),
+        )
+        .orderBy("event_id")
+    )
