@@ -195,23 +195,32 @@ ORDER BY phrase
 
 @query("benchmark_decontamination", oracle=_DECONTAM_ORACLE)
 def q_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.lower(F.trim(F.col("text"))).alias("t")
+    """ONE scan: per-doc containment flags for every phrase, aggregated to
+    per-phrase hit counts plus the no-phrase-hit count, then pivoted to
+    (phrase, n_docs) rows from the single aggregate row. (The first
+    formulation LEFT-joined a phrase table against the corpus via a
+    nested-loop containment join and re-scanned the corpus for the clean
+    count — two text scans and a BNLJ that this replaces.)"""
+    t = F.lower(F.trim(F.col("text")))
+    flags = load_table(spark, sf_dir, "documents").select(
+        *[t.contains(p).alias(f"h{i}") for i, p in enumerate(_BENCH_PHRASES)]
     )
-    phrases = docs.sparkSession.createDataFrame(
-        [(p,) for p in _BENCH_PHRASES], "phrase string"
+    none_hit = F.lit(True)
+    for i in range(len(_BENCH_PHRASES)):
+        none_hit = none_hit & ~F.col(f"h{i}")
+    agg = flags.agg(
+        *[F.count_if(F.col(f"h{i}")).alias(f"n{i}") for i in range(len(_BENCH_PHRASES))],
+        F.count_if(none_hit).alias("n_clean"),
     )
-    hits = (
-        phrases.join(
-            docs, F.expr("contains(t, phrase)"), "left"
-        )
-        .groupBy("phrase")
-        .agg(F.count("doc_id").alias("n_docs"))
+    rows = F.array(
+        *[
+            F.struct(F.lit(p).alias("phrase"), F.col(f"n{i}").alias("n_docs"))
+            for i, p in enumerate(_BENCH_PHRASES)
+        ],
+        F.struct(F.lit("CLEAN").alias("phrase"), F.col("n_clean").alias("n_docs")),
     )
-    any_hit = F.lit(False)
-    for p in _BENCH_PHRASES:
-        any_hit = any_hit | F.col("t").contains(p)
-    clean = docs.filter(~any_hit).agg(
-        F.lit("CLEAN").alias("phrase"), F.count(F.lit(1)).alias("n_docs")
+    return (
+        agg.select(F.explode(rows).alias("r"))
+        .select("r.phrase", "r.n_docs")
+        .orderBy("phrase")
     )
-    return hits.unionByName(clean).orderBy("phrase")
