@@ -140,11 +140,57 @@ def q_json_roundtrip_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roundtrip_json(metrics, list(metrics.columns), _METRIC_JSON_SCHEMA)
 
 
-@query("generator_transactions")  # rows-only: hash-seeded synthesis (S3)
+def _generator_oracle() -> str:
+    """DuckDB recomputation of the ENTIRE generator -> window-metrics
+    chain: the same seeded-md5 field synthesis (see
+    sources/generator.py:_h) over range(1000), then the 8-metric tumbling
+    aggregate — so the synthetic source itself is oracle-gated, not just
+    queries over pre-built tables."""
+    from ..operators.window_metrics import EVENT_TYPE_RATES  # noqa: F401 (parity ref)
+    from ..schemas import CURRENCIES, EXCHANGE_RATES
+
+    def h(seed: int, n_hex: int = 8) -> str:
+        return (
+            f"cast('0x' || substr(md5('{seed}:' || CAST(i AS VARCHAR)), 1, {n_hex}) AS BIGINT)"
+        )
+
+    rate_case = (
+        f"CASE ({h(3)} % {len(CURRENCIES)}) "
+        + " ".join(
+            f"WHEN {idx} THEN {EXCHANGE_RATES[cur]!r}" for idx, cur in enumerate(CURRENCIES)
+        )
+        + " ELSE 0.0 END"
+    )
+    return f"""
+WITH tx AS (
+  SELECT {h(4, 13)} / {float(1 << 52)!r} AS amount,
+         {rate_case} AS rate,
+         TIMESTAMP '2024-01-01 00:00:00' + to_milliseconds(i * 2000) AS ts
+  FROM range(0, 1000) t(i)
+)
+SELECT
+  epoch_ms(time_bucket(INTERVAL 10 SECONDS, ts)) AS window_start,
+  epoch_ms(time_bucket(INTERVAL 10 SECONDS, ts)) + 10000 AS window_end,
+  CAST(count(*) AS BIGINT) AS cnt,
+  CAST(sum(CASE WHEN rate <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS success_count,
+  CAST(sum(CASE WHEN rate <> 0 THEN 0 ELSE 1 END) AS BIGINT) AS failure_count,
+  round(coalesce(sum(CASE WHEN rate <> 0 THEN amount END)
+        / nullif(sum(CASE WHEN rate <> 0 THEN 1 ELSE 0 END), 0), 0.0), 6) AS avg_amount,
+  round(coalesce(sum(CASE WHEN rate <> 0 THEN rate END)
+        / nullif(sum(CASE WHEN rate <> 0 THEN 1 ELSE 0 END), 0), 0.0), 6) AS avg_exchange_rate,
+  coalesce(min(CASE WHEN rate <> 0 THEN amount END), 0.0) AS min_amount,
+  coalesce(max(CASE WHEN rate <> 0 THEN amount END), 0.0) AS max_amount
+FROM tx
+GROUP BY 1
+"""
+
+
+@query("generator_transactions", oracle=_generator_oracle())
 def q_generator_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3: the deterministic batch variant of the rate-source generator
     (RemittanceGenerator.java:31-63) feeding the flagship aggregate —
-    generator -> window metrics end to end."""
+    generator -> window metrics end to end, with the synthesis itself
+    recomputed by the oracle (seeded md5 in both engines)."""
     from ..operators.window_metrics import window_metrics
     from ..sources.generator import batch_transactions
 

@@ -7,9 +7,13 @@ rate table where CNY -> 0.0, ts = now) to Kafka.
 
 Spark-first: the scheduler thread becomes a ``rate`` streaming source
 (0.5 rows/s to match) with deterministic column expressions replacing the
-imperative RNG — ``xxhash64`` of the rate-source ``value`` drives every
-"random" choice, so the stream is reproducible and the batch variant
-(``spark.range``) produces the identical dataset for differential tests.
+imperative RNG — seeded ``md5`` of the rate-source ``value`` drives every
+"random" choice, so the stream is reproducible, the batch variant
+(``spark.range``) produces the identical dataset for differential tests,
+AND the whole synthesis is recomputable in DuckDB (md5/sha256 exist in
+both engines), giving the generator query a full oracle. (The round-1
+version used ``xxhash64``, which has no DuckDB equivalent and left the
+entry rows-only.)
 """
 
 from __future__ import annotations
@@ -20,12 +24,27 @@ from pyspark.sql import functions as F
 from ..schemas import CURRENCIES, EXCHANGE_RATES
 
 
+def _h(value: Column, seed: int, n_hex: int = 8) -> Column:
+    """Seeded 32-bit (or ``n_hex``*4-bit) hash both engines compute
+    identically: leading hex of md5('<seed>:<value>')."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), value.cast("string"))), 1, n_hex
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+
+
 def _synthesize(value: Column, event_ts: Column) -> list[Column]:
     """Deterministic column expressions for one transaction, keyed on the
     monotonically-increasing rate-source value."""
     currency = F.element_at(
         F.array(*[F.lit(c) for c in CURRENCIES]),
-        (F.pmod(F.xxhash64(value, F.lit(3)), F.lit(len(CURRENCIES))) + 1).cast("int"),
+        (F.pmod(_h(value, 3), F.lit(len(CURRENCIES))) + 1).cast("int"),
     )
     rate = None
     for cur, r in EXCHANGE_RATES.items():
@@ -35,16 +54,14 @@ def _synthesize(value: Column, event_ts: Column) -> list[Column]:
     return [
         F.sha2(F.concat(F.lit("txn-"), value.cast("string")), 256).alias("transactionId"),
         F.concat(
-            F.lit("SENDER-"), F.pmod(F.xxhash64(value, F.lit(1)), F.lit(100000)).cast("string")
+            F.lit("SENDER-"), F.pmod(_h(value, 1), F.lit(100000)).cast("string")
         ).alias("senderId"),
         F.concat(
-            F.lit("RECEIVER-"), F.pmod(F.xxhash64(value, F.lit(2)), F.lit(100000)).cast("string")
+            F.lit("RECEIVER-"), F.pmod(_h(value, 2), F.lit(100000)).cast("string")
         ).alias("receiverId"),
         # amount uniform [0,1) like the reference's random.nextDouble()
-        # (RemittanceGenerator.java:38): 53-bit hash fraction.
-        (
-            F.pmod(F.xxhash64(value, F.lit(4)), F.lit(1 << 53)) / F.lit(float(1 << 53))
-        ).alias("amount"),
+        # (RemittanceGenerator.java:38): 52-bit hash fraction (13 hex chars).
+        (_h(value, 4, 13) / F.lit(float(1 << 52))).alias("amount"),
         currency.alias("currency"),
         rate.alias("exchangeRate"),
         F.unix_millis(event_ts).alias("timestamp"),
