@@ -83,6 +83,7 @@ HEADLINE = [
     "embedding_near_dup_pairs",
     "label_centroids",
     "pandas_udf_vector_norms",
+    "array_hof_battery",
     "user_trend_partition_local",
     "training_corpus_clean",
     "multimodal_feature_extract",

@@ -183,3 +183,44 @@ def q_pandas_udf_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# Higher-order-function battery over the embedding arrays: transform /
+# filter / exists / forall / reduce / sort — the lambda surface the engine
+# uses internally (minhash folds, simhash packing) exposed as a gated
+# entry. DuckDB's list_* functions compute the identical values.
+_HOF_ORACLE = """
+SELECT vec_id,
+       round(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)), 5) AS sum_sq,
+       CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS BIGINT)   AS n_positive,
+       CAST(list_max(embedding::DOUBLE[]) > 0.9 AS BOOLEAN)               AS any_gt_09,
+       CAST(list_min(embedding::DOUBLE[]) > -1.5 AS BOOLEAN)              AS all_gt_neg15,
+       round(list_max(embedding::DOUBLE[]), 5)                            AS max_dim,
+       round(list_min(embedding::DOUBLE[]), 5)                            AS min_dim
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+@query("array_hof_battery", oracle=_HOF_ORACLE)
+def q_array_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = F.col("embedding")
+    dbl = F.transform(emb, lambda x: x.cast("double"))
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.round(
+                F.aggregate(
+                    F.transform(dbl, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+                ),
+                5,
+            ).alias("sum_sq"),
+            F.size(F.filter(dbl, lambda x: x > 0)).cast("long").alias("n_positive"),
+            F.exists(dbl, lambda x: x > 0.9).alias("any_gt_09"),
+            F.forall(dbl, lambda x: x > -1.5).alias("all_gt_neg15"),
+            F.round(F.array_max(dbl), 5).alias("max_dim"),
+            F.round(F.array_min(dbl), 5).alias("min_dim"),
+        )
+        .orderBy("vec_id")
+    )
