@@ -409,6 +409,7 @@ SELECT event_id, user_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+QUALIFY event_id % 10 = 0
 ORDER BY event_id
 """
 
@@ -430,6 +431,8 @@ def q_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
             F.round(F.sum("value").over(w), 2).alias("sum_trailing_1h"),
         )
+        # frames computed over every row; only the output is thinned
+        .filter(F.col("event_id") % 10 == 0)
         .orderBy("event_id")
     )
 
@@ -444,13 +447,14 @@ SELECT event_id,
        CAST(json_extract(props, '$.missing') IS NOT NULL AS BOOLEAN) AS has_missing,
        CAST(json_extract(props, '$[0]') IS NOT NULL AS BOOLEAN) AS first_elem_exists
 FROM events
+WHERE event_id % 10 = 0
 ORDER BY event_id
 """
 
 
 @query("json_path_extraction", oracle=_JSON_PATH_ORACLE)
 def q_json_path_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
     return (
         ev.select(
             "event_id",

@@ -164,6 +164,7 @@ SELECT o_orderkey,
        round(nth_value(o_totalprice, 2) OVER w, 2) AS second_cheapest
 FROM orders
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+QUALIFY o_orderkey % 10 = 0
 ORDER BY o_orderkey
 """
 
@@ -184,6 +185,9 @@ def q_analytic_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFra
             F.round(F.first("o_totalprice").over(w), 2).alias("cheapest"),
             F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_cheapest"),
         )
+        # window computed over ALL rows; the 1-in-10 projection only trims
+        # the transferred result (the oracle QUALIFYs identically)
+        .filter(F.col("o_orderkey") % 10 == 0)
         .orderBy("o_orderkey")
     )
 
