@@ -78,3 +78,27 @@ def partitioned_write(df: DataFrame, partition_col: str, path: str) -> None:
     partition columns low-cardinality (date, type, tenant); high-cardinality
     partitioning produces millions of tiny files instead."""
     df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def compact_table(spark, path: str, out_path: str, target_files: int) -> None:
+    """Small-file compaction — the nightly maintenance op of any long-lived
+    100 TB table (streaming sinks and incremental loads accrete thousands
+    of small files; scan planning cost and open-per-file overhead grow
+    linearly with file count). Rewrites the table into ``target_files``
+    files via coalesce (no shuffle: existing partitions are merged)."""
+    spark.read.parquet(path).coalesce(target_files).write.mode("overwrite").parquet(out_path)
+
+
+def clustered_write(df: DataFrame, cols: list[str], path: str, n_files: int) -> None:
+    """Cluster-on-write: range-repartition on ``cols`` then sort within
+    partitions, so each output file covers a NARROW range of the cluster
+    key and parquet row-group min/max stats skip whole files for point and
+    range predicates — the poor man's Z-order, and the layout lever that
+    complements hive partitioning (partition on low-cardinality columns,
+    cluster on high-cardinality ones)."""
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in cols])
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

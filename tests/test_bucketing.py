@@ -97,3 +97,55 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     n = back.count()
     expect = ev.filter(F.col("event_type") == "click").count()
     assert n == expect and n > 0
+
+
+def test_compact_table_reduces_file_count(spark, tmp_path):
+    from flink_stream_processing_spark.operators.relational import compact_table
+    from flink_stream_processing_spark.sources.batch import load_table
+
+    from .conftest import SF_SMALL
+
+    frag = str(tmp_path / "fragmented")
+    ev = load_table(spark, SF_SMALL, "events")
+    ev.repartition(37).write.parquet(frag)
+    out = str(tmp_path / "compacted")
+    compact_table(spark, frag, out, 4)
+    import glob
+
+    assert len(glob.glob(out + "/part-*.parquet")) <= 4
+    assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_clustered_write_gives_disjoint_file_ranges(spark, tmp_path):
+    """Each clustered file must cover a narrow, non-overlapping user_id
+    range (that's what lets row-group stats skip whole files); a plain
+    hash-partitioned write would give every file the full id range."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from flink_stream_processing_spark.operators.relational import clustered_write
+    from flink_stream_processing_spark.sources.batch import load_table
+
+    from .conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "value")
+    path = str(tmp_path / "clustered")
+    clustered_write(ev, ["user_id"], path, 8)
+    ranges = []
+    for f in glob.glob(path + "/part-*.parquet"):
+        md = pq.read_metadata(f)
+        col = md.row_group(0).column(0)
+        mn = min(md.row_group(g).column(0).statistics.min for g in range(md.num_row_groups))
+        mx = max(md.row_group(g).column(0).statistics.max for g in range(md.num_row_groups))
+        ranges.append((mn, mx))
+    ranges.sort()
+    assert len(ranges) >= 4
+    # ranges must be (near-)disjoint: each file's max <= next file's min
+    # (range partitioning puts boundary keys in exactly one file)
+    for (m1, x1), (m2, x2) in zip(ranges, ranges[1:]):
+        assert x1 <= m2, (ranges,)
+    # and a point filter over the clustered table is pushed to the scan
+    q = spark.read.parquet(path).filter(F.col("user_id") == ranges[0][0])
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id" in plan
