@@ -37,6 +37,7 @@ HEADLINE = [
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
+    "q11_important_stock",
     "q12_shipmode_priority",
     "q13_order_count_distribution",
     "q14_promo_revenue",

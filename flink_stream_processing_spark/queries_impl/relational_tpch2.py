@@ -568,3 +568,51 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+# Q11 (adapted): important-part value share — partsupp's availqty*supplycost
+# becomes shipped value (extendedprice * quantity) of one nation's
+# suppliers; keep parts above 3x the average part value (scale-invariant,
+# unlike the original's fraction-of-total, which goes vacuous as the part
+# catalog grows). The Q11 shape
+# is the scalar-subquery HAVING: the same aggregate computed globally
+# (1-row broadcast) gates the per-group rows.
+_Q11_ORACLE = """
+WITH nat_supp AS (
+  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_11'
+),
+val AS (
+  SELECT l_partkey AS partkey, sum(l_extendedprice * l_quantity) AS value
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM nat_supp)
+  GROUP BY l_partkey
+)
+SELECT partkey, round(value, 2) AS value
+FROM val
+WHERE value > (SELECT avg(value) * 3 FROM val)
+ORDER BY value DESC, partkey
+"""
+
+
+@query("q11_important_stock", oracle=_Q11_ORACLE)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat_supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(_t(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == "NATION_11")
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    )
+    val = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value")
+    )
+    thresh = val.agg((F.avg("value") * 3).alias("thresh"))
+    return (
+        val.join(F.broadcast(thresh))
+        .filter(F.col("value") > F.col("thresh"))
+        .select("partkey", F.round("value", 2).alias("value"))
+        .orderBy(F.col("value").desc(), "partkey")
+    )
