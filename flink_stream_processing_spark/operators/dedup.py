@@ -161,11 +161,44 @@ flatten(transform(ds, x ->
 """
 
 
+# Per-bucket pair generation is O(bucket²) structs inside ONE row/task; a
+# pathological hot bucket (giant duplicate clique, low-entropy band) would
+# blow the 2 GB single-row limit or OOM one executor with an opaque error.
+# 10k members ≈ 5e7 pair structs ≈ 1 GB — the loud-failure line.
+MAX_BUCKET_SIZE = 10_000
+
+
+def _guard_bucket_size(buckets: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Fail LOUDLY (assert_true with bucket coordinates in the message) when
+    a bucket exceeds ``max_bucket_size``, instead of letting the O(bucket²)
+    in-array pair expansion kill a task with an opaque OOM. A corpus that
+    trips this needs upstream cleanup (dedup the exact-duplicate clique) or
+    more bands/segments — silently dropping the bucket would hide real dups.
+    """
+    return buckets.withColumn(
+        "ds",
+        F.when(
+            F.assert_true(
+                F.size("ds") <= max_bucket_size,
+                F.concat(
+                    F.lit("LSH bucket over max_bucket_size="),
+                    F.lit(str(max_bucket_size)),
+                    F.lit(": size="),
+                    F.size("ds").cast("string"),
+                    F.lit(" — dedup exact duplicates upstream or raise bands/segments"),
+                ),
+            ).isNull(),
+            F.col("ds"),
+        ),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_perm: int = 32,
     bands: int = 16,
+    max_bucket_size: int = MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Band the signature (rows = num_perm/bands) and bucket: docs sharing
     any band hash become candidate pairs. Implemented as groupBy(bucket) ->
@@ -179,10 +212,11 @@ def lsh_candidate_pairs(
     a data property, and the empty-shingle clique — the one systematic
     source — is filtered upstream in shingle_array."""
     stacked = band_hashes(signatures, id_col, num_perm, bands)
-    buckets = (
+    buckets = _guard_bucket_size(
         stacked.groupBy("band_id", "band_hash")
         .agg(F.collect_list(id_col).alias("ds"))
-        .filter(F.size("ds") > 1)
+        .filter(F.size("ds") > 1),
+        max_bucket_size,
     )
     return (
         buckets.select(F.explode(F.expr(_BUCKET_PAIR_EXPR)).alias("p"))
@@ -415,6 +449,7 @@ def simhash_near_dups(
     max_hamming: int = 3,
     segments: int = 4,
     token_hash: str = "xxhash64",
+    max_bucket_size: int = MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on each of the ``segments`` equal
     bit-segments, verify Hamming distance via bit_count(xor).
@@ -445,10 +480,11 @@ def simhash_near_dups(
                       x.simhash AS ha, y.simhash AS hb), null)),
              z -> z IS NOT NULL)))
     """
-    buckets = (
+    buckets = _guard_bucket_size(
         seg.groupBy("seg_id", "seg")
         .agg(F.collect_list(F.struct(id_col, "simhash")).alias("ds"))
-        .filter(F.size("ds") > 1)
+        .filter(F.size("ds") > 1),
+        max_bucket_size,
     )
     pairs = (
         buckets.select(F.explode(F.expr(pair_expr)).alias("p"))

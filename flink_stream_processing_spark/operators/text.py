@@ -172,10 +172,13 @@ def fuzzy_name_pairs(
       filter(transform(ds, y -> IF(x < y, struct(x AS name_a, y AS name_b), null)),
              z -> z IS NOT NULL)))
     """
-    buckets = (
+    from .dedup import MAX_BUCKET_SIZE, _guard_bucket_size
+
+    buckets = _guard_bucket_size(
         stacked.groupBy("wkey")
         .agg(F.collect_list("name").alias("ds"))
-        .filter(F.size("ds") > 1)
+        .filter(F.size("ds") > 1),
+        MAX_BUCKET_SIZE,
     )
     return (
         buckets.select(F.explode(F.expr(pair_expr)).alias("p"))

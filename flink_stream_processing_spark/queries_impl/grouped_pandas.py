@@ -72,32 +72,49 @@ def _fit_partition(it):
     """All groups of a hash-partition in ONE Python call: pandas groupby
     with closed-form per-group sums (n, Σx, Σy, Σxy, Σx²) — fully
     vectorized, no per-group Python dispatch. slope = covar_pop/var_pop,
-    identical math to _fit_group and regr_slope."""
+    identical math to _fit_group and regr_slope.
+
+    A user's rows can span multiple Arrow chunks of the iterator (one chunk
+    per ``spark.sql.execution.arrow.maxRecordsPerBatch`` rows), so partial
+    sums are accumulated across ALL chunks and emitted once after the loop.
+    OLS slope is invariant to a shift in x, so each user's x offset is its
+    first-seen timestamp (pinned on first appearance and reused for later
+    chunks) — numerically as stable as the global min without a second pass.
+    Degenerate groups (var_pop(x) == 0) emit NULL, matching regr_slope."""
     import numpy as np
     import pandas as pd
 
+    acc = None  # per-user partial sums across chunks
+    t0 = pd.Series(dtype=np.float64)  # per-user x offset (first-seen min ts)
     for pdf in it:
         if pdf.empty:
             continue
         t = pdf["ts"].to_numpy("datetime64[ns]").astype("int64") / 1e9
         d = pd.DataFrame({"user_id": pdf["user_id"].to_numpy(), "t": t,
                           "y": pdf["value"].to_numpy(np.float64)})
-        d["t"] = d["t"] - d.groupby("user_id")["t"].transform("min")
-        d["x"] = d["t"] / 86400.0
+        chunk_t0 = d.groupby("user_id", sort=False)["t"].min()
+        new_users = chunk_t0.index.difference(t0.index)
+        if len(new_users):
+            t0 = pd.concat([t0, chunk_t0.loc[new_users]])
+        d["x"] = (d["t"] - d["user_id"].map(t0).to_numpy()) / 86400.0
         d["xy"] = d["x"] * d["y"]
         d["xx"] = d["x"] * d["x"]
         g = d.groupby("user_id", sort=False).agg(
             n=("y", "size"), sx=("x", "sum"), sy=("y", "sum"),
             sxy=("xy", "sum"), sxx=("xx", "sum"),
         )
-        denom = g["sxx"] - g["sx"] * g["sx"] / g["n"]
-        slope = (g["sxy"] - g["sx"] * g["sy"] / g["n"]) / denom
-        slope[denom <= 0] = np.nan
-        yield pd.DataFrame({
-            "user_id": g.index.to_numpy(),
-            "n_events": g["n"].to_numpy("int64"),
-            "slope": slope.to_numpy(np.float64),
-        })
+        acc = g if acc is None else acc.add(g, fill_value=0.0)
+    if acc is None:
+        return
+    denom = acc["sxx"] - acc["sx"] * acc["sx"] / acc["n"]
+    slope = (acc["sxy"] - acc["sx"] * acc["sy"] / acc["n"]) / denom
+    # NULL (not NaN) for degenerate groups — regr_slope/NULL semantics.
+    slope = slope.astype(object).where(denom > 0, None)
+    yield pd.DataFrame({
+        "user_id": acc.index.to_numpy(),
+        "n_events": acc["n"].to_numpy("int64"),
+        "slope": slope,
+    })
 
 
 @query("user_trend_partition_local", oracle=_TREND_ORACLE)

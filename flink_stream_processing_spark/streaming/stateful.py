@@ -47,11 +47,15 @@ def _count_events(
 
     (user_id,) = key
     n = state.get[0] if state.exists else 0
-    for pdf in pdfs:
-        # Event-time order within the batch; ties broken by event_id so the
-        # assignment is deterministic and matches the batch oracle's
-        # row_number ordering.
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # A key's rows within one micro-batch may arrive as several Arrow chunks
+    # in arbitrary order — concatenate ALL chunks, sort once over the whole
+    # batch, then assign counts, so the numbering matches the batch oracle's
+    # row_number() OVER (ORDER BY ts, event_id) regardless of chunking.
+    # State size is unchanged (one long per key); only per-batch buffering
+    # grows, bounded by one key's rows in one micro-batch.
+    chunks = [pdf for pdf in pdfs if not pdf.empty]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
         counts = n + pd.RangeIndex(1, len(pdf) + 1)
         n += len(pdf)
         yield pd.DataFrame(
