@@ -92,6 +92,90 @@ HEADLINE = [
 ]
 
 
+# O(n²) exact-verification paths, timed SEPARATELY so the headline total's
+# round-over-round trend can't be read as silently shedding its slowest
+# entries: these are oracle/verification machinery, not 100 TB operations.
+VERIFICATION_PATHS = [
+    "near_dup_topk_pairs",
+    "pairwise_cosine_topk",
+]
+
+
+def bench_scale_variants(spark, sf_dir: str) -> dict[str, float]:
+    """Production-hash twins of oracle-compat queries. The benched
+    ``simhash_near_dups`` query hashes tokens with md5 (so DuckDB can
+    recompute the signature bit-for-bit); the production scale path is
+    xxhash64 (one JVM hash vs md5+conv+substring chains). Timed here as a
+    bench-only variant — its pair set is gated against the md5 twin's in
+    pytest, not registered as a query (no DuckDB oracle can exist for
+    xxhash64)."""
+    from flink_stream_processing_spark.operators.dedup import simhash_near_dups
+    from flink_stream_processing_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out: dict[str, float] = {}
+    t0 = time.perf_counter()
+    simhash_near_dups(docs, token_hash="xxhash64").collect()
+    out["simhash_near_dups_xxhash64"] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def bench_streaming(spark, sf_dir: str) -> dict[str, float]:
+    """The reference's only published surface IS streaming metrics
+    (MetricsService.java:33-63): drive the flagship aggregate through the
+    REAL incremental path — multi-file source, maxFilesPerTrigger=2 (so the
+    run spans ~8 micro-batches with stateful window accumulation across
+    them), memory sink — and report wall time, input rows/s, and state
+    bytes from the query's own progress metrics (O1 mapping)."""
+    import shutil
+    import tempfile
+
+    from flink_stream_processing_spark.operators.window_metrics import as_transactions
+    from flink_stream_processing_spark.streaming.pipeline import (
+        events_file_stream,
+        streaming_window_metrics,
+    )
+
+    src = tempfile.mkdtemp(prefix="bench_stream_src_")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        raw.repartition(16).write.mode("overwrite").parquet(src)
+
+        tx = as_transactions(events_file_stream(spark, src, max_files_per_trigger=2))
+        agg = streaming_window_metrics(tx)
+        t0 = time.perf_counter()
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("bench_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError("streaming bench did not finish within 600 s")
+        wall = time.perf_counter() - t0
+        rows = 0
+        state_bytes = 0
+        batches = 0
+        for p in q.recentProgress:
+            prog = p if isinstance(p, dict) else json.loads(p.json)
+            rows += int(prog.get("numInputRows") or 0)
+            batches += 1
+            for so in prog.get("stateOperators") or []:
+                state_bytes = max(state_bytes, int(so.get("memoryUsedBytes") or 0))
+        return {
+            "streaming_window_metrics_wall_sec": round(wall, 3),
+            "streaming_input_rows": rows,
+            "streaming_micro_batches": batches,
+            "streaming_rows_per_sec": round(rows / wall, 1) if wall > 0 else 0.0,
+            "streaming_state_bytes": state_bytes,
+        }
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -114,6 +198,24 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    verif: dict[str, float] = {}
+    for name in VERIFICATION_PATHS:
+        fn = QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        verif[name] = round(time.perf_counter() - t0, 3)
+        print(f"  [verify-path] {name}: {verif[name]:.3f}s", file=sys.stderr)
+
+    variants = bench_scale_variants(spark, sf_dir)
+    for k, v in variants.items():
+        print(f"  [scale-variant] {k}: {v:.3f}s", file=sys.stderr)
+
+    streaming = bench_streaming(spark, sf_dir)
+    for k, v in streaming.items():
+        print(f"  [streaming] {k}: {v}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -122,6 +224,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "verification_paths_sec": verif,
+                "scale_variants_sec": variants,
+                "streaming": streaming,
                 "sf": sf,
             }
         )

@@ -18,6 +18,23 @@ state is keyed by window, sized O(open windows), checkpointed. The
 reference instead buffers every event per window on one thread
 (AllWindowFunction, parallelism 1) — Spark's plan shards the same
 computation across executors and keeps only accumulators in state.
+
+100 TB state story: the default HDFS-backed state store keeps every
+partition's state on-heap — fine for O(open windows) aggregates, but a
+high-cardinality stateful op (streaming dedup over billions of keys,
+session windows per user) needs the RocksDB provider, which spills state
+to local SSD with incremental checkpointing:
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")  # checkpoint = changelog, not full snapshots
+
+Not enabled by default here because local-mode tests exercise tiny state
+and the HDFS provider keeps the suite dependency-free; the knob is
+config-only — every stateful operator in this package runs unchanged on
+either provider.
 """
 
 from __future__ import annotations
