@@ -69,12 +69,142 @@ def attach_media(df: DataFrame, text_col: str = "text", mime: str = "text/plain"
     )
 
 
-def decode_media(df: DataFrame, media_col: str = "media") -> DataFrame:
-    """Real decode (image/audio/video) — requires codec libs not present in
-    this container."""
-    raise NotImplementedError(
-        "media decode requires codec libraries (PIL/ffmpeg) not available "
-        "here; use fake_feature_extract for the plumbing path"
+# ---------------------------------------------------------------- real decode
+#
+# Dependency-free media decode: container-header parsing with struct over
+# raw bytes — PNG IHDR width/height/bit-depth, BMP DIB width/height/bpp,
+# WAV fmt channels/sample-rate/bits. This is the metadata-extraction level
+# of decode (the step every multimodal pipeline runs FIRST, to filter/route
+# before touching pixels); pixel/sample decode still needs codec libraries
+# absent from this container and stays out of scope.
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("bit_depth", LongType()),
+    ]
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\x0a"
+
+
+def _decode_header(b: bytes) -> tuple:
+    """(kind, width, height, channels, sample_rate, bit_depth) from raw
+    container bytes. Pure struct parsing — no codec libraries."""
+    import struct
+
+    if len(b) >= 26 and b[:8] == _PNG_SIG and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return ("png", w, h, None, None, b[24])
+    if len(b) >= 30 and b[:2] == b"BM":
+        w, h = struct.unpack("<ii", b[18:26])
+        (bpp,) = struct.unpack("<H", b[28:30])
+        return ("bmp", w, h, None, None, bpp)
+    if len(b) >= 36 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        (ch,) = struct.unpack("<H", b[22:24])
+        (sr,) = struct.unpack("<I", b[24:28])
+        (bits,) = struct.unpack("<H", b[34:36])
+        return ("wav", None, None, ch, sr, bits)
+    return ("unknown", None, None, None, None, None)
+
+
+def decode_media(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """Header-level media decode over the binary column via Arrow-batched
+    mapInPandas: sniffs the container magic and struct-parses dimensions /
+    channel layout / sample rate. Only (id, data) is shipped to Python —
+    at 100 TB the projection prunes every other column off the scan."""
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            decoded = [_decode_header(bytes(b)) for b in pdf["data"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "kind": [d[0] for d in decoded],
+                    "width": [d[1] for d in decoded],
+                    "height": [d[2] for d in decoded],
+                    "channels": [d[3] for d in decoded],
+                    "sample_rate": [d[4] for d in decoded],
+                    "bit_depth": [d[5] for d in decoded],
+                }
+            )
+
+    flat = df.select(F.col(id_col), F.col(f"{media_col}.data").alias("data"))
+    return flat.mapInPandas(extract, DECODE_SCHEMA)
+
+
+def _be32(n) -> "F.Column":
+    return F.format_string("%08x", n)
+
+
+def _le32(n) -> "F.Column":
+    be = F.format_string("%08x", n)
+    return F.concat(
+        F.substring(be, 7, 2), F.substring(be, 5, 2),
+        F.substring(be, 3, 2), F.substring(be, 1, 2),
+    )
+
+
+def _le16(n) -> "F.Column":
+    be = F.format_string("%04x", n)
+    return F.concat(F.substring(be, 3, 2), F.substring(be, 1, 2))
+
+
+def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic media blobs from the doc id: one of PNG (33-byte
+    signature+IHDR), BMP (54-byte header), or WAV (44-byte canonical RIFF
+    header), with dimensions / channels / sample rate derived from the id.
+    Header construction is pure JVM expressions (format_string -> unhex),
+    so the exact same bytes are reproducible in DuckDB (printf -> unhex)
+    for the decode oracle. The blobs are REAL container headers: any
+    struct-parsing decoder reads the same fields."""
+    doc = F.col(id_col)
+    w = (doc % 317 + 16).cast("int")
+    h = (doc % 211 + 16).cast("int")
+    ch = (doc % 2 + 1).cast("int")
+    sr = F.element_at(
+        F.array(F.lit(8000), F.lit(16000), F.lit(22050), F.lit(44100)),
+        (doc % 4 + 1).cast("int"),
+    )
+    png_hex = F.concat(
+        F.lit("89504e470d0a1a0a0000000d49484452"),
+        _be32(w), _be32(h), F.lit("080600000000000000"),
+    )
+    bmp_hex = F.concat(
+        F.lit("424d36000000000000003600000028000000"),
+        _le32(w), _le32(h), F.lit("01001800"), F.lit("00" * 24),
+    )
+    wav_hex = F.concat(
+        F.lit("524946462400000057415645666d742010000000"),
+        F.lit("0100"), _le16(ch), _le32(sr), _le32(sr * ch * 2),
+        _le16(ch * 2), F.lit("1000"), F.lit("6461746100000000"),
+    )
+    hex_col = (
+        F.when(doc % 3 == 0, png_hex)
+        .when(doc % 3 == 1, bmp_hex)
+        .otherwise(wav_hex)
+    )
+    mime = (
+        F.when(doc % 3 == 0, F.lit("image/png"))
+        .when(doc % 3 == 1, F.lit("image/bmp"))
+        .otherwise(F.lit("audio/wav"))
+    )
+    return df.withColumn(
+        "media",
+        F.struct(
+            F.unhex(hex_col).alias("data"),
+            mime.alias("mime"),
+            F.create_map(F.lit("origin"), F.lit("synthesized")).alias("meta"),
+        ),
     )
 
 

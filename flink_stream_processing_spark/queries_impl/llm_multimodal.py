@@ -7,7 +7,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.multimodal import attach_media, builtin_feature_extract, fake_feature_extract
+from ..operators.multimodal import (
+    attach_media,
+    builtin_feature_extract,
+    decode_media,
+    fake_feature_extract,
+    synthesize_media,
+)
 from ..queries import query
 from ..sources.batch import load_table
 
@@ -34,3 +40,81 @@ def q_multimodal_features_builtin(spark: SparkSession, sf_dir: str) -> DataFrame
     the Arrow plumbing against the codegen path."""
     docs = attach_media(load_table(spark, sf_dir, "documents"))
     return builtin_feature_extract(docs)
+
+
+# Real header decode: blobs are REAL PNG/BMP/WAV container headers
+# synthesized deterministically from doc_id (pure JVM hex -> unhex); the
+# Spark side struct-parses the raw BYTES in mapInPandas; the oracle
+# rebuilds the identical blob in DuckDB (printf -> unhex), round-trips it
+# through hex(unhex(...)) so parsing reads the binary, and re-extracts
+# every field from the byte positions the container formats define.
+_DECODE_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(16 + doc_id % 317 AS BIGINT) AS w,
+         CAST(16 + doc_id % 211 AS BIGINT) AS h,
+         CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+         CAST([8000,16000,22050,44100][CAST(doc_id % 4 AS INTEGER) + 1] AS BIGINT) AS sr
+  FROM documents
+), hxp AS (
+  SELECT doc_id,
+         printf('%08x', w) AS wbe, printf('%08x', h) AS hbe,
+         printf('%08x', sr) AS srbe, printf('%08x', sr * ch * 2) AS brbe,
+         printf('%04x', ch) AS chbe, printf('%04x', ch * 2) AS babe
+  FROM p
+), synth AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 3 AS INTEGER)
+      WHEN 0 THEN '89504e470d0a1a0a0000000d49484452' || wbe || hbe
+                  || '080600000000000000'
+      WHEN 1 THEN '424d36000000000000003600000028000000'
+           || substr(wbe,7,2)||substr(wbe,5,2)||substr(wbe,3,2)||substr(wbe,1,2)
+           || substr(hbe,7,2)||substr(hbe,5,2)||substr(hbe,3,2)||substr(hbe,1,2)
+           || '01001800' || repeat('00', 24)
+      ELSE '524946462400000057415645666d742010000000' || '0100'
+           || substr(chbe,3,2)||substr(chbe,1,2)
+           || substr(srbe,7,2)||substr(srbe,5,2)||substr(srbe,3,2)||substr(srbe,1,2)
+           || substr(brbe,7,2)||substr(brbe,5,2)||substr(brbe,3,2)||substr(brbe,1,2)
+           || substr(babe,3,2)||substr(babe,1,2)
+           || '1000' || '6461746100000000'
+    END AS hx
+  FROM hxp
+), blob AS (
+  SELECT doc_id, hex(unhex(hx)) AS hs FROM synth
+)
+SELECT doc_id,
+  CASE WHEN substr(hs,1,16)='89504E470D0A1A0A' AND substr(hs,25,8)='49484452' THEN 'png'
+       WHEN substr(hs,1,4)='424D' THEN 'bmp'
+       WHEN substr(hs,1,8)='52494646' AND substr(hs,17,8)='57415645' THEN 'wav'
+       ELSE 'unknown' END AS kind,
+  CASE WHEN substr(hs,1,4)='8950' THEN ('0x'||substr(hs,33,8))::BIGINT
+       WHEN substr(hs,1,4)='424D' THEN
+         ('0x'||substr(hs,43,2)||substr(hs,41,2)||substr(hs,39,2)||substr(hs,37,2))::BIGINT
+  END AS width,
+  CASE WHEN substr(hs,1,4)='8950' THEN ('0x'||substr(hs,41,8))::BIGINT
+       WHEN substr(hs,1,4)='424D' THEN
+         ('0x'||substr(hs,51,2)||substr(hs,49,2)||substr(hs,47,2)||substr(hs,45,2))::BIGINT
+  END AS height,
+  CASE WHEN substr(hs,1,8)='52494646' THEN
+         ('0x'||substr(hs,47,2)||substr(hs,45,2))::BIGINT END AS channels,
+  CASE WHEN substr(hs,1,8)='52494646' THEN
+         ('0x'||substr(hs,55,2)||substr(hs,53,2)||substr(hs,51,2)||substr(hs,49,2))::BIGINT
+  END AS sample_rate,
+  CASE WHEN substr(hs,1,4)='8950' THEN ('0x'||substr(hs,49,2))::BIGINT
+       WHEN substr(hs,1,4)='424D' THEN ('0x'||substr(hs,59,2)||substr(hs,57,2))::BIGINT
+       WHEN substr(hs,1,8)='52494646' THEN ('0x'||substr(hs,71,2)||substr(hs,69,2))::BIGINT
+  END AS bit_depth
+FROM blob
+"""
+
+
+@query("multimodal_decode_dims", oracle=_DECODE_ORACLE)
+def q_multimodal_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode (header level): synthesized PNG/BMP/WAV container
+    headers, struct-parsed from raw bytes in Arrow-batched mapInPandas —
+    dimensions for images, channel layout + sample rate for audio. The
+    oracle rebuilds the identical bytes in DuckDB and re-parses every field
+    from the hex of the blob, so a decoder reading any wrong byte offset,
+    endianness, or field width hash-mismatches."""
+    docs = synthesize_media(load_table(spark, sf_dir, "documents").select("doc_id"))
+    return decode_media(docs)

@@ -1,0 +1,80 @@
+"""Unit tests for the header-level media decoder: the byte parser is checked
+against container headers built independently with struct.pack (not the
+Spark/DuckDB synthesis expressions), so the decoder and the synthesizer
+can't share a common wrong offset."""
+
+from __future__ import annotations
+
+import struct
+
+from flink_stream_processing_spark.operators.multimodal import _decode_header
+
+
+def _png(w: int, h: int, bit_depth: int = 8) -> bytes:
+    ihdr = struct.pack(">II5B", w, h, bit_depth, 6, 0, 0, 0)
+    return b"\x89PNG\r\n\x1a\x0a" + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00" * 4
+
+
+def _bmp(w: int, h: int, bpp: int = 24) -> bytes:
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54, 0, 0, 54)
+        + struct.pack("<IiiHH", 40, w, h, 1, bpp)
+        + b"\x00" * 24
+    )
+
+
+def _wav(ch: int, sr: int, bits: int = 16) -> bytes:
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, ch, sr, sr * ch * bits // 8, ch * bits // 8, bits)
+        + b"data"
+        + struct.pack("<I", 0)
+    )
+
+
+def test_png_dims():
+    assert _decode_header(_png(1920, 1080)) == ("png", 1920, 1080, None, None, 8)
+    assert _decode_header(_png(1, 1, 16)) == ("png", 1, 1, None, None, 16)
+
+
+def test_bmp_dims():
+    assert _decode_header(_bmp(640, 480)) == ("bmp", 640, 480, None, None, 24)
+    assert _decode_header(_bmp(333, 211, 32)) == ("bmp", 333, 211, None, None, 32)
+
+
+def test_wav_fmt():
+    assert _decode_header(_wav(2, 44100)) == ("wav", None, None, 2, 44100, 16)
+    assert _decode_header(_wav(1, 8000, 8)) == ("wav", None, None, 1, 8000, 8)
+
+
+def test_garbage_and_truncated_are_unknown():
+    unknown = ("unknown", None, None, None, None, None)
+    assert _decode_header(b"") == unknown
+    assert _decode_header(b"\x00" * 100) == unknown
+    assert _decode_header(_png(10, 10)[:12]) == unknown  # truncated PNG
+    assert _decode_header(b"RIFFxxxx????" + b"\x00" * 30) == unknown  # not WAVE
+
+
+def test_decode_media_over_spark(spark):
+    """End-to-end through mapInPandas on a mixed in-memory frame."""
+    rows = [(0, _png(100, 50)), (1, _bmp(20, 30)), (2, _wav(2, 22050)), (3, b"junk")]
+    df = spark.createDataFrame(rows, "doc_id long, data binary")
+    from pyspark.sql import functions as F
+
+    from flink_stream_processing_spark.operators.multimodal import decode_media
+
+    media = df.select(
+        "doc_id",
+        F.struct(
+            F.col("data"), F.lit("x").alias("mime"),
+            F.create_map().cast("map<string,string>").alias("meta"),
+        ).alias("media"),
+    )
+    got = {r.doc_id: r for r in decode_media(media).collect()}
+    assert (got[0].kind, got[0].width, got[0].height) == ("png", 100, 50)
+    assert (got[1].kind, got[1].width, got[1].height) == ("bmp", 20, 30)
+    assert (got[2].kind, got[2].channels, got[2].sample_rate) == ("wav", 2, 22050)
+    assert got[3].kind == "unknown"
