@@ -1,0 +1,110 @@
+"""Scale-factor stress for the approximate family (VERDICT r2 item 7): the
+recall gates from test_recall.py re-run at sf0.1 — 10x the corpus the
+driver's correctness gate uses — plus wall-time prints. This is the first
+scale where a pathological bucket (hot LSH band, low-entropy SimHash
+segment) would actually show; set equality against the exact brute-force
+pair set proves the operating points hold, and the bucket-size guard
+(operators/dedup.py) would fail loudly rather than OOM if a bucket
+exploded."""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+SF_BIG = "/root/testdata/sf0.1"
+
+
+def _timed(label: str, fn):
+    t0 = time.perf_counter()
+    out = fn()
+    print(f"\n  [sf0.1] {label}: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
+    return out
+
+
+def test_minhash_lsh_recall_at_sf01(spark):
+    from flink_stream_processing_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_near_dups,
+        word_shingles,
+    )
+
+    d = spark.read.parquet(f"{SF_BIG}/documents.parquet")
+    exact = _timed(
+        "exact all-pairs jaccard",
+        lambda: {
+            (r.doc_a, r.doc_b)
+            for r in jaccard_pairs(word_shingles(d))
+            .filter(F.col("jaccard") >= 0.5)
+            .collect()
+        },
+    )
+    lsh = _timed(
+        "minhash_near_dups",
+        lambda: {
+            (r.doc_a, r.doc_b) for r in minhash_near_dups(d, threshold=0.5).collect()
+        },
+    )
+    assert exact, "sf0.1 corpus has no near-dup pairs; gate is vacuous"
+    missed = exact - lsh
+    assert not missed, f"LSH missed {len(missed)}/{len(exact)} pairs at sf0.1"
+    assert lsh == exact
+
+
+def test_simhash_recall_at_sf01(spark):
+    from flink_stream_processing_spark.operators.dedup import simhash, simhash_near_dups
+
+    d = spark.read.parquet(f"{SF_BIG}/documents.parquet")
+    sig = simhash(d)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    brute = _timed(
+        "brute-force hamming",
+        lambda: {
+            (r.doc_a, r.doc_b)
+            for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("h"),
+            )
+            .filter(F.col("h") <= 3)
+            .collect()
+        },
+    )
+    bucketed = _timed(
+        "simhash_near_dups",
+        lambda: {
+            (r.doc_a, r.doc_b)
+            for r in simhash_near_dups(d, max_hamming=3).collect()
+        },
+    )
+    assert brute, "sf0.1 corpus has no Hamming<=3 pairs; gate is vacuous"
+    assert bucketed == brute
+
+
+def test_embedding_near_dup_recall_at_sf01(spark):
+    from flink_stream_processing_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        pairwise_cosine,
+    )
+
+    emb = spark.read.parquet(f"{SF_BIG}/embeddings.parquet")
+    exact = _timed(
+        "exact pairwise cosine",
+        lambda: {
+            (r.id_a, r.id_b)
+            for r in pairwise_cosine(emb).filter(F.col("sim") >= 0.45).collect()
+        },
+    )
+    lsh = _timed(
+        "embedding_near_dup_pairs",
+        lambda: {
+            (r.id_a, r.id_b)
+            for r in embedding_near_dup_pairs(emb, threshold=0.45, n_tables=16).collect()
+        },
+    )
+    assert exact, "sf0.1 corpus has no pairs at the threshold; gate is vacuous"
+    assert lsh == exact
