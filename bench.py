@@ -89,6 +89,13 @@ HEADLINE = [
     "training_corpus_clean",
     "multimodal_feature_extract",
     "multimodal_feature_extract_builtin",
+    "multimodal_decode_dims",
+    "gopher_quality_rules",
+    "stratified_sample",
+    "sequence_packing",
+    "text_redaction",
+    "embedding_quantization",
+    "corpus_mix_weights",
 ]
 
 

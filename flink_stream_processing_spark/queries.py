@@ -45,6 +45,7 @@ from .queries_impl import (  # noqa: E402,F401
     llm_corpus_ops,
     llm_dedup,
     llm_multimodal,
+    llm_pipeline2,
     llm_similarity,
     llm_text,
     reference_parity,
@@ -68,6 +69,7 @@ _ALL_IMPL = [
     llm_dedup,
     llm_similarity,
     llm_multimodal,
+    llm_pipeline2,
     llm_corpus_ops,
     corpus_pipeline,
     grouped_pandas,

@@ -92,7 +92,11 @@ def test_multimodal_plumbing_matches_hashlib(spark):
         assert out[doc_id]["sha256"] == hashlib.sha256(text.encode()).hexdigest()
 
 
-def test_decode_media_is_stubbed(spark):
+def test_decode_media_unknown_for_non_container_payloads(spark):
+    """decode_media is a real header decoder now (round 3); a text/plain
+    payload has no container magic and must decode as 'unknown' with all
+    fields NULL, not raise."""
     df = attach_media(spark.createDataFrame([(1, "x")], "doc_id long, text string"))
-    with pytest.raises(NotImplementedError):
-        decode_media(df)
+    row = decode_media(df).collect()[0]
+    assert row.kind == "unknown"
+    assert row.width is None and row.sample_rate is None
