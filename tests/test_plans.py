@@ -90,3 +90,43 @@ def test_q19_or_predicate_prunes_part_columns(spark):
     df = QUERIES["q19_disjunctive_revenue"](spark, SF_DIR)
     cols = read_schema_columns(df)
     assert "p_name" not in cols and "p_retailprice" not in cols
+
+
+def test_narrow_pipeline2_ops_have_no_shuffle(spark):
+    """The per-row training-pipeline ops (quality rules, stratified sample,
+    redaction, quantization, header decode) must plan with ZERO exchanges —
+    they are pure projections over the scan; any shuffle is a regression
+    that costs a full repartition of the corpus at 100 TB."""
+    from flink_stream_processing_spark.plans import formatted_plan
+
+    for name in (
+        "gopher_quality_rules",
+        "stratified_sample",
+        "text_redaction",
+        "embedding_quantization",
+        "multimodal_decode_dims",
+    ):
+        plan = formatted_plan(QUERIES[name](spark, SF_DIR))
+        assert "Exchange" not in plan, f"{name} plans a shuffle:\n{plan}"
+
+
+def test_narrow_pipeline2_ops_prune_columns(spark):
+    """Only the columns each op needs may reach the parquet scan."""
+    cols = read_schema_columns(QUERIES["gopher_quality_rules"](spark, SF_DIR))
+    assert "source" not in cols and "lang" not in cols
+    cols = read_schema_columns(QUERIES["embedding_quantization"](spark, SF_DIR))
+    assert "label" not in cols
+    cols = read_schema_columns(QUERIES["multimodal_decode_dims"](spark, SF_DIR))
+    assert "text" not in cols and "source" not in cols
+
+
+def test_sequence_packing_single_window_no_extra_exchange(spark):
+    """sequence_packing needs exactly the window's ordering exchange(s) and
+    no more: one narrow token-count projection feeding one running-sum
+    window (a distributed prefix sum at scale), never a join or repeated
+    shuffle of the corpus."""
+    from flink_stream_processing_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["sequence_packing"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2, plan
