@@ -353,12 +353,17 @@ def q_corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.sum("nt").alias("lang_tokens"))
     )
-    total = tok.agg(F.sum("lang_tokens").alias("all_tokens"))
+    # Grand total via a window over the 5 aggregated rows — NOT a
+    # crossJoin(broadcast(agg)): building that broadcast executes the whole
+    # tokenize+aggregate subtree a second time (the broadcast side can't
+    # reuse the probe side's result), which tripled this query's cost.
+    w_all = Window.partitionBy()
+    all_tokens = F.sum("lang_tokens").over(w_all)
     w = spark.createDataFrame(
         list(_MIX_WEIGHTS.items()), "lang string, target_frac double"
     )
     return (
-        tok.crossJoin(F.broadcast(total))
+        tok.withColumn("all_tokens", all_tokens)
         .join(F.broadcast(w), "lang")
         .select(
             "lang",
