@@ -79,6 +79,7 @@ HEADLINE = [
     "incremental_minhash_near_dups",
     "simhash_near_dups",
     "cosine_topk",
+    "cosine_topk_batch",
     "ann_lsh_topk",
     "ivf_ann_topk",
     "embedding_near_dup_pairs",

@@ -57,6 +57,48 @@ def cosine_topk(
     )
 
 
+def cosine_topk_batch(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Exact top-k for a BATCH of query vectors in one job — the evaluation
+    / serving shape (recall@k sweeps, dedup-against-probe-set). The query
+    set broadcasts; the corpus is scanned ONCE with norms hoisted, each
+    (corpus row × query) pair folds the vectors once, and per-query top-k
+    comes from a rank window partitioned by query id.
+
+    Scale: corpus-side work is O(corpus × n_queries × dim) with no corpus
+    shuffle (broadcast join); the only shuffle carries (query_id, id, sim)
+    rows for the rank — at large n_queries that's the partitioning you
+    want anyway (one reducer per query). For n_queries beyond broadcast
+    size, switch to the LSH/IVF paths which prune the corpus per query."""
+    from pyspark.sql.window import Window
+
+    corpus = embeddings.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("nrm")
+    )
+    qs = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        norm(F.col(query_vec_col)).alias("qnrm"),
+    )
+    sim = F.round(
+        dot(F.col(vec_col), F.col(query_vec_col)) / (F.col("nrm") * F.col("qnrm")), 5
+    ).alias("sim")
+    scored = corpus.join(F.broadcast(qs)).select(query_id_col, id_col, sim)
+    w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .orderBy(query_id_col, "rk")
+    )
+
+
 def pairwise_cosine(
     embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

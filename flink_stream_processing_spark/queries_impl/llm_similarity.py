@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from ..operators.similarity import (
     ann_topk_lsh,
     cosine_topk,
+    cosine_topk_batch,
     ivf_topk,
     label_centroids,
     pairwise_cosine,
@@ -224,3 +225,41 @@ def q_array_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+_BATCH_TOPK_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 10
+), s AS (
+  SELECT query_id, vec_id,
+         round(list_dot_product(e, qv)
+               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qv, qv))),
+               5) AS sim
+  FROM c, q
+), r AS (
+  SELECT query_id, vec_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+  FROM s
+)
+SELECT query_id, vec_id, sim, rk FROM r WHERE rk <= 5
+ORDER BY query_id, rk
+"""
+
+
+@query("cosine_topk_batch", oracle=_BATCH_TOPK_ORACLE)
+def q_cosine_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 neighbors for TEN query vectors in one job (query set =
+    vec_id < 10, corpus = the rest): broadcast query set, one corpus scan
+    with hoisted norms, per-query rank window — the recall@k-sweep /
+    serving shape. Ties after 5-decimal rounding are broken by vec_id on
+    both sides."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    return cosine_topk_batch(corpus, queries, k=5)
