@@ -263,6 +263,7 @@ def minhash_near_dups(
     num_perm: int = 32,
     bands: int = 16,
     threshold: float = 0.5,
+    max_bucket_size: int = MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle -> minhash -> LSH candidates ->
     exact-Jaccard verification of the candidate pairs ONLY (the all-pairs
@@ -273,7 +274,7 @@ def minhash_near_dups(
     against the exact oracle in CORRECTNESS and tests/test_recall.py."""
     sh_arr = shingle_array(df, text, id_col, n)
     sigs = minhash_signatures(sh_arr, id_col, num_perm)
-    cand = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
+    cand = lsh_candidate_pairs(sigs, id_col, num_perm, bands, max_bucket_size)
     return verify_jaccard_pairs(cand, sh_arr, id_col, threshold)
 
 

@@ -375,3 +375,57 @@ def q_corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sample_multiplier"),
         )
     )
+
+
+# ------------------------------------------------- semantic dedup composition
+
+_SEMANTIC_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id, lang FROM documents
+  WHERE len({_TOKS}) >= 30
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings JOIN q ON embeddings.vec_id = q.doc_id
+), p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 5) AS sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+), dropped AS (
+  SELECT DISTINCT id_b AS doc_id FROM p WHERE sim >= 0.45
+)
+SELECT doc_id, lang FROM q
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+ORDER BY doc_id
+"""
+
+
+@query("semantic_dedup_keep", oracle=_SEMANTIC_ORACLE)
+def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed SEMANTIC dedup: quality gate (>= 30 tokens) -> join each
+    surviving doc to its embedding -> embedding-cosine near-dup pairs via
+    the recall-certified multi-table LSH path -> greedy min-id keep (drop
+    any doc with a semantic near-dup of smaller id — the same deterministic
+    representative policy as exact_dedup). The oracle recomputes the pair
+    set with exact all-pairs cosine, so the hash match certifies the
+    composition end-to-end: quality filter, join, LSH recall, and the keep
+    policy. Restricting candidates to the filtered subset cannot lose
+    pairs (bucket membership is per-doc), so LSH recall 1.0 carries over.
+
+    100 TB shape: the gate and join are narrow / keyed; near-dup cost is
+    the LSH path's O(docs x tables) shuffle; the anti-join touches only
+    (doc_id) keys."""
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    d = load_table(spark, sf_dir, "documents").filter(F.size(_toks()) >= 30)
+    emb = load_table(spark, sf_dir, "embeddings").join(
+        d.select(F.col("doc_id").alias("vec_id")), "vec_id"
+    )
+    pairs = embedding_near_dup_pairs(emb, threshold=0.45, n_tables=16)
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return (
+        d.join(dropped, "doc_id", "left_anti")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

@@ -296,3 +296,17 @@ def test_minhash_lsh_equals_exact_on_random_corpora(spark_global, docs):
         for r in jaccard_pairs(word_shingles(df)).filter("jaccard >= 0.5").collect()
     }
     assert lsh == exact
+
+
+def test_bucket_size_guard_fails_loudly(spark):
+    """A pathological hot bucket (here: an exact-duplicate clique larger
+    than max_bucket_size) must raise the guard's message, not OOM opaquely
+    in the O(bucket²) pair expansion."""
+    from pyspark.errors import SparkRuntimeException
+
+    from flink_stream_processing_spark.operators.dedup import minhash_near_dups
+
+    docs = [(i, "identical clique text repeated tokens here") for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    with pytest.raises(SparkRuntimeException, match="max_bucket_size"):
+        minhash_near_dups(df, max_bucket_size=10).collect()
