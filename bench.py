@@ -88,6 +88,7 @@ HEADLINE = [
     "array_hof_battery",
     "user_trend_partition_local",
     "training_corpus_clean",
+    "semantic_dedup_keep",
     "multimodal_feature_extract",
     "multimodal_feature_extract_builtin",
     "multimodal_decode_dims",

@@ -277,3 +277,47 @@ def test_generator_window_metrics_failure_counting(spark):
     cny = batch_transactions(spark, 100).filter(F.col("currency") == "CNY").count()
     assert total_failures == cny
     assert all(r["cnt"] == r["success_count"] + r["failure_count"] for r in m)
+
+
+def test_streaming_checkpoint_restart_resumes_state(spark, tmp_path):
+    """Checkpoint recovery: run the flagship streaming aggregate over half
+    the data with a checkpoint, STOP the query, add the other half, start a
+    brand-new query from the same checkpoint — the restored state plus the
+    new micro-batches must reproduce the batch result over ALL data
+    exactly. (The reference never enables checkpointing — SURVEY §4; this
+    gate is the upgrade's proof.)"""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, SF_SMALL, "events")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    # raw long-nanos ts so the stream reader's schema matches the table's
+    to_raw = lambda df: df.withColumn("ts", F.unix_micros("ts") * 1000)  # noqa: E731
+    to_raw(first).coalesce(2).write.mode("append").parquet(str(src))
+
+    def run_once(qname: str):
+        tx = as_transactions(events_file_stream(spark, str(src)))
+        agg = streaming_window_metrics(
+            tx.drop("transactionId"), window_duration="10 seconds"
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not finish"
+
+    run_once("ckpt_run1")
+    to_raw(second).coalesce(2).write.mode("append").parquet(str(src))
+    run_once("ckpt_run2")
+
+    restarted = spark.table("ckpt_run2")
+    batch = window_metrics_over_events(ev)
+    assert _rows(restarted) == _rows(batch)
+    # the second run must have processed ONLY the new files (state restore,
+    # not a full re-read): its result still covers all windows though.
+    assert len(_rows(restarted)) == len(_rows(batch))
