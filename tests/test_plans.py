@@ -130,3 +130,24 @@ def test_sequence_packing_single_window_no_extra_exchange(spark):
     plan = formatted_plan(QUERIES["sequence_packing"](spark, SF_DIR))
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_cosine_topk_batch_broadcasts_queries_no_corpus_preshuffle(spark):
+    """The query set must broadcast (corpus scanned once, never shuffled
+    before scoring); the only exchange is the per-query rank partitioning
+    of (query_id, id, sim) rows."""
+    from flink_stream_processing_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["cosine_topk_batch"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_semantic_dedup_anti_join_carries_keys_only(spark):
+    """The final keep step must be a broadcast/hash anti join on doc_id —
+    never a sort-merge over document text."""
+    from flink_stream_processing_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["semantic_dedup_keep"](spark, SF_DIR))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
