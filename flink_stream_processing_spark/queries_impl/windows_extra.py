@@ -94,18 +94,30 @@ def _events_stream_dir(sf_dir: str) -> str:
 def _run_stream_to_table(spark: SparkSession, agg: DataFrame, output_mode: str) -> DataFrame:
     """Materialize a finite stream through a memory sink (availableNow) and
     return the table. awaitTermination's result is CHECKED: a timeout would
-    otherwise silently return a partially-filled table."""
+    otherwise silently return a partially-filled table.
+
+    State partitioning is sized to the state volume (the 100 TB sizing
+    rule): the partition count is fixed at .start() planning time from
+    ``spark.sql.shuffle.partitions``, and per-batch state-store commit cost
+    scales with it — 8 partitions vs a CPU-count default measured 2.6-7x
+    faster on these fixtures with identical results. The session value is
+    restored once the query has been planned and run."""
     from ..streaming.pipeline import write_memory
 
     name = f"s_{uuid.uuid4().hex[:10]}"
-    q = write_memory(agg, name, output_mode=output_mode)
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        finished = q.awaitTermination(300)
-        if not finished:
-            raise TimeoutError("streaming query did not finish within 300 s")
+        q = write_memory(agg, name, output_mode=output_mode)
+        try:
+            finished = q.awaitTermination(300)
+            if not finished:
+                raise TimeoutError("streaming query did not finish within 300 s")
+        finally:
+            if q.isActive:
+                q.stop()
     finally:
-        if q.isActive:
-            q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return spark.table(name)
 
 
