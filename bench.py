@@ -98,6 +98,8 @@ HEADLINE = [
     "text_redaction",
     "embedding_quantization",
     "corpus_mix_weights",
+    "text_normalization",
+    "shard_assignment",
 ]
 
 

@@ -429,3 +429,93 @@ def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+# -------------------------------------------------------- text normalization
+
+_NORM_ORACLE = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[\\x00-\\x1f]', ' ', 'g'),
+                             '\\s+', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT doc_id,
+       md5(norm_text) AS norm_md5,
+       CAST(length(norm_text) AS BIGINT) AS norm_len
+FROM n
+"""
+
+
+@query("text_normalization", oracle=_NORM_ORACLE)
+def q_text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (the step before any fingerprint/dedup
+    pass): lowercase, strip control characters, collapse whitespace runs,
+    trim. Output is gated by the md5 of the normalized text, so any
+    difference in the normalization pipeline hash-mismatches. ASCII-safe
+    operations only — unicode NFC needs ICU and is deliberately out of the
+    dialect-portable oracle contract. Narrow per-row projection."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[\x00-\x1f]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
+
+
+# ------------------------------------------------------------ shard planning
+
+_N_SHARDS = 16
+
+_SHARD_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % {_N_SHARDS} AS BIGINT) AS shard,
+         CAST(octet_length(encode(text)) AS BIGINT) AS doc_bytes
+  FROM documents
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_bytes) AS BIGINT) AS total_bytes
+FROM s GROUP BY shard ORDER BY shard
+"""
+
+
+@query("shard_assignment", oracle=_SHARD_ORACLE)
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-layout planning: deterministic hash-shard assignment (seeded
+    md5 mod N — reproducible across engines, unlike hashpartitioning) with
+    per-shard doc count and byte mass. This is the report that validates a
+    training-data export's balance BEFORE writing; the write itself is
+    repartitionByRange/partitionBy on the same key. One narrow projection
+    + one {_N_SHARDS}-key aggregate."""
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _N_SHARDS
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            shard.alias("shard"),
+            F.length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("doc_bytes"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_bytes").cast("long").alias("total_bytes"),
+        )
+        .orderBy("shard")
+    )
