@@ -359,12 +359,17 @@ def q_corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reuse the probe side's result), which tripled this query's cost.
     w_all = Window.partitionBy()
     all_tokens = F.sum("lang_tokens").over(w_all)
-    w = spark.createDataFrame(
-        list(_MIX_WEIGHTS.items()), "lang string, target_frac double"
-    )
+    # The target mix is a config constant: a literal CASE, not a
+    # createDataFrame dim — a Python-RDD-backed 5-row relation costs a
+    # Python-worker round trip per invocation (seconds of jitter in a busy
+    # session); real external dims join broadcast as the other queries do.
+    tf = None
+    for lang, wgt in _MIX_WEIGHTS.items():
+        cond = F.col("lang") == lang
+        tf = F.when(cond, wgt) if tf is None else tf.when(cond, wgt)
     return (
         tok.withColumn("all_tokens", all_tokens)
-        .join(F.broadcast(w), "lang")
+        .withColumn("target_frac", tf)
         .select(
             "lang",
             F.col("lang_tokens").cast("long").alias("lang_tokens"),
