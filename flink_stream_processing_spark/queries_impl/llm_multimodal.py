@@ -118,3 +118,50 @@ def q_multimodal_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     endianness, or field width hash-mismatches."""
     docs = synthesize_media(load_table(spark, sf_dir, "documents").select("doc_id"))
     return decode_media(docs)
+
+
+_SAMPLE_PLAN_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         CAST([8000,16000,22050,44100][CAST(doc_id % 4 AS INTEGER) + 1] AS BIGINT)
+           AS sample_rate
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id, sample_rate,
+       CAST(t.sample_idx AS BIGINT) AS sample_idx,
+       (t.sample_idx * sample_rate * 2) // 4 AS sample_offset
+FROM w, range(4) t(sample_idx)
+ORDER BY doc_id, sample_idx
+"""
+
+
+@query("media_sample_plan", oracle=_SAMPLE_PLAN_ORACLE)
+def q_media_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame/sample-sampling PLAN from decoded metadata: the audio docs'
+    sample rates are decoded from the container BYTES (real header decode,
+    mapInPandas), then each clip gets 4 uniform sample offsets over its
+    nominal 2-second span — the computation a frame-sampling/resample
+    stage runs before touching the payload (which needs codecs and stays
+    out of scope). One row per (doc, sample_idx): decode -> explode ->
+    arithmetic, no shuffle. The oracle derives the same sample rates from
+    the synthesis parameters — the byte-level decode itself is already
+    gated by multimodal_decode_dims."""
+    from pyspark.sql import functions as F
+
+    from ..operators.multimodal import decode_media, synthesize_media
+    from ..sources.batch import load_table as _lt
+
+    docs = synthesize_media(_lt(spark, sf_dir, "documents").select("doc_id"))
+    wav = decode_media(docs).filter(F.col("kind") == "wav")
+    return (
+        wav.select("doc_id", "sample_rate")
+        .withColumn(
+            "sample_idx",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.lit(3).cast("long"))),
+        )
+        .withColumn(
+            "sample_offset",
+            F.expr("(sample_idx * sample_rate * 2) div 4"),
+        )
+        .orderBy("doc_id", "sample_idx")
+    )
