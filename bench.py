@@ -92,6 +92,7 @@ HEADLINE = [
     "multimodal_feature_extract",
     "multimodal_feature_extract_builtin",
     "multimodal_decode_dims",
+    "media_sample_plan",
     "gopher_quality_rules",
     "stratified_sample",
     "sequence_packing",
