@@ -101,6 +101,8 @@ HEADLINE = [
     "corpus_mix_weights",
     "text_normalization",
     "shard_assignment",
+    "tfidf_top_terms",
+    "ngram_repetition",
 ]
 
 

@@ -524,3 +524,132 @@ def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------- TF-IDF top terms
+
+_TFIDF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, token
+), df AS (
+  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY token
+), n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents
+), s AS (
+  SELECT tf.doc_id, tf.token,
+         round(tf * ln(nd / df), 6) AS tfidf
+  FROM tf JOIN df USING (token), n
+), r AS (
+  SELECT doc_id, token, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, token) AS BIGINT) AS rk
+  FROM s
+)
+SELECT doc_id, token, tfidf, rk FROM r WHERE rk <= 3
+ORDER BY doc_id, rk
+"""
+
+
+@query("tfidf_top_terms", oracle=_TFIDF_ORACLE)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF terms: explode tokens -> per-(doc,token) tf ->
+    per-token document frequency -> idf = ln(N/df) -> rank window. N comes
+    from a count-only scan (parquet aggregate pushdown: metadata, not
+    data). Ranking uses the ROUNDED tfidf with a token tiebreak so the
+    top-3 cut is deterministic across engines (full-precision ln() can
+    differ in the last ulp between libm implementations).
+
+    100 TB shape: the explode shuffle carries O(total tokens) narrow rows
+    — the inherent cost of global document frequency; everything after
+    aggregates or broadcasts. The df table is vocabulary-sized and would
+    broadcast at any realistic vocabulary."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_toks()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.select(F.count(F.lit(1)).cast("double").alias("nd"))
+    s = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(F.col("tf") * F.log(F.col("nd") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        s.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("doc_id", "rk")
+    )
+
+
+# ------------------------------------------------------ n-gram repetition
+
+_REP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         len(toks) - 1 AS n_bigrams,
+         len(list_distinct(list_transform(range(len(toks) - 1),
+             i -> toks[i + 1] || ' ' || toks[i + 2]))) AS n_distinct_bigrams,
+         len(toks) - 2 AS n_trigrams,
+         len(list_distinct(list_transform(range(len(toks) - 2),
+             i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3])))
+           AS n_distinct_trigrams
+  FROM t WHERE len(toks) >= 3
+)
+SELECT doc_id,
+       round(1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams, 6)
+         AS dup_bigram_frac,
+       round(1.0 - CAST(n_distinct_trigrams AS DOUBLE) / n_trigrams, 6)
+         AS dup_trigram_frac,
+       (1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams > 0.5) AS repetitive
+FROM g
+"""
+
+
+@query("ngram_repetition", oracle=_REP_ORACLE)
+def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filter over token n-grams (the Gopher/C4 class of rule
+    that catches boilerplate and generation loops): duplicate bigram /
+    trigram fractions per doc plus a pass/fail flag. Pure array
+    expressions over one narrow projection — no explode, no shuffle."""
+    toks = _toks()
+
+    def grams(n: int):
+        parts = ", ".join(f"t[i+{j}]" for j in range(n))
+        return F.expr(
+            f"transform(sequence(0, size(t) - {n}), i -> concat_ws(' ', {parts}))"
+        )
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 3)
+    )
+    n_bi = F.size("t") - 1
+    n_tri = F.size("t") - 2
+    dup_bi = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(grams(2))).cast("double") / n_bi, 6
+    )
+    dup_tri = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(grams(3))).cast("double") / n_tri, 6
+    )
+    return base.select(
+        "doc_id",
+        dup_bi.alias("dup_bigram_frac"),
+        dup_tri.alias("dup_trigram_frac"),
+        (
+            F.lit(1.0) - F.size(F.array_distinct(grams(2))).cast("double") / n_bi
+            > 0.5
+        ).alias("repetitive"),
+    )
