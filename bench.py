@@ -103,6 +103,7 @@ HEADLINE = [
     "shard_assignment",
     "tfidf_top_terms",
     "ngram_repetition",
+    "near_dup_clusters",
 ]
 
 

@@ -498,3 +498,63 @@ def simhash_near_dups(
         .agg(F.first("hamming").alias("hamming"))
     )
     return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair relation by MIN-LABEL
+    PROPAGATION: every node starts labeled with itself; each round, each
+    node takes the min label among itself and its neighbors; converged when
+    no label changes. Returns (node, lbl) where lbl is the component's
+    minimum member id — the deterministic cluster representative (same
+    min-id convention as exact_dedup).
+
+    This is the step that turns pairwise near-dup output into KEEP/DROP
+    decisions when duplicates chain (A~B, B~C but not A~C): pair-based
+    drop-the-larger-id would keep B out and C in; clustering keeps exactly
+    one representative per transitive group.
+
+    Scale design: each round is one keyed join + one min-aggregate —
+    O(edges) shuffle rows; rounds needed = component diameter (near-dup
+    clusters are dense, so diameters are small; max_iter bounds
+    pathological chains). ``localCheckpoint`` after every round cuts the
+    iterative lineage (20 chained joins would otherwise blow plan
+    compilation), and the convergence check moves a single scalar count to
+    the driver — the data never leaves the executors. This loop shape is
+    deliberately the GraphX/GraphFrames propagation pattern expressed in
+    plain DataFrame ops, so it needs no extra library at 100 TB.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = edges.join(labels, edges["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), "lbl"
+        )
+        new = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels

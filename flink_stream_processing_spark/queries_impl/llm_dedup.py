@@ -262,3 +262,53 @@ def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_minhash_near_dups(
         batch, store, corpus_arr, threshold=0.5
     ).orderBy("doc_a", "doc_b")
+
+
+# Connected components over the exact near-dup pair set: the oracle walks
+# the transitive closure with a RECURSIVE CTE (min label = component rep),
+# the Spark side runs distributed min-label propagation over the
+# recall-certified LSH pairs — so the hash match gates pair recall AND the
+# iterative clustering in one check.
+_CLUSTER_ORACLE = (
+    _JACCARD_CTES.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+, pe AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pe UNION SELECT doc_b, doc_a FROM pe),
+nodes AS (SELECT DISTINCT a AS n FROM e),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a
+),
+cc AS (SELECT n AS doc_id, min(m) AS cluster_rep FROM reach GROUP BY n)
+SELECT doc_id, cluster_rep,
+       CAST(count(*) OVER (PARTITION BY cluster_rep) AS BIGINT) AS cluster_size
+FROM cc ORDER BY doc_id
+"""
+)
+
+
+@query("near_dup_clusters", oracle=_CLUSTER_ORACLE)
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup CLUSTERS: LSH pairs (recall-certified) fed into
+    distributed min-label-propagation connected components; each clustered
+    doc maps to its component's min-id representative plus the component
+    size. This is the step pairwise dedup output needs when duplicates
+    chain (A~B~C without A~C) — keep exactly one doc per transitive group.
+    The oracle computes the transitive closure of the EXACT pair set with
+    a recursive CTE, gating the LSH recall and the iterative clustering
+    together."""
+    from pyspark.sql.window import Window
+
+    from ..operators.dedup import connected_components
+
+    pairs = minhash_near_dups(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    cc = connected_components(pairs)
+    w = Window.partitionBy("cluster_rep")
+    return (
+        cc.select(
+            F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_rep")
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
+        .orderBy("doc_id")
+    )

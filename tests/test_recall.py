@@ -310,3 +310,18 @@ def test_bucket_size_guard_fails_loudly(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     with pytest.raises(SparkRuntimeException, match="max_bucket_size"):
         minhash_near_dups(df, max_bucket_size=10).collect()
+
+
+def test_connected_components_chains_and_separates(spark):
+    """A~B~C without A~C must cluster as one component (label = min id);
+    disjoint pairs must stay separate; a long chain (diameter 9) must
+    converge within the iteration bound."""
+    from flink_stream_processing_spark.operators.dedup import connected_components
+
+    pairs = [(0, 1), (1, 2), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24),
+             (24, 25), (25, 26), (26, 27), (27, 28), (28, 29)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r.node: r.lbl for r in connected_components(df).collect()}
+    assert {k: v for k, v in got.items() if k < 10} == {0: 0, 1: 0, 2: 0}
+    assert {k: v for k, v in got.items() if 10 <= k < 20} == {10: 10, 11: 10}
+    assert all(got[k] == 20 for k in range(20, 30))
