@@ -100,3 +100,24 @@ def test_decode_media_unknown_for_non_container_payloads(spark):
     row = decode_media(df).collect()[0]
     assert row.kind == "unknown"
     assert row.width is None and row.sample_rate is None
+
+
+def test_sequence_packing_spans_partition_token_stream(spark):
+    """Packing invariants: spans are contiguous (token_start of doc i+1 ==
+    token_start + n_tokens of doc i in doc_id order), start at 0, and chunk
+    ranges cover exactly ceil(total/capacity) windows."""
+    from flink_stream_processing_spark.queries import QUERIES
+
+    from .conftest import SF_SMALL
+
+    rows = sorted(
+        QUERIES["sequence_packing"](spark, SF_SMALL).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert rows[0].token_start == 0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.token_start == prev.token_start + prev.n_tokens
+    total = rows[-1].token_start + rows[-1].n_tokens
+    assert rows[-1].last_chunk == (total - 1) // 256
+    for r in rows:
+        assert r.n_chunks == r.last_chunk - r.first_chunk + 1 >= 1
