@@ -1,0 +1,284 @@
+"""Planted-pair recall stress at 50k docs / 20k vectors — one decade past
+the sf0.1 gates in test_recall_scale.py, approximating the "sf1" run the
+round-2 verdict asked for without an sf1 fixture.
+
+Brute-force exact all-pairs is O(n^2) and infeasible at this size, so
+ground truth is PLANTED: each sf0.1 row is replicated 10x with
+deterministic JVM-side perturbations — replica 1 is a light perturbation
+of replica 0 (a known near-dup pair), replicas 2-9 are token-salted so
+their shingle sets are disjoint from everything else (pure bulk). Exact
+similarity is then computed ONLY for the 5 000 planted pairs (a linear
+keyed join, not all-pairs), and the approximate operators must recover
+every planted pair that is truly past the operating point. This is the
+standard planted-recall harness for LSH at scales where brute force dies.
+
+Opt-in (several minutes of wall time): run with
+    SPARK_GRAFT_SCALE_STRESS=1 python -m pytest tests/test_scale_stress.py -s
+Timings print to stderr; recorded in README.md's scale notes.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import pytest
+from pyspark.sql import DataFrame, functions as F
+
+SF_DIR = "/root/testdata/sf0.1"
+REPLICAS = 10  # 5 000 docs -> 50 000; 2 000 vectors -> 20 000
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SCALE_STRESS") != "1",
+    reason="opt-in scale stress (SPARK_GRAFT_SCALE_STRESS=1); several minutes",
+)
+
+
+def _timed(label: str, fn):
+    t0 = time.perf_counter()
+    out = fn()
+    print(f"\n  [50k] {label}: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
+    return out
+
+
+def synth_docs_50k(spark) -> DataFrame:
+    """5 000 sf0.1 docs x 10 replicas, all perturbation JVM-side.
+
+    replica 0: original text; doc_id = base*10.
+    replica 1: ~8% deterministic word dropout -> the planted near-dup of
+               replica 0 (true Jaccard verified exactly per pair below).
+    replicas 2-9: every word salted with the replica number -> shingle
+               sets disjoint from all other replicas (pure scale bulk;
+               they can only near-dup *within* a replica, mirroring the
+               base corpus's own near-dup structure).
+    """
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    reps = spark.range(REPLICAS).select(F.col("id").cast("int").alias("replica"))
+    words = F.split(F.col("text"), " ")
+    dropped = F.filter(
+        words,
+        lambda w, i: F.pmod(
+            F.xxhash64(F.col("doc_id"), F.col("replica"), i), F.lit(100)
+        )
+        >= 8,
+    )
+    salted = F.transform(
+        words, lambda w: F.concat(w, F.lit("_"), F.col("replica").cast("string"))
+    )
+    return (
+        base.crossJoin(reps)
+        .select(
+            (F.col("doc_id") * REPLICAS + F.col("replica")).alias("doc_id"),
+            F.when(F.col("replica") == 0, F.col("text"))
+            .when(F.col("replica") == 1, F.array_join(dropped, " "))
+            .otherwise(F.array_join(salted, " "))
+            .alias("text"),
+        )
+        .repartition(32, "doc_id")
+    )
+
+
+def planted_pairs(corpus: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) = (base*10, base*10+1) for every base doc."""
+    a = corpus.filter(F.col("doc_id") % REPLICAS == 0).select(
+        (F.col("doc_id") / REPLICAS).cast("long").alias("base"),
+        F.col("doc_id").alias("doc_a"),
+    )
+    b = corpus.filter(F.col("doc_id") % REPLICAS == 1).select(
+        (F.col("doc_id") / REPLICAS).cast("long").alias("base"),
+        F.col("doc_id").alias("doc_b"),
+    )
+    return a.join(b, "base").select("doc_a", "doc_b")
+
+
+def exact_jaccard_for_planted(corpus: DataFrame) -> DataFrame:
+    """Exact shingle-Jaccard for ONLY the planted pairs: one keyed join on
+    (base, shingle) + a count — linear in corpus size, never all-pairs."""
+    from flink_stream_processing_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(corpus)  # (doc_id, shingle), distinct
+    sh = sh.withColumn("base", (F.col("doc_id") / REPLICAS).cast("long")).withColumn(
+        "replica", F.pmod(F.col("doc_id"), REPLICAS)
+    )
+    a = sh.filter(F.col("replica") == 0).select("base", "shingle")
+    b = sh.filter(F.col("replica") == 1).select("base", "shingle")
+    sizes = (
+        sh.filter(F.col("replica") <= 1)
+        .groupBy("base", "replica")
+        .agg(F.count("*").alias("n"))
+        .groupBy("base")
+        .pivot("replica", [0, 1])
+        .sum("n")
+        .select("base", F.col("0").alias("na"), F.col("1").alias("nb"))
+    )
+    inter = a.join(b, ["base", "shingle"]).groupBy("base").agg(
+        F.count("*").alias("inter")
+    )
+    return (
+        sizes.join(inter, "base", "left")
+        .na.fill({"inter": 0})
+        .select(
+            (F.col("base") * REPLICAS).alias("doc_a"),
+            (F.col("base") * REPLICAS + 1).alias("doc_b"),
+            (
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def test_minhash_planted_recall_50k(spark):
+    from flink_stream_processing_spark.operators.dedup import minhash_near_dups
+
+    corpus = synth_docs_50k(spark)
+    corpus.cache()
+    n = corpus.count()
+    assert n == 50_000
+
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in _timed(
+            "exact jaccard on planted pairs",
+            lambda: exact_jaccard_for_planted(corpus)
+            .filter(F.col("jaccard") >= 0.5)
+            .collect(),
+        )
+    }
+    assert len(truth) > 1000, f"only {len(truth)} planted pairs past 0.5 — fixture off"
+
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in _timed(
+            "minhash_near_dups @50k",
+            lambda: minhash_near_dups(corpus, threshold=0.5).collect(),
+        )
+    }
+    missed = truth - found
+    recall = 1 - len(missed) / len(truth)
+    print(f"\n  [50k] minhash planted recall: {recall:.4f} "
+          f"({len(truth) - len(missed)}/{len(truth)})", file=sys.stderr)
+    assert recall >= 0.97, f"missed {len(missed)}/{len(truth)} planted pairs"
+    corpus.unpersist()
+
+
+def test_simhash_planted_recall_50k(spark):
+    from flink_stream_processing_spark.operators.dedup import simhash, simhash_near_dups
+
+    corpus = synth_docs_50k(spark)
+    corpus.cache()
+    sig = simhash(corpus)
+
+    # Exact Hamming for planted pairs only: keyed join on base, bit_count(xor).
+    s = sig.withColumn("base", (F.col("doc_id") / REPLICAS).cast("long")).withColumn(
+        "replica", F.pmod(F.col("doc_id"), REPLICAS)
+    )
+    ham = (
+        s.filter(F.col("replica") == 0)
+        .select("base", F.col("simhash").alias("sig_a"))
+        .join(
+            s.filter(F.col("replica") == 1).select(
+                "base", F.col("simhash").alias("sig_b")
+            ),
+            "base",
+        )
+        .select(
+            (F.col("base") * REPLICAS).alias("doc_a"),
+            (F.col("base") * REPLICAS + 1).alias("doc_b"),
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+        )
+    )
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in _timed(
+            "exact hamming on planted pairs",
+            lambda: ham.filter(F.col("hamming") <= 3).collect(),
+        )
+    }
+    assert truth, "no planted pair within Hamming 3 — fixture off"
+
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in _timed(
+            "simhash_near_dups @50k", lambda: simhash_near_dups(corpus).collect()
+        )
+    }
+    missed = truth - found
+    # Pigeonhole bound (4 segments, max_hamming 3) makes recall exactly 1.
+    assert not missed, f"simhash missed {len(missed)}/{len(truth)} planted pairs"
+    corpus.unpersist()
+
+
+def test_embedding_planted_recall_20k(spark):
+    from flink_stream_processing_spark.operators.similarity import (
+        cosine,
+        embedding_near_dup_pairs,
+    )
+
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    reps = spark.range(REPLICAS).select(F.col("id").cast("int").alias("replica"))
+    # Deterministic pseudo-noise in [-0.5, 0.5) per (vec_id, replica, dim).
+    noise = lambda scale: F.transform(  # noqa: E731
+        F.col("embedding"),
+        lambda x, i: x
+        + (
+            F.pmod(F.xxhash64(F.col("vec_id"), F.col("replica"), i), F.lit(1000))
+            / 1000.0
+            - 0.5
+        ).cast("float")
+        * scale,
+    )
+    vecs = (
+        base.crossJoin(reps)
+        .select(
+            (F.col("vec_id") * REPLICAS + F.col("replica")).alias("vec_id"),
+            F.when(F.col("replica") == 0, F.col("embedding"))
+            .when(F.col("replica") == 1, noise(F.lit(0.02)))
+            .otherwise(noise(F.lit(4.0)))
+            .alias("embedding"),
+        )
+        .repartition(32, "vec_id")
+    )
+    vecs.cache()
+    assert vecs.count() == 20_000
+
+    a = vecs.filter(F.col("vec_id") % REPLICAS == 0).select(
+        (F.col("vec_id") / REPLICAS).cast("long").alias("base"),
+        F.col("embedding").alias("va"),
+    )
+    b = vecs.filter(F.col("vec_id") % REPLICAS == 1).select(
+        (F.col("vec_id") / REPLICAS).cast("long").alias("base"),
+        F.col("embedding").alias("vb"),
+    )
+    planted = a.join(b, "base").select(
+        (F.col("base") * REPLICAS).alias("vec_a"),
+        (F.col("base") * REPLICAS + 1).alias("vec_b"),
+        cosine("va", "vb").alias("cos"),
+    )
+    truth = {
+        (r.vec_a, r.vec_b)
+        for r in _timed(
+            "exact cosine on planted pairs",
+            lambda: planted.filter(F.col("cos") >= 0.99).collect(),
+        )
+    }
+    assert len(truth) > 1500, f"only {len(truth)} planted pairs past 0.99 — fixture off"
+
+    found = {
+        (r.id_a, r.id_b)
+        for r in _timed(
+            "embedding_near_dup_pairs @20k",
+            lambda: embedding_near_dup_pairs(vecs, threshold=0.9).collect(),
+        )
+    }
+    missed = truth - found
+    recall = 1 - len(missed) / len(truth)
+    print(f"\n  [20k] embedding planted recall: {recall:.4f} "
+          f"({len(truth) - len(missed)}/{len(truth)})", file=sys.stderr)
+    # cos>=0.99 pairs sit deep inside every table's collision zone; the
+    # 12-table OR-construction miss probability is ~1e-18 there.
+    assert recall >= 0.999, f"missed {len(missed)}/{len(truth)} planted pairs"
+    vecs.unpersist()
