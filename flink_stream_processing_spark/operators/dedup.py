@@ -541,9 +541,16 @@ def connected_components(
     plain DataFrame ops, so it needs no extra library at 100 TB.
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # Materialize the symmetrized edge set ONCE: without this, every
+    # propagation round's join re-executes the full upstream pair plan
+    # (for LSH input, the whole signature+bucket pipeline) — the dominant
+    # cost of the loop. After the checkpoint each round touches only the
+    # O(edges) materialized relation.
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
