@@ -242,15 +242,19 @@ def verify_jaccard_pairs(
     shingle_arrs: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate (doc_a, doc_b) pairs via
     per-doc distinct-shingle ARRAYS and ``array_intersect`` — two hash joins
     keyed on doc id, each candidate pair folds its two arrays exactly once.
     (The earlier formulation exploded doc_a's full shingle set per candidate
-    before matching doc_b — an O(cand × shingles) fan-out this avoids.)"""
-    arrs = shingle_arrs.select(
-        F.col(id_col), F.array_distinct("sh_arr").alias("sh_set")
+    before matching doc_b — an O(cand × shingles) fan-out this avoids.)
+    ``assume_distinct`` skips the per-row array_distinct when the caller
+    already de-duplicated the arrays (the materialized-reuse path)."""
+    sh_set = (
+        F.col("sh_arr") if assume_distinct else F.array_distinct("sh_arr")
     )
+    arrs = shingle_arrs.select(F.col(id_col), sh_set.alias("sh_set"))
     aa = arrs.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("set_a"))
     ab = arrs.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("set_b"))
     inter = F.size(F.array_intersect("set_a", "set_b"))
@@ -283,11 +287,24 @@ def minhash_near_dups(
     check touches just the LSH survivors). Output: (doc_a, doc_b, jaccard)
     pairs above threshold. Precision is exact (verify stage); recall is the
     LSH S-curve at the operating point (see module docstring) — gated
-    against the exact oracle in CORRECTNESS and tests/test_recall.py."""
+    against the exact oracle in CORRECTNESS and tests/test_recall.py.
+
+    The distinct-shingle arrays are materialized ONCE (localCheckpoint) and
+    feed the signature path AND both sides of the verify join: without
+    this, shingling — the full-text scan, the expensive stage — executes
+    three times per run (candidate subtree + each verify side; the
+    subtrees differ downstream, so Catalyst cannot reuse their exchanges).
+    Distinct arrays leave every MinHash unchanged (a min can't see
+    duplicates). At 100 TB the same reuse is expressed by persisting the
+    shingle/signature tables (the incremental_* path); within a one-shot
+    job, executor-local MEMORY_AND_DISK materialization is the equivalent."""
     sh_arr = shingle_array(df, text, id_col, n)
-    sigs = minhash_signatures(sh_arr, id_col, num_perm)
+    arrs = sh_arr.select(
+        F.col(id_col), F.array_distinct("sh_arr").alias("sh_arr")
+    ).localCheckpoint(eager=True)
+    sigs = minhash_signatures(arrs, id_col, num_perm)
     cand = lsh_candidate_pairs(sigs, id_col, num_perm, bands, max_bucket_size)
-    return verify_jaccard_pairs(cand, sh_arr, id_col, threshold)
+    return verify_jaccard_pairs(cand, arrs, id_col, threshold, assume_distinct=True)
 
 
 def incremental_exact_dedup(
