@@ -255,8 +255,22 @@ def verify_jaccard_pairs(
         F.col("sh_arr") if assume_distinct else F.array_distinct("sh_arr")
     )
     arrs = shingle_arrs.select(F.col(id_col), sh_set.alias("sh_set"))
-    aa = arrs.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("set_a"))
-    ab = arrs.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("set_b"))
+    return _jaccard_verify_two_sided(candidates, arrs, arrs, id_col, threshold)
+
+
+def _jaccard_verify_two_sided(
+    candidates: DataFrame,
+    arrs_a: DataFrame,
+    arrs_b: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verify with SEPARATE (id, sh_set) relations for the
+    doc_a and doc_b sides. When the pair relation is asymmetric (corpus ×
+    new-batch in incremental dedup), each join builds only its own side —
+    the batch side never scans the corpus and vice versa."""
+    aa = arrs_a.select(F.col(id_col).alias("doc_a"), F.col("sh_set").alias("set_a"))
+    ab = arrs_b.select(F.col(id_col).alias("doc_b"), F.col("sh_set").alias("set_b"))
     inter = F.size(F.array_intersect("set_a", "set_b"))
     union = F.size("set_a") + F.size("set_b") - inter
     return (
@@ -354,11 +368,19 @@ def incremental_minhash_near_dups(
     store (``band_hashes`` output for the corpus, written once). The join
     carries only (band_id, band_hash) keys from the new batch — O(batch ×
     bands) rows against the bucketed store, never corpus × corpus. Verify
-    joins the (small) candidate set back to per-doc shingle arrays.
+    joins the (small) candidate set back to per-doc shingle arrays,
+    corpus side and batch side each building ONLY its own relation
+    (doc_a is always a corpus id, doc_b always a batch id). The batch's
+    distinct-shingle arrays are materialized once (localCheckpoint) and
+    feed both its signature path and its verify side; the store sides are
+    caller-provided persisted tables, so re-reading them is a scan, not a
+    recompute.
 
     Returns (doc_a=corpus id, doc_b=new id, jaccard) above threshold.
     """
-    new_arr = shingle_array(new_batch, text, id_col, n)
+    new_arr = shingle_array(new_batch, text, id_col, n).select(
+        F.col(id_col), F.array_distinct("sh_arr").alias("sh_arr")
+    ).localCheckpoint(eager=True)
     new_bands = band_hashes(
         minhash_signatures(new_arr, id_col, num_perm), id_col, num_perm, bands
     )
@@ -373,8 +395,11 @@ def incremental_minhash_near_dups(
         .select(F.col(f"s.{id_col}").alias("doc_a"), F.col(f"n.{id_col}").alias("doc_b"))
         .distinct()
     )
-    arrs = store_shingle_arrs.unionByName(new_arr)
-    return verify_jaccard_pairs(cand, arrs, id_col, threshold)
+    corpus_arrs = store_shingle_arrs.select(
+        F.col(id_col), F.array_distinct("sh_arr").alias("sh_set")
+    )
+    batch_arrs = new_arr.select(F.col(id_col), F.col("sh_arr").alias("sh_set"))
+    return _jaccard_verify_two_sided(cand, corpus_arrs, batch_arrs, id_col, threshold)
 
 
 # Single-fold SimHash: ONE pass over the token-hash array producing a

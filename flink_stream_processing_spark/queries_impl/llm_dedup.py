@@ -257,7 +257,12 @@ def q_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(batch × bands) keys). Oracle = exact corpus×batch Jaccard pairs at
     the threshold, so a hash match certifies incremental recall == 1.0."""
     corpus, batch = _split_batch(load_table(spark, sf_dir, "documents"))
-    corpus_arr = shingle_array(corpus)
+    # Materialize the corpus shingle arrays once: in production BOTH store
+    # tables (bands + shingle arrays) are persisted; this checkpoint stands
+    # in for that persistence so the corpus text is scanned exactly once.
+    corpus_arr = shingle_array(corpus).select(
+        "doc_id", F.array_distinct("sh_arr").alias("sh_arr")
+    ).localCheckpoint(eager=True)
     store = band_hashes(minhash_signatures(corpus_arr))
     return incremental_minhash_near_dups(
         batch, store, corpus_arr, threshold=0.5
