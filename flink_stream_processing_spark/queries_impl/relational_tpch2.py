@@ -502,9 +502,13 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Q21 (adapted): suppliers who were the sole late shipper in multi-supplier
 # orders ("late" = shipped > 60 days after order date; commit/receipt dates
-# are absent). EXISTS (another supplier in the order) + NOT EXISTS (another
-# LATE supplier in the order) over the same fact — the Q21 double-correlated
-# shape — expressed as semi + anti joins.
+# are absent). The oracle keeps the Q21 double-correlated EXISTS/NOT-EXISTS
+# shape; the Spark plan uses the algebraic collapse: per order the predicate
+# pair is exactly (n_late = 1 AND n_supp >= 2), so one lineitem⋈orders join
+# feeds two cascading aggregates — (orderkey, suppkey) then orderkey — both
+# of which reuse the join's hash partitioning on l_orderkey (zero extra
+# shuffles; the semi/anti formulation scanned lineitem 3x and computed the
+# late set twice with no exchange reuse).
 _Q21_ORACLE = """
 WITH late AS (
   SELECT l_orderkey, l_suppkey
@@ -534,35 +538,26 @@ LIMIT 20
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    late = (
+    is_late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    # A (order, supplier) pair is late iff ANY of its line items is late;
+    # map-side partial aggregation collapses the ~4 rows/pair before any data
+    # moves, and the shuffle introduced by the join on l_orderkey satisfies
+    # the clustering of both groupBys ([ok] ⊆ [ok, sk]), so neither
+    # aggregate adds an exchange.
+    pair = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(is_late, F.lit(1)).otherwise(F.lit(0))).alias("is_late"))
     )
-    all_supp = li.select("l_orderkey", "l_suppkey").distinct()
-    l1 = late.alias("l1")
-    other_supp = all_supp.select(
-        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
+    per_order = pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").alias("n_late"),
+        F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("late_supp"),
     )
-    other_late = late.select(
-        F.col("l_orderkey").alias("x_ok"), F.col("l_suppkey").alias("x_sk")
-    )
-    sole_late = (
-        l1.join(
-            other_supp,
-            (F.col("l1.l_orderkey") == F.col("o_ok")) & (F.col("l1.l_suppkey") != F.col("o_sk")),
-            "left_semi",
-        )
-        .join(
-            other_late,
-            (F.col("l1.l_orderkey") == F.col("x_ok")) & (F.col("l1.l_suppkey") != F.col("x_sk")),
-            "left_anti",
-        )
-    )
+    sole_late = per_order.filter((F.col("n_late") == 1) & (F.col("n_supp") >= 2))
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        sole_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        sole_late.join(F.broadcast(s), F.col("late_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
