@@ -90,3 +90,127 @@ def test_foreach_batch_sink_mechanics(spark, tmp_path):
     if os.path.exists(out):
         for r in spark.read.parquet(out).collect():
             assert tuple(r) == batch[r["window_start"]]
+
+
+# --- K5: WebSocket push sink -------------------------------------------------
+
+
+def _ws_connect(host, port):
+    """Raw-socket WebSocket client: handshake + frame decode, stdlib only."""
+    import base64
+    import os
+    import socket
+
+    key = base64.b64encode(os.urandom(16)).decode("ascii")
+    s = socket.create_connection((host, port), timeout=10)
+    s.sendall(
+        (
+            f"GET /metrics-feed HTTP/1.1\r\nHost: {host}:{port}\r\n"
+            "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+        ).encode("ascii")
+    )
+    resp = b""
+    while b"\r\n\r\n" not in resp:
+        resp += s.recv(4096)
+    return s, key, resp
+
+
+def _recv_exact(s, n):
+    buf = b""
+    while len(buf) < n:
+        chunk = s.recv(n - len(buf))
+        assert chunk, "server closed mid-frame"
+        buf += chunk
+    return buf
+
+
+def _ws_read_text_frame(s):
+    b0, b1 = _recv_exact(s, 2)
+    assert b0 == 0x81, "expected FIN text frame"
+    assert not (b1 & 0x80), "server frames must be unmasked"
+    n = b1 & 0x7F
+    if n == 126:
+        n = int.from_bytes(_recv_exact(s, 2), "big")
+    elif n == 127:
+        n = int.from_bytes(_recv_exact(s, 8), "big")
+    return _recv_exact(s, n).decode("utf-8")
+
+
+def test_websocket_accept_key_rfc_example():
+    """RFC 6455 §1.3's worked example is the interop contract."""
+    from flink_stream_processing_spark.streaming.push import websocket_accept_key
+
+    assert (
+        websocket_accept_key("dGhlIHNhbXBsZSBub25jZQ==")
+        == "s3pPLMBiTxaQ9kYGzzhZRbK+xOo="
+    )
+
+
+def test_websocket_frame_all_length_forms():
+    """7-bit, 16-bit and 64-bit payload-length encodings all round-trip."""
+    from flink_stream_processing_spark.streaming.push import (
+        MetricsPushServer,
+        encode_text_frame,
+    )
+
+    for size in (5, 125, 126, 60_000, 70_000):
+        assert encode_text_frame("x" * size)[0] == 0x81
+    srv = MetricsPushServer()
+    try:
+        s, key, resp = _ws_connect(srv.host, srv.port)
+        from flink_stream_processing_spark.streaming.push import websocket_accept_key
+
+        assert websocket_accept_key(key).encode("ascii") in resp
+        deadline = __import__("time").time() + 10
+        while srv.client_count == 0 and __import__("time").time() < deadline:
+            __import__("time").sleep(0.05)
+        for size in (5, 200, 70_000):
+            payload = "y" * size
+            assert srv.broadcast(payload) == 1
+            assert _ws_read_text_frame(s) == payload
+        s.close()
+    finally:
+        srv.close()
+
+
+def test_websocket_metrics_push_end_to_end(spark, tmp_path):
+    """K5 live: a real streaming query's progress is pushed over a real
+    WebSocket connection; the client receives the reference's metric
+    fields (rates, latency ms, state MB — MetricsService.java:117-140)."""
+    import json
+    import time
+
+    from flink_stream_processing_spark.streaming.push import (
+        MetricsPushServer,
+        WebSocketMetricsPush,
+    )
+
+    srv = MetricsPushServer()
+    listener = WebSocketMetricsPush(srv)
+    spark.streams.addListener(listener)
+    try:
+        s, _, _ = _ws_connect(srv.host, srv.port)
+        deadline = time.time() + 10
+        while srv.client_count == 0 and time.time() < deadline:
+            time.sleep(0.05)
+        df = spark.readStream.format("rate").option("rowsPerSecond", 100).load()
+        q = (
+            df.writeStream.format("memory")
+            .queryName(f"ws_{uuid.uuid4().hex[:8]}")
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            s.settimeout(30)
+            msg = json.loads(_ws_read_text_frame(s))
+        finally:
+            q.stop()
+        assert msg["topic"] == "/topic/metrics"
+        assert msg["batch_id"] >= 0
+        assert "latency_ms" in msg and "input_rate_rows_per_sec" in msg
+        assert "state_memory_mb" in msg
+        s.close()
+    finally:
+        spark.streams.removeListener(listener)
+        srv.close()
