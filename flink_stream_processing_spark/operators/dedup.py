@@ -601,21 +601,23 @@ def connected_components(
     )
     for _ in range(max_iter):
         neigh = edges.join(labels, edges["src"] == labels["node"]).select(
-            F.col("dst").alias("node"), "lbl"
+            F.col("dst").alias("node"),
+            "lbl",
+            F.lit(None).cast("long").alias("own"),
         )
+        # The node's previous label rides through the aggregate as `own`
+        # (exactly one non-null per node, from the self row), so convergence
+        # is a narrow filter-count over the materialized result — not a
+        # second O(nodes) shuffle join against the old labels per round.
         new = (
-            labels.unionByName(neigh)
+            labels.select("node", "lbl", F.col("lbl").alias("own"))
+            .unionByName(neigh)
             .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
+            .agg(F.min("lbl").alias("lbl"), F.max("own").alias("own"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("lbl") != F.col("own")).count()
+        labels = new.select("node", "lbl")
         if changed == 0:
             break
     return labels
