@@ -146,6 +146,15 @@ class MetricsPushServer:
         self._srv.close()
 
 
+def dashboard_path() -> str:
+    """Absolute path of the bundled live dashboard (reference parity:
+    flink-app's static/index.html). Open it in a browser with
+    ``?ws=ws://host:port`` pointing at a ``MetricsPushServer``."""
+    import os
+
+    return os.path.join(os.path.dirname(__file__), "static", "dashboard.html")
+
+
 class WebSocketMetricsPush(StreamingQueryListener):
     """O2 push loop as a listener: each micro-batch's progress becomes one
     JSON payload broadcast to every dashboard client — the same metric names

@@ -214,3 +214,31 @@ def test_websocket_metrics_push_end_to_end(spark, tmp_path):
     finally:
         spark.streams.removeListener(listener)
         srv.close()
+
+
+def test_dashboard_card_ids_match_push_payload_fields():
+    """The bundled dashboard (reference parity: static/index.html metric
+    cards) must bind to the exact field names WebSocketMetricsPush emits —
+    a renamed payload key would silently blank a card."""
+    import re
+
+    from flink_stream_processing_spark.streaming.push import dashboard_path
+
+    html = open(dashboard_path()).read()
+    card_ids = set(re.findall(r'\{ id: "([a-z_]+)"', html))
+    payload_fields = {
+        "input_rate_rows_per_sec",
+        "output_rate_rows_per_sec",
+        "latency_ms",
+        "state_memory_mb",
+        "batch_id",
+    }
+    assert card_ids == payload_fields
+    # and the listener really emits those keys (source-level pin)
+    import inspect
+
+    from flink_stream_processing_spark.streaming import push
+
+    src = inspect.getsource(push.WebSocketMetricsPush.onQueryProgress)
+    for f in payload_fields:
+        assert f'"{f}"' in src, f"listener no longer emits {f}"
