@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..queries import query
 from ..sources.batch import load_table
@@ -69,9 +70,21 @@ LIMIT 100
 
 @query("q2_min_cost_supplier", oracle=_Q2_ORACLE)
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The per-part min is over EU offers only — independent of the part
+    # predicate — so p_size=15 pushes all the way to the lineitem scan as a
+    # broadcast SEMI join BEFORE the (partkey, suppkey) aggregate: the
+    # shuffle carries ~1/50th of the pairs. The min-then-join-back of the
+    # oracle's `best` CTE collapses to a window over the aggregated
+    # relation (one extra small shuffle, no second evaluation of the
+    # offers subtree — the previous shape computed eu_offers twice).
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15).select("p_partkey", "p_brand")
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
     offers = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        li.groupBy(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
         .agg(F.min("l_extendedprice").alias("price"))
     )
     eu = (
@@ -84,10 +97,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     eu_offers = offers.join(
         F.broadcast(eu), F.col("suppkey") == F.col("s_suppkey")
     )
-    best = eu_offers.groupBy("partkey").agg(F.min("price").alias("min_price"))
-    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15).select("p_partkey", "p_brand")
+    w = Window.partitionBy("partkey")
     return (
-        eu_offers.join(best, ["partkey"])
+        eu_offers.withColumn("min_price", F.min("price").over(w))
         .filter(F.col("price") == F.col("min_price"))
         .join(F.broadcast(p), F.col("partkey") == F.col("p_partkey"))
         .select(
