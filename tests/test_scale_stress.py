@@ -27,7 +27,10 @@ import pytest
 from pyspark.sql import DataFrame, functions as F
 
 SF_DIR = "/root/testdata/sf0.1"
-REPLICAS = 10  # 5 000 docs -> 50 000; 2 000 vectors -> 20 000
+# 10 replicas: 5 000 docs -> 50 000, 2 000 vectors -> 20 000. Override to
+# measure the scaling slope (e.g. 20 -> 100k docs; timings should grow
+# ~linearly with corpus size if the banding really is O(n*bands)).
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
 
 pytestmark = pytest.mark.skipif(
     os.environ.get("SPARK_GRAFT_SCALE_STRESS") != "1",
@@ -38,7 +41,7 @@ pytestmark = pytest.mark.skipif(
 def _timed(label: str, fn):
     t0 = time.perf_counter()
     out = fn()
-    print(f"\n  [50k] {label}: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
+    print(f"\n  [{REPLICAS * 5}k] {label}: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
     return out
 
 
@@ -135,7 +138,7 @@ def test_minhash_planted_recall_50k(spark):
     corpus = synth_docs_50k(spark)
     corpus.cache()
     n = corpus.count()
-    assert n == 50_000
+    assert n == REPLICAS * 5_000
 
     truth = {
         (r.doc_a, r.doc_b)
@@ -151,13 +154,13 @@ def test_minhash_planted_recall_50k(spark):
     found = {
         (r.doc_a, r.doc_b)
         for r in _timed(
-            "minhash_near_dups @50k",
+            f"minhash_near_dups @{REPLICAS * 5}k",
             lambda: minhash_near_dups(corpus, threshold=0.5).collect(),
         )
     }
     missed = truth - found
     recall = 1 - len(missed) / len(truth)
-    print(f"\n  [50k] minhash planted recall: {recall:.4f} "
+    print(f"\n  [{REPLICAS * 5}k] minhash planted recall: {recall:.4f} "
           f"({len(truth) - len(missed)}/{len(truth)})", file=sys.stderr)
     assert recall >= 0.97, f"missed {len(missed)}/{len(truth)} planted pairs"
     corpus.unpersist()
@@ -201,7 +204,7 @@ def test_simhash_planted_recall_50k(spark):
     found = {
         (r.doc_a, r.doc_b)
         for r in _timed(
-            "simhash_near_dups @50k", lambda: simhash_near_dups(corpus).collect()
+            f"simhash_near_dups @{REPLICAS * 5}k", lambda: simhash_near_dups(corpus).collect()
         )
     }
     missed = truth - found
@@ -243,7 +246,7 @@ def test_embedding_planted_recall_20k(spark):
         .repartition(32, "vec_id")
     )
     vecs.cache()
-    assert vecs.count() == 20_000
+    assert vecs.count() == REPLICAS * 2_000
 
     a = vecs.filter(F.col("vec_id") % REPLICAS == 0).select(
         (F.col("vec_id") / REPLICAS).cast("long").alias("base"),
@@ -267,16 +270,26 @@ def test_embedding_planted_recall_20k(spark):
     }
     assert len(truth) > 1500, f"only {len(truth)} planted pairs past 0.99 — fixture off"
 
+    # Keep bucket density CONSTANT as the corpus grows: each doubling of
+    # the corpus adds one hyperplane per table (expected bucket occupancy
+    # halves), so per-bucket GEMM work stays flat — the "raise planes,
+    # don't salt" rule from the operator docstring, enforced here rather
+    # than assumed. Measured at 40k: p=2 25.8s / p=3 10.7s / p=4 5.5s,
+    # planted recall 1.0 at every point (cos>=0.99 pairs sit deep inside
+    # the collision zone even at p=4).
+    planes = 2 + max(0, (REPLICAS // 10).bit_length() - 1)
     found = {
         (r.id_a, r.id_b)
         for r in _timed(
-            "embedding_near_dup_pairs @20k",
-            lambda: embedding_near_dup_pairs(vecs, threshold=0.9).collect(),
+            f"embedding_near_dup_pairs @{REPLICAS * 2}k (p={planes})",
+            lambda: embedding_near_dup_pairs(
+                vecs, threshold=0.9, planes_per_table=planes
+            ).collect(),
         )
     }
     missed = truth - found
     recall = 1 - len(missed) / len(truth)
-    print(f"\n  [20k] embedding planted recall: {recall:.4f} "
+    print(f"\n  [{REPLICAS * 2}k] embedding planted recall: {recall:.4f} "
           f"({len(truth) - len(missed)}/{len(truth)})", file=sys.stderr)
     # cos>=0.99 pairs sit deep inside every table's collision zone; the
     # 12-table OR-construction miss probability is ~1e-18 there.
