@@ -50,23 +50,28 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from ..operators.risk import format_risk_lines, label_risk
 from ..operators.window_metrics import metric_agg_exprs
 
-# events parquet read as a stream: ts arrives as epoch-nanos long
-# (nanosAsLong), converted after read.
-EVENTS_STREAM_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+# events parquet read as a stream. The driver has generated ts as
+# TIMESTAMP(NANOS) in some rounds (arrives as an epoch-nanos long under
+# nanosAsLong) and TIMESTAMP(MICROS) in others (arrives as TimestampType);
+# the stream schema is picked per-path by probing the static footer, same
+# dtype test as sources/batch.load_table.
+def _events_stream_schema(ts_is_long: bool) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType() if ts_is_long else TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def events_file_stream(
@@ -76,11 +81,15 @@ def events_file_stream(
     topic; S1/S2). One source DataFrame can fan out to both the risk and
     metrics sinks — the reference reads the topic twice instead."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    static_dtypes = dict(spark.read.parquet(path).dtypes)
+    ts_is_long = static_dtypes.get("ts") == "bigint"
+    reader = spark.readStream.schema(_events_stream_schema(ts_is_long))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def streaming_window_metrics(
