@@ -298,11 +298,21 @@ def _events_outer_stream_dir(spark: SparkSession, sf_dir: str) -> str:
         mx_us = (
             load_table(spark, sf_dir, "events").agg(F.max(F.unix_micros("ts"))).head()[0]
         )
-        sent_ns = (mx_us + 3 * 3600 * 10**6) * 1000
+        sent_us = mx_us + 3 * 3600 * 10**6
+        # The sentinel file must carry ts in the SAME physical encoding as
+        # the real events file (the stream schema is fixed per directory):
+        # TIMESTAMP(MICROS) when the driver generated timestamps natively,
+        # raw int64 epoch-nanos when it generated TIMESTAMP(NANOS) (which
+        # nanosAsLong surfaces as LongType).
+        ts_type = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+        if pa.types.is_timestamp(ts_type) and ts_type.unit == "us":
+            sent_ts = pa.array([sent_us, sent_us], ts_type)
+        else:
+            sent_ts = pa.array([sent_us * 1000, sent_us * 1000], pa.int64())
         tbl = pa.table(
             {
                 "event_id": pa.array([-1, -2], pa.int64()),
-                "ts": pa.array([sent_ns, sent_ns], pa.int64()),
+                "ts": sent_ts,
                 "user_id": pa.array([-1, -1], pa.int64()),
                 "event_type": pa.array(["click", "error"]),
                 "value": pa.array([0.0, 0.0], pa.float64()),
