@@ -104,6 +104,8 @@ HEADLINE = [
     "tfidf_top_terms",
     "ngram_repetition",
     "near_dup_clusters",
+    "duplicate_ngram_spans",
+    "scd2_user_state",
 ]
 
 

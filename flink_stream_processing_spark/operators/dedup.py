@@ -621,3 +621,108 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    window: int = 20,
+) -> DataFrame:
+    """Exact SUBSTRING-level dedup: every ``window``-token run that occurs
+    >= 2 times anywhere in the corpus is a duplicate span (the approach of
+    "Deduplicating Training Data Makes Language Models Better" — suffix
+    arrays there, hashed sliding windows here; same duplicate definition).
+    Complements the doc-level family above: MinHash/SimHash find whole
+    near-dup documents, this finds boilerplate/quotation RUNS inside
+    otherwise-distinct documents. Output is one row per doc with the merged
+    coverage of duplicated windows, the signal used to strip or
+    down-weight repeated passages.
+
+    Plan shape (100 TB):
+    - window hashes are built doc-locally (split -> sequence -> transform
+      -> explode): narrow, O(total tokens) rows of (doc_id, start, hash);
+      the text itself is never shuffled;
+    - global occurrence counts come from ONE hash-partitioned analytic
+      window (count over partition by hash) — the same single shuffle a
+      groupBy would cost, with no join back to the exploded frame;
+    - span coverage merges overlapping [s, s+W) intervals per doc with the
+      classic lag/running-sum island pass — one shuffle on doc_id, reused
+      by the final per-doc aggregate;
+    - the closing join back to per-doc token counts builds from the small
+      aggregated side (AQE broadcasts it).
+    No reference twin (the Flink app has no corpus operators; LLM
+    extension scope per SURVEY.md §2).
+    """
+    from pyspark.sql.window import Window as W
+
+    toks = F.split(F.lower(F.trim(F.col(text))), TOKEN_SPLIT_RE)
+    base = df.select(
+        F.col(id_col), toks.alias("toks")
+    ).withColumn("n_tokens", F.size("toks").cast("long"))
+
+    starts = F.when(
+        F.col("n_tokens") >= window,
+        F.sequence(F.lit(0), (F.col("n_tokens") - window).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                starts,
+                lambda s: F.struct(
+                    s.cast("long").alias("s"),
+                    F.md5(
+                        F.concat_ws(" ", F.slice("toks", s + F.lit(1), window))
+                    ).alias("h"),
+                ),
+            )
+        ).alias("w"),
+    ).select(id_col, F.col("w.s").alias("s"), F.col("w.h").alias("h"))
+
+    counted = wins.withColumn("cnt", F.count(F.lit(1)).over(W.partitionBy("h")))
+    dup = counted.filter(F.col("cnt") >= 2)
+
+    wdoc = W.partitionBy(id_col).orderBy("s")
+    islands = (
+        dup.withColumn("prev_s", F.lag("s").over(wdoc))
+        .withColumn(
+            "new_isl",
+            F.when(
+                F.col("prev_s").isNull() | (F.col("s") - F.col("prev_s") > window),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "isl_id",
+            F.sum("new_isl").over(wdoc.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    spans = islands.groupBy(id_col, "isl_id").agg(
+        F.count(F.lit(1)).alias("dup_w"),
+        (F.max("s") + window - F.min("s")).alias("span_len"),
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("dup_w").cast("long").alias("dup_windows"),
+        F.sum("span_len").cast("long").alias("dup_tokens"),
+    )
+    return (
+        base.select(
+            id_col,
+            "n_tokens",
+            F.greatest(F.col("n_tokens") - window + 1, F.lit(0))
+            .cast("long")
+            .alias("n_windows"),
+        )
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "n_windows",
+            F.coalesce("dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("dup_token_frac"),
+        )
+    )

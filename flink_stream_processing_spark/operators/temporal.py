@@ -135,3 +135,53 @@ def interval_join(
         .filter((r_us >= l_us - F.lit(lower_us)) & (r_us <= l_us + F.lit(upper_us)))
         .drop("__lb", "__rb")
     )
+
+
+def scd2_collapse(
+    df: DataFrame,
+    key: str,
+    attr: str,
+    ts: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Collapse a change-event log into a slowly-changing-dimension type-2
+    history: consecutive rows per ``key`` (ordered by ``ts``, then
+    ``tiebreak``) with the same ``attr`` value merge into one versioned
+    validity interval [valid_from, valid_to); the latest version per key is
+    open (valid_to NULL, is_current true). The run-length collapse is the
+    classic gaps-and-islands construction: change flag via lag, version id
+    via running sum, one group per (key, version).
+
+    Plan shape (100 TB): ONE exchange on ``key`` feeds the change-flag
+    window, the running-sum window, the per-run aggregate, AND the
+    valid_to lead window — Spark reuses the partitioning across all four,
+    so the whole dimension build costs a single shuffle of (key, ts, attr)
+    (verify with .explain: one hashpartitioning(key) Exchange). No
+    reference twin (the Flink app keeps no versioned state); standard
+    warehouse-dimension operator, SURVEY.md §2 relational extension.
+    """
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    wseq = Window.partitionBy(key).orderBy(*order)
+    chg = F.lag(attr).over(wseq).isNull() | (
+        F.col(attr) != F.lag(attr).over(wseq)
+    )
+    versioned = df.select(key, ts, attr, *([tiebreak] if tiebreak else [])).withColumn(
+        "version",
+        F.sum(F.when(chg, 1).otherwise(0)).over(
+            wseq.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    runs = versioned.groupBy(key, "version").agg(
+        F.min(attr).alias("state"),
+        F.min(ts).alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    wver = Window.partitionBy(key).orderBy("version")
+    return runs.select(
+        key,
+        F.col("version").cast("long").alias("version"),
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(wver).alias("valid_to"),
+        "n_events",
+    ).withColumn("is_current", F.col("valid_to").isNull())

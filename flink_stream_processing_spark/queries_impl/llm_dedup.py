@@ -317,3 +317,64 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
         .orderBy("doc_id")
     )
+
+
+_NGRAM_SPAN_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+w AS (
+  SELECT doc_id, unnest(range(0, greatest(n_tokens - 20 + 1, 0))) AS s, toks
+  FROM b
+),
+h AS (
+  SELECT doc_id, s, md5(array_to_string(toks[s+1:s+20], ' ')) AS h FROM w
+),
+c AS (SELECT doc_id, s, count(*) OVER (PARTITION BY h) AS cnt FROM h),
+d AS (SELECT doc_id, s FROM c WHERE cnt >= 2),
+i1 AS (
+  SELECT doc_id, s,
+         CASE WHEN lag(s) OVER win IS NULL OR s - lag(s) OVER win > 20
+              THEN 1 ELSE 0 END AS new_isl
+  FROM d WINDOW win AS (PARTITION BY doc_id ORDER BY s)
+),
+i2 AS (
+  SELECT doc_id, s,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS UNBOUNDED PRECEDING) AS isl_id
+  FROM i1
+),
+sp AS (
+  SELECT doc_id, isl_id, count(*) AS dup_w, max(s) + 20 - min(s) AS span_len
+  FROM i2 GROUP BY doc_id, isl_id
+),
+pd AS (
+  SELECT doc_id, CAST(sum(dup_w) AS BIGINT) AS dup_windows,
+         CAST(sum(span_len) AS BIGINT) AS dup_tokens
+  FROM sp GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       CAST(greatest(b.n_tokens - 20 + 1, 0) AS BIGINT) AS n_windows,
+       coalesce(pd.dup_windows, 0) AS dup_windows,
+       coalesce(pd.dup_tokens, 0) AS dup_tokens,
+       round(CAST(coalesce(pd.dup_tokens, 0) AS DOUBLE) / b.n_tokens, 6)
+         AS dup_token_frac
+FROM b LEFT JOIN pd USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@query("duplicate_ngram_spans", oracle=_NGRAM_SPAN_ORACLE)
+def q_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup: per-doc merged coverage of 20-token
+    runs that occur >= 2 times anywhere in the corpus (the Lee et al.
+    suffix-array duplicate definition, realized as hashed sliding windows
+    + one analytic count + an island merge — see
+    operators/dedup.duplicate_ngram_spans for the 100 TB plan shape).
+    Finds repeated boilerplate INSIDE otherwise-distinct documents, which
+    whole-doc MinHash/SimHash structurally cannot."""
+    from ..operators.dedup import duplicate_ngram_spans
+
+    return duplicate_ngram_spans(load_table(spark, sf_dir, "documents"))

@@ -92,3 +92,61 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_user_id").alias("user_id"),
         F.round("r_value", 6).alias("error_value"),
     ).orderBy("click_id", "error_id")
+
+
+_SCD2_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER win IS NULL
+                OR event_type <> lag(event_type) OVER win
+              THEN 1 ELSE 0 END AS chg
+  FROM events WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+ver AS (
+  SELECT user_id, ts, event_type,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS version
+  FROM seq
+),
+runs AS (
+  SELECT user_id, version, min(event_type) AS state,
+         min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events
+  FROM ver GROUP BY user_id, version
+)
+SELECT user_id, CAST(version AS BIGINT) AS version, state,
+       epoch_ms(valid_from)::BIGINT AS valid_from_ms,
+       epoch_ms(lead(valid_from) OVER wv)::BIGINT AS valid_to_ms,
+       n_events,
+       lead(valid_from) OVER wv IS NULL AS is_current
+FROM runs WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+ORDER BY user_id, version
+"""
+
+
+@query("scd2_user_state", oracle=_SCD2_ORACLE)
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from the events change log:
+    per user, consecutive same-event_type runs collapse to versioned
+    [valid_from, valid_to) intervals, latest version open/is_current.
+    The whole history build costs ONE exchange on user_id (change-flag
+    window, running sum, per-run aggregate, and valid_to lead all reuse
+    the partitioning — pinned in tests/test_plans.py). See
+    operators/temporal.scd2_collapse."""
+    from ..operators.temporal import scd2_collapse
+
+    out = scd2_collapse(
+        load_table(spark, sf_dir, "events"),
+        key="user_id",
+        attr="event_type",
+        ts="ts",
+        tiebreak="event_id",
+    )
+    return out.select(
+        "user_id",
+        "version",
+        "state",
+        F.unix_millis("valid_from").alias("valid_from_ms"),
+        F.unix_millis("valid_to").alias("valid_to_ms"),
+        "n_events",
+        "is_current",
+    )
