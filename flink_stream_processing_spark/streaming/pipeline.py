@@ -190,3 +190,75 @@ def write_jdbc_metrics(
         .outputMode("append")
         .option("checkpointLocation", checkpoint)
     )
+
+
+def write_jdbc_upsert(
+    df: DataFrame,
+    url: str,
+    table: str,
+    keys: list[str],
+    properties: dict[str, str] | None = None,
+    checkpoint: str = "/tmp/ckpt-remittance-upsert",
+    output_mode: str = "update",
+) -> DataStreamWriter:
+    """K3 extension: REPLAY-SAFE keyed JDBC upsert. The plain append sink
+    (write_jdbc_metrics) is exactly-once only for closed windows; under
+    ``update`` output mode (windows re-emit as events arrive) or after a
+    checkpoint loss it duplicates rows. This sink makes every micro-batch
+    an idempotent upsert keyed on ``keys``:
+
+      1. the batch overwrites a staging table (data flows executor -> DB
+         over JDBC; nothing is collected to the driver),
+      2. one driver-side transaction runs DELETE-matching-keys + INSERT
+         from staging — only DML strings cross the driver, the merge runs
+         inside the database.
+
+    Under update mode the target table CONVERGES to the batch-query result
+    (stale partial windows are replaced on every re-emission), so a replay
+    from offset zero — or running the whole stream twice — lands on the
+    identical table. The DELETE+INSERT pair is ANSI (EXISTS subquery), so
+    Derby in tests and PostgreSQL in production run the same statements.
+    At scale the per-batch cost is O(changed keys), not O(table): the
+    staging table only ever holds one micro-batch's updated windows.
+    Reference scope: StreamJob.java:176-215 writes append-only JDBC; this
+    is the upgrade a restartable deployment of that job needs."""
+    props = {"driver": "org.postgresql.Driver", **(properties or {})}
+    staging = f"{table}_staging"
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cols = batch_df.columns
+        # creates the target on first batch (JDBC append creates missing
+        # tables); limit(0) ships no rows.
+        batch_df.limit(0).write.mode("append").jdbc(url, table, properties=props)
+        batch_df.write.mode("overwrite").jdbc(url, staging, properties=props)
+        # table-name-qualified correlation (not an alias): the one DELETE
+        # spelling both Derby and PostgreSQL accept. Columns must be
+        # double-quoted — Spark's JDBC writer creates them as quoted
+        # (case-exact) identifiers.
+        pred = " AND ".join(f'{table}."{k}" = s."{k}"' for k in keys)
+        col_list = ", ".join(f'"{c}"' for c in cols)
+        jvm = batch_df.sparkSession._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            conn.setAutoCommit(False)
+            st = conn.createStatement()
+            st.executeUpdate(
+                f"DELETE FROM {table} WHERE EXISTS "
+                f"(SELECT 1 FROM {staging} s WHERE {pred})"
+            )
+            st.executeUpdate(
+                f"INSERT INTO {table} ({col_list}) SELECT {col_list} FROM {staging}"
+            )
+            conn.commit()
+            st.close()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            conn.close()
+
+    return (
+        df.writeStream.foreachBatch(upsert_batch)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+    )

@@ -65,3 +65,98 @@ def test_jdbc_sink_end_to_end(spark, tmp_path):
     want = sorted(tuple(r) for r in batch.collect())
     assert len(got) > 0, "JDBC table is empty — sink never wrote"
     assert got == want
+
+
+def test_jdbc_upsert_replay_converges(spark, tmp_path):
+    """Replay-safe upsert sink: UPDATE-mode window metrics (partial windows
+    re-emit and get replaced) upserted into Derby must converge to the
+    batch flagship result — and running the WHOLE stream a second time
+    from a fresh checkpoint (full replay, the worst-case duplicate
+    scenario for the append sink) must leave the table unchanged."""
+    from flink_stream_processing_spark.streaming.pipeline import (
+        write_jdbc_upsert,
+    )
+
+    d = tmp_path / "events_dir"
+    d.mkdir()
+    (d / "events.parquet").symlink_to(f"{SF_SMALL}/events.parquet")
+    url = f"jdbc:derby:{tmp_path}/upsertdb;create=true"
+
+    def run_once(ckpt: str) -> None:
+        tx = as_transactions(events_file_stream(spark, str(d)))
+        agg = streaming_window_metrics(tx, watermark="5 seconds")
+        q = (
+            write_jdbc_upsert(
+                agg,
+                url,
+                table="metrics_upsert",
+                keys=["window_start"],
+                properties=DERBY_PROPS,
+                checkpoint=ckpt,
+                output_mode="update",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run_once(str(tmp_path / "ckpt1"))
+    run_once(str(tmp_path / "ckpt2"))  # fresh checkpoint = full replay
+
+    got = (
+        spark.read.jdbc(url, "metrics_upsert", properties=DERBY_PROPS)
+        .orderBy("window_start")
+        .collect()
+    )
+    # update mode + upsert => the table holds EVERY window (open ones
+    # included) at its final value: exactly the batch query.
+    events = load_table(spark, SF_SMALL, "events")
+    want = (
+        window_metrics_over_events(events).orderBy("window_start").collect()
+    )
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+
+
+def test_jdbc_upsert_replaces_stale_rows(spark, tmp_path):
+    """Rows pre-seeded with stale values for existing keys must be
+    REPLACED, not duplicated (the keyed DELETE+INSERT contract)."""
+    from flink_stream_processing_spark.streaming.pipeline import (
+        write_jdbc_upsert,
+    )
+
+    d = tmp_path / "events_dir"
+    d.mkdir()
+    (d / "events.parquet").symlink_to(f"{SF_SMALL}/events.parquet")
+    url = f"jdbc:derby:{tmp_path}/staledb;create=true"
+
+    tx = as_transactions(events_file_stream(spark, str(d)))
+    agg = streaming_window_metrics(tx, watermark="5 seconds")
+    # seed the target with a corrupted copy of the expected output (same
+    # keys, wrong counts) BEFORE the stream runs
+    events = load_table(spark, SF_SMALL, "events")
+    stale = window_metrics_over_events(events).withColumn(
+        "cnt", F.lit(-1).cast("long")
+    )
+    stale.write.mode("append").jdbc(
+        url, "metrics_stale", properties=DERBY_PROPS
+    )
+
+    q = (
+        write_jdbc_upsert(
+            agg,
+            url,
+            table="metrics_stale",
+            keys=["window_start"],
+            properties=DERBY_PROPS,
+            checkpoint=str(tmp_path / "ckpt"),
+            output_mode="update",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    got = spark.read.jdbc(url, "metrics_stale", properties=DERBY_PROPS)
+    assert got.filter(F.col("cnt") == -1).count() == 0
+    want = window_metrics_over_events(events)
+    assert got.count() == want.count()
