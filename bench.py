@@ -106,6 +106,8 @@ HEADLINE = [
     "near_dup_clusters",
     "duplicate_ngram_spans",
     "scd2_user_state",
+    "bm25_lexical_topk",
+    "hybrid_rrf_search",
 ]
 
 

@@ -187,3 +187,76 @@ def fuzzy_name_pairs(
         .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_doc_id: int,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact BM25 (Okapi, Lucene idf form) top-k retrieval with the tokens
+    of one corpus document as the query. Returns (id, bm25, lex_rank).
+
+    Plan shape (100 TB):
+    - the postings build (explode -> per-doc tf) is the standard inverted
+      -index shuffle, O(total tokens) narrow rows;
+    - query terms BROADCAST against the postings, so only postings of
+      matching terms survive the join — the corpus is scanned once and
+      never reshuffled on doc_id;
+    - document frequency comes from ONE analytic count partitioned by
+      token over the matched postings (no second aggregate + join-back);
+    - corpus stats (N, avgdl) ride in as a broadcast single-row cross
+      join; top-k is the per-partition TakeOrdered heap.
+    Scores round to 4 decimals before ranking (sum order across engines
+    differs at ~1e-15 relative; ranks must be bit-stable), ties break on
+    id. No reference twin (LLM-retrieval extension, SURVEY.md §2).
+    """
+    from pyspark.sql.window import Window
+
+    base = docs.select(F.col(id_col), tokens_col(text).alias("toks"))
+    postings = (
+        base.select(id_col, F.size("toks").alias("dl"), F.explode("toks").alias("token"))
+        .groupBy(id_col, "dl", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    stats = base.select(F.size("toks").alias("dl")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    qterms = (
+        base.filter(F.col(id_col) == query_doc_id)
+        .select(F.explode("toks").alias("token"))
+        .distinct()
+    )
+    wtok = Window.partitionBy("token")
+    scored = (
+        postings.join(F.broadcast(qterms), "token")
+        .withColumn("df", F.count(F.lit(1)).over(wtok).cast("double"))
+        .join(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "score_t",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+    )
+    topk = (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("score_t"), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), id_col)
+        .limit(k)
+    )
+    wr = Window.orderBy(F.col("bm25").desc(), id_col)
+    return topk.withColumn("lex_rank", F.row_number().over(wr).cast("long"))

@@ -53,6 +53,7 @@ from .queries_impl import (  # noqa: E402,F401
     relational_extra,
     relational_olap,
     relational_tpch2,
+    retrieval,
     temporal,
     windows_extra,
 )
@@ -74,4 +75,5 @@ _ALL_IMPL = [
     corpus_pipeline,
     grouped_pandas,
     file_formats,
+    retrieval,
 ]

@@ -151,3 +151,14 @@ def test_semantic_dedup_anti_join_carries_keys_only(spark):
     plan = formatted_plan(QUERIES["semantic_dedup_keep"](spark, SF_DIR))
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_broadcasts_query_terms_no_corpus_reshuffle(spark):
+    """BM25: the query-term set and corpus stats must broadcast; the only
+    hash exchanges are the postings aggregate and the df analytic — the
+    corpus is never reshuffled on doc_id for the scoring join."""
+    from flink_stream_processing_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["bm25_lexical_topk"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
