@@ -1,11 +1,14 @@
 """Multimodal-column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
-The decode step itself (image decode, resize, audio resample, video frame
-sampling) needs codec libraries that are NOT in this container — it is
-STUBBED behind ``decode_media`` (NotImplementedError) and a deterministic
-fake (``fake_feature_extract``). The Spark-side plumbing — schema,
-partitioning, UDF signature, Arrow batch shape — is real and tested.
+``decode_media`` is a REAL dependency-free header decoder: it struct-parses
+PNG (IHDR width/height/bit depth), BMP (DIB header dims), and WAV (fmt
+chunk sample rate/channels/bits) straight from the byte payload — no codec
+libraries needed. Full pixel/sample decode (resize, resample, frame
+sampling) would need codecs absent from this container; that tail is
+covered by the deterministic ``fake_feature_extract`` so the Spark-side
+plumbing — schema, partitioning, UDF signature, Arrow batch shape — is
+real and tested end-to-end (tests/test_media_decode.py).
 
 Scale design (100 TB):
 - Binary payloads stay columnar in parquet; metadata lives beside them so

@@ -162,8 +162,12 @@ def scd2_collapse(
     """
     order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
     wseq = Window.partitionBy(key).orderBy(*order)
-    chg = F.lag(attr).over(wseq).isNull() | (
-        F.col(attr) != F.lag(attr).over(wseq)
+    # null-safe change test: a NULL state is a real state — it must start
+    # its own run, not merge into the preceding non-null run (and a run of
+    # NULLs must stay ONE run). lag()-is-null can't distinguish "first row"
+    # from "previous state was NULL", so first-row is detected explicitly.
+    chg = (F.row_number().over(wseq) == 1) | ~F.col(attr).eqNullSafe(
+        F.lag(attr).over(wseq)
     )
     versioned = df.select(key, ts, attr, *([tiebreak] if tiebreak else [])).withColumn(
         "version",

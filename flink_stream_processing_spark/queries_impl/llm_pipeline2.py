@@ -168,17 +168,19 @@ WITH t AS (
   SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
   FROM documents
 ), o AS (
+  -- DuckDB's windowed sum() over BIGINT yields HUGEINT, which the driver's
+  -- hash comparator float-ifies; cast back to BIGINT so dtypes match Spark.
   SELECT doc_id, n_tokens,
-         sum(n_tokens) OVER (ORDER BY doc_id
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
-           AS token_start
+           AS BIGINT) AS token_start
   FROM t
 )
 SELECT doc_id, n_tokens, token_start,
-       token_start // {_PACK_CAPACITY} AS first_chunk,
-       (token_start + n_tokens - 1) // {_PACK_CAPACITY} AS last_chunk,
-       ((token_start + n_tokens - 1) // {_PACK_CAPACITY})
-         - (token_start // {_PACK_CAPACITY}) + 1 AS n_chunks
+       CAST(token_start // {_PACK_CAPACITY} AS BIGINT) AS first_chunk,
+       CAST((token_start + n_tokens - 1) // {_PACK_CAPACITY} AS BIGINT) AS last_chunk,
+       CAST(((token_start + n_tokens - 1) // {_PACK_CAPACITY})
+         - (token_start // {_PACK_CAPACITY}) + 1 AS BIGINT) AS n_chunks
 FROM o
 """
 

@@ -474,7 +474,10 @@ def q_json_path_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_variant_get("v", "$.k", "long").alias("k_val"),
             F.try_variant_get("v", "$.k", "long").isNotNull().alias("has_k"),
             F.try_variant_get("v", "$.missing", "string").isNotNull().alias("has_missing"),
-            F.try_variant_get("v", "$[0]", "string").isNotNull().alias("first_elem_exists"),
+            # existence probe typed as variant, not string: a string-typed
+            # probe returns NULL when the element is an object/array (lossy
+            # cast), diverging from json_extract's exists semantics.
+            F.try_variant_get("v", "$[0]", "variant").isNotNull().alias("first_elem_exists"),
         )
         .orderBy("event_id")
     )

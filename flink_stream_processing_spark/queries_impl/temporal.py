@@ -97,8 +97,8 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCD2_ORACLE = """
 WITH seq AS (
   SELECT user_id, ts, event_id, event_type,
-         CASE WHEN lag(event_type) OVER win IS NULL
-                OR event_type <> lag(event_type) OVER win
+         CASE WHEN row_number() OVER win = 1
+                OR event_type IS DISTINCT FROM lag(event_type) OVER win
               THEN 1 ELSE 0 END AS chg
   FROM events WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),

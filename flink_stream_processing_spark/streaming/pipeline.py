@@ -41,6 +41,9 @@ metrics present in the query progress).
 
 from __future__ import annotations
 
+import re
+
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
@@ -75,14 +78,27 @@ def _events_stream_schema(ts_is_long: bool) -> StructType:
 
 
 def events_file_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    ts_is_long: bool | None = None,
 ) -> DataFrame:
     """The ``events`` table as a file stream (test stand-in for the Kafka
     topic; S1/S2). One source DataFrame can fan out to both the risk and
-    metrics sinks — the reference reads the topic twice instead."""
+    metrics sinks — the reference reads the topic twice instead.
+
+    ``ts_is_long`` pins the ts physical type explicitly; when None it is
+    probed from the static footer. The probe throws if the directory is
+    empty at stream start (a legitimate deployment state — files arrive
+    later), so that case falls back to the epoch-nanos long layout the
+    driver generates."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    static_dtypes = dict(spark.read.parquet(path).dtypes)
-    ts_is_long = static_dtypes.get("ts") == "bigint"
+    if ts_is_long is None:
+        try:
+            static_dtypes = dict(spark.read.parquet(path).dtypes)
+            ts_is_long = static_dtypes.get("ts") == "bigint"
+        except AnalysisException:
+            ts_is_long = True
     reader = spark.readStream.schema(_events_stream_schema(ts_is_long))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -167,6 +183,53 @@ def write_memory(
     return w.start()
 
 
+_PLAIN_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_$]*$")
+_QUOTED_IDENT = re.compile(r'^"[^"]+"$')
+
+
+def _check_sql_identifier(table: str) -> None:
+    """Accept what Spark's JDBC writer accepts: a plain identifier (emitted
+    verbatim, resolved through the DB's case folding — same path as the
+    writer's own CREATE/INSERT) or a pre-quoted one for mixed-case /
+    reserved-word names. Anything else fails here, loudly, instead of
+    producing merge DML that parses differently from the writer's
+    statements (or not at all)."""
+    if not (_PLAIN_IDENT.match(table) or _QUOTED_IDENT.match(table)):
+        raise ValueError(
+            f"table name {table!r} is neither a plain SQL identifier nor a "
+            f'pre-quoted one ("Name"); pass it pre-quoted'
+        )
+
+
+def _staging_name(table: str) -> str:
+    """`t` -> `t_staging`; pre-quoted `"T"` -> `"T_staging"`."""
+    if _QUOTED_IDENT.match(table):
+        return f'{table[:-1]}_staging"'
+    return f"{table}_staging"
+
+
+def _jdbc_connection(spark: SparkSession, url: str, props: dict[str, str]):
+    """Driver-side java.sql.Connection honoring the full JDBC properties
+    dict (user/password/driver/...), matching what the executor-side
+    ``DataFrameWriter.jdbc`` uses — a bare ``getConnection(url)`` only
+    works when credentials are embedded in the URL (e.g. test Derby)."""
+    jvm = spark._jvm
+    driver_cls = props.get("driver")
+    if driver_cls:
+        try:
+            jvm.java.lang.Class.forName(driver_cls)
+        except Exception:
+            # driver jar absent on the driver classpath is fine when the
+            # DriverManager can already resolve the URL scheme (Derby
+            # embedded in tests registers itself).
+            pass
+    jprops = jvm.java.util.Properties()
+    for k, v in props.items():
+        if k != "driver":
+            jprops.setProperty(k, str(v))
+    return jvm.java.sql.DriverManager.getConnection(url, jprops)
+
+
 def write_jdbc_metrics(
     df: DataFrame,
     url: str,
@@ -213,6 +276,17 @@ def write_jdbc_upsert(
          from staging — only DML strings cross the driver, the merge runs
          inside the database.
 
+    Identifier contract: ``table``/``keys``/columns follow Spark's own JDBC
+    writer — plain identifiers are emitted verbatim (resolving through the
+    database's case folding, Derby->upper / PostgreSQL->lower, exactly as
+    the writer's CREATE/INSERT do); a mixed-case or reserved-word table must
+    be passed pre-quoted (``table='"MyTable"'``), and anything else is
+    rejected at construction instead of silently targeting a different
+    table. Precondition (asserted per batch inside the merge txn): the
+    micro-batch carries at most one row per key — true for update-mode
+    keyed aggregations, the sink's intended input; a duplicate-keyed batch
+    raises instead of inserting duplicates.
+
     Under update mode the target table CONVERGES to the batch-query result
     (stale partial windows are replaced on every re-emission), so a replay
     from offset zero — or running the whole stream twice — lands on the
@@ -223,7 +297,9 @@ def write_jdbc_upsert(
     Reference scope: StreamJob.java:176-215 writes append-only JDBC; this
     is the upgrade a restartable deployment of that job needs."""
     props = {"driver": "org.postgresql.Driver", **(properties or {})}
-    staging = f"{table}_staging"
+    _check_sql_identifier(table)
+    staging = _staging_name(table)
+    key_tuple = ", ".join(f'"{k}"' for k in keys)
 
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
         cols = batch_df.columns
@@ -237,11 +313,27 @@ def write_jdbc_upsert(
         # (case-exact) identifiers.
         pred = " AND ".join(f'{table}."{k}" = s."{k}"' for k in keys)
         col_list = ", ".join(f'"{c}"' for c in cols)
-        jvm = batch_df.sparkSession._jvm
-        conn = jvm.java.sql.DriverManager.getConnection(url)
+        conn = _jdbc_connection(batch_df.sparkSession, url, props)
         try:
             conn.setAutoCommit(False)
             st = conn.createStatement()
+            # precondition gate: at most one row per key per micro-batch
+            # (update-mode keyed aggregation output). Staging holds one
+            # micro-batch, so this scan is O(batch), not O(table).
+            rs = st.executeQuery(
+                f"SELECT COUNT(*) FROM (SELECT {key_tuple} FROM {staging} "
+                f"GROUP BY {key_tuple} HAVING COUNT(*) > 1) d"
+            )
+            rs.next()
+            n_dup_keys = rs.getLong(1)
+            rs.close()
+            if n_dup_keys:
+                raise ValueError(
+                    f"write_jdbc_upsert batch {batch_id}: {n_dup_keys} keys "
+                    f"appear more than once in the micro-batch; the upsert "
+                    f"sink requires one row per key per batch (use an "
+                    f"update-mode keyed aggregation upstream)"
+                )
             st.executeUpdate(
                 f"DELETE FROM {table} WHERE EXISTS "
                 f"(SELECT 1 FROM {staging} s WHERE {pred})"

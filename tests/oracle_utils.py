@@ -41,12 +41,40 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=repr)
 
 
+def _kind(dtype) -> str:
+    """Collapse a pandas dtype to a comparison kind. The driver's value-hash
+    is dtype-sensitive (an int64 column and a float64 column hash differently
+    even when values are equal — e.g. DuckDB HUGEINT windowed sums arriving
+    as float64), so the local gate must flag kind mismatches, not paper over
+    them via ``.item()`` canonicalization."""
+    k = getattr(dtype, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    return "other"
+
+
 def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str) -> None:
     actual = spark_df.toPandas()
     expected = run_oracle(oracle_sql, sf_dir)
     assert sorted(actual.columns) == sorted(expected.columns), (
         f"column mismatch: spark={sorted(actual.columns)} oracle={sorted(expected.columns)}"
     )
+    for col in actual.columns:
+        ka, ke = _kind(actual[col].dtype), _kind(expected[col].dtype)
+        # Nullable int columns surface as object/float on either side; only
+        # flag the unambiguous int-vs-float case (the driver-hash killer).
+        if {ka, ke} == {"int", "float"} and not (
+            actual[col].isna().any() or expected[col].isna().any()
+        ):
+            raise AssertionError(
+                f"dtype kind mismatch on '{col}': spark={actual[col].dtype} "
+                f"oracle={expected[col].dtype} — driver hash would differ; "
+                f"CAST the oracle (or Spark) side"
+            )
     assert len(actual) == len(expected), (
         f"row count mismatch: spark={len(actual)} oracle={len(expected)}"
     )

@@ -117,6 +117,122 @@ def test_jdbc_upsert_replay_converges(spark, tmp_path):
     assert [r.asDict() for r in got] == [r.asDict() for r in want]
 
 
+def test_jdbc_upsert_credentialed_connection(spark, tmp_path):
+    """The driver-side merge connection must honor the JDBC properties dict
+    (user/password), not just the bare URL: Derby with builtin auth enabled
+    rejects unauthenticated connections, so a passing upsert proves the
+    credentials actually flow through DriverManager.getConnection(url,
+    props). (The ADVICE.md pipeline.py:241 defect: creds were dropped.)"""
+    from flink_stream_processing_spark.streaming.pipeline import (
+        write_jdbc_upsert,
+    )
+
+    d = tmp_path / "events_dir"
+    d.mkdir()
+    (d / "events.parquet").symlink_to(f"{SF_SMALL}/events.parquet")
+    # create the db with builtin auth ON and one user; every later
+    # connection (executor writes AND the driver-side merge) must present
+    # user/password via properties — none are embedded in this URL.
+    boot = f"jdbc:derby:{tmp_path}/authdb;create=true"
+    jvm = spark._jvm
+    jprops = jvm.java.util.Properties()
+    conn = jvm.java.sql.DriverManager.getConnection(boot, jprops)
+    st = conn.createStatement()
+    for k, v in [
+        ("derby.connection.requireAuthentication", "true"),
+        ("derby.authentication.provider", "BUILTIN"),
+        ("derby.user.graft", "s3cret"),
+    ]:
+        st.executeUpdate(
+            "CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY"
+            f"('{k}', '{v}')"
+        )
+    st.close()
+    conn.close()
+    # shut the db down so auth takes effect on next boot
+    try:
+        jvm.java.sql.DriverManager.getConnection(
+            f"jdbc:derby:{tmp_path}/authdb;shutdown=true"
+        )
+    except Exception:
+        pass  # Derby signals successful shutdown via SQLException
+
+    url = f"jdbc:derby:{tmp_path}/authdb"
+    props = {**DERBY_PROPS, "user": "graft", "password": "s3cret"}
+
+    tx = as_transactions(events_file_stream(spark, str(d)))
+    agg = streaming_window_metrics(tx, watermark="5 seconds")
+    q = (
+        write_jdbc_upsert(
+            agg,
+            url,
+            table="metrics_auth",
+            keys=["window_start"],
+            properties=props,
+            checkpoint=str(tmp_path / "ckpt"),
+            output_mode="update",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = spark.read.jdbc(url, "metrics_auth", properties=props)
+    events = load_table(spark, SF_SMALL, "events")
+    assert got.count() == window_metrics_over_events(events).count()
+
+
+def test_jdbc_upsert_rejects_duplicate_keyed_batch(spark, tmp_path):
+    """A micro-batch with >1 row per key violates the sink's precondition
+    and must raise (old behavior: silent duplicate inserts)."""
+    from flink_stream_processing_spark.streaming.pipeline import (
+        write_jdbc_upsert,
+    )
+
+    d = tmp_path / "events_dir"
+    d.mkdir()
+    (d / "events.parquet").symlink_to(f"{SF_SMALL}/events.parquet")
+    url = f"jdbc:derby:{tmp_path}/dupdb;create=true"
+
+    # per-event rows keyed on user_id: many rows per key in one batch.
+    ev = events_file_stream(spark, str(d)).select("event_id", "user_id")
+    q = (
+        write_jdbc_upsert(
+            ev,
+            url,
+            table="dup_target",
+            keys=["user_id"],
+            properties=DERBY_PROPS,
+            checkpoint=str(tmp_path / "ckpt"),
+            output_mode="append",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="one row per key"):
+        q.awaitTermination(120)
+        raise AssertionError("stream finished but should have failed")
+
+
+def test_jdbc_upsert_identifier_contract():
+    """Plain and pre-quoted table names accepted; junk rejected loudly."""
+    import pytest as _pytest
+
+    from flink_stream_processing_spark.streaming.pipeline import (
+        _check_sql_identifier,
+        _staging_name,
+    )
+
+    _check_sql_identifier("metrics")
+    _check_sql_identifier('"Mixed Case"')
+    assert _staging_name("metrics") == "metrics_staging"
+    assert _staging_name('"MyTable"') == '"MyTable_staging"'
+    for bad in ("my table", "t;drop", 'a"b', ""):
+        with _pytest.raises(ValueError):
+            _check_sql_identifier(bad)
+
+
 def test_jdbc_upsert_replaces_stale_rows(spark, tmp_path):
     """Rows pre-seeded with stale values for existing keys must be
     REPLACED, not duplicated (the keyed DELETE+INSERT contract)."""

@@ -372,3 +372,21 @@ def test_rocksdb_state_store_parity(spark, tmp_path):
         spark.conf.unset(
             "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
         )
+
+
+def test_events_stream_starts_on_empty_directory(spark, tmp_path):
+    """A stream may legitimately start before any files arrive; the static
+    schema probe must fall back (long/nanos layout) instead of throwing
+    AnalysisException on the empty directory (ADVICE.md pipeline.py:84)."""
+    from flink_stream_processing_spark.streaming.pipeline import (
+        events_file_stream,
+    )
+
+    d = tmp_path / "empty_events"
+    d.mkdir()
+    df = events_file_stream(spark, str(d))
+    assert df.isStreaming
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    # explicit override is honored without probing at all
+    df2 = events_file_stream(spark, str(d), ts_is_long=False)
+    assert dict(df2.dtypes)["ts"] == "timestamp"

@@ -109,6 +109,35 @@ def test_scd2_collapse_runs_and_intervals(spark):
     assert len(u2) == 1 and u2[0]["n_events"] == 2 and u2[0]["is_current"]
 
 
+def test_scd2_null_states_form_their_own_runs(spark):
+    # NULL is a real state: A NULL NULL A must be THREE runs (A / NULL-run
+    # of 2 / A), not "NULL merges into preceding A" + "post-NULL always
+    # splits" (the null-unsafe lag() construction). Also covers a NULL in
+    # row 1 of a key.
+    rows = [
+        Row(user_id=1, ts=_ts(0), event_id=1, state="A"),
+        Row(user_id=1, ts=_ts(1), event_id=2, state=None),
+        Row(user_id=1, ts=_ts(2), event_id=3, state=None),
+        Row(user_id=1, ts=_ts(3), event_id=4, state="A"),
+        Row(user_id=2, ts=_ts(0), event_id=5, state=None),
+        Row(user_id=2, ts=_ts(1), event_id=6, state=None),
+    ]
+    out = scd2_collapse(
+        spark.createDataFrame(rows), "user_id", "state", "ts", "event_id"
+    ).orderBy("user_id", "version")
+    got = [r.asDict() for r in out.collect()]
+    u1 = [g for g in got if g["user_id"] == 1]
+    assert [(g["version"], g["state"], g["n_events"]) for g in u1] == [
+        (1, "A", 1),
+        (2, None, 2),
+        (3, "A", 1),
+    ]
+    u2 = [g for g in got if g["user_id"] == 2]
+    assert [(g["version"], g["state"], g["n_events"], g["is_current"]) for g in u2] == [
+        (1, None, 2, True)
+    ]
+
+
 def test_scd2_tiebreak_orders_equal_timestamps(spark):
     # equal ts: event_id breaks the tie, so the run order is A then B.
     rows = [
