@@ -4,11 +4,20 @@ The reference pushes formatted metrics to dashboard clients over a STOMP
 WebSocket: ``SimpMessagingTemplate.convertAndSend("/topic/metrics", payload)``
 (MetricsService.java:104) on a broker configured at WebSocketConfig.java:26-49.
 Spring supplies the WebSocket server there; here the push channel is a
-dependency-free RFC 6455 server (handshake + unmasked server->client text
-frames — the only frame direction a broadcast sink needs) fed by a
-``StreamingQueryListener``. Where the reference POLLS Prometheus every 5 s
-and re-pushes (O2), Spark delivers progress events push-style, so the
-listener broadcasts each micro-batch's metrics with no scrape gap.
+dependency-free RFC 6455 server fed by a ``StreamingQueryListener``, with a
+STOMP 1.2 frame layer matching the reference's broker semantics: a client
+that sends CONNECT gets CONNECTED, SUBSCRIBEs to ``/topic/metrics`` (any
+destination), and receives each payload as a STOMP MESSAGE frame carrying
+``destination``/``subscription``/``message-id`` headers — the same
+subscribe/publish contract as the reference's SimpleBroker. Clients that
+skip the STOMP handshake (the bundled dashboard) receive the raw JSON text
+frames instead, so both client styles share one server. (The reference
+additionally wraps STOMP in a SockJS fallback transport; native WebSocket
+is the primary SockJS transport and the only one a non-browser-legacy
+client needs, so the fallback long-polling shims are intentionally out of
+scope.) Where the reference POLLS Prometheus every 5 s and re-pushes (O2),
+Spark delivers progress events push-style, so the listener broadcasts each
+micro-batch's metrics with no scrape gap.
 
 Scale note: the listener runs on the driver and the payload is O(1) per
 micro-batch (already-aggregated progress metrics, never data rows), so the
@@ -56,20 +65,117 @@ def encode_text_frame(payload: str) -> bytes:
     return bytes(head) + data
 
 
+def decode_client_frames(buf: bytes) -> tuple[list[tuple[int, bytes]], bytes]:
+    """Incrementally parse client->server frames (masked per RFC 6455 §5.3)
+    out of ``buf``; returns (complete (opcode, payload) frames, leftover
+    bytes of any partial frame)."""
+    frames: list[tuple[int, bytes]] = []
+    i = 0
+    while True:
+        if len(buf) - i < 2:
+            break
+        b0, b1 = buf[i], buf[i + 1]
+        opcode = b0 & 0x0F
+        masked = bool(b1 & 0x80)
+        ln = b1 & 0x7F
+        j = i + 2
+        if ln == 126:
+            if len(buf) - j < 2:
+                break
+            ln = int.from_bytes(buf[j : j + 2], "big")
+            j += 2
+        elif ln == 127:
+            if len(buf) - j < 8:
+                break
+            ln = int.from_bytes(buf[j : j + 8], "big")
+            j += 8
+        mask = b""
+        if masked:
+            if len(buf) - j < 4:
+                break
+            mask = buf[j : j + 4]
+            j += 4
+        if len(buf) - j < ln:
+            break
+        payload = buf[j : j + ln]
+        if masked:
+            payload = bytes(c ^ mask[k % 4] for k, c in enumerate(payload))
+        frames.append((opcode, payload))
+        i = j + ln
+    return frames, buf[i:]
+
+
+# ------------------------------------------------------------- STOMP framing
+# STOMP 1.2 (https://stomp.github.io/stomp-specification-1.2.html): a frame
+# is COMMAND, header lines, blank line, body, NUL. The subset a metrics
+# broker needs: CONNECT/CONNECTED, SUBSCRIBE/UNSUBSCRIBE, MESSAGE,
+# DISCONNECT/RECEIPT — the same verbs the reference's SimpleBroker serves
+# for /topic/metrics.
+
+_STOMP_COMMANDS = {
+    # client -> server
+    "CONNECT",
+    "STOMP",
+    "SUBSCRIBE",
+    "UNSUBSCRIBE",
+    "DISCONNECT",
+    "SEND",
+    "ACK",
+    "NACK",
+    # server -> client (parsed by test clients / symmetric tooling)
+    "CONNECTED",
+    "MESSAGE",
+    "RECEIPT",
+    "ERROR",
+}
+
+
+def encode_stomp_frame(command: str, headers: dict[str, str], body: str = "") -> str:
+    lines = [command] + [f"{k}:{v}" for k, v in headers.items()]
+    return "\n".join(lines) + "\n\n" + body + "\x00"
+
+
+def parse_stomp_frame(text: str) -> tuple[str, dict[str, str], str] | None:
+    """(command, headers, body), or None for heart-beats / non-STOMP text.
+    Repeated headers keep the FIRST occurrence (spec §Repeated Header
+    Entries)."""
+    text = text.lstrip("\r\n")
+    if not text:
+        return None  # EOL-only heart-beat frame
+    head, sep, rest = text.partition("\n\n")
+    if not sep:
+        return None
+    lines = head.split("\n")
+    command = lines[0].strip("\r")
+    if command not in _STOMP_COMMANDS:
+        return None
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        k, _, v = line.strip("\r").partition(":")
+        if k and k not in headers:
+            headers[k] = v
+    return command, headers, rest.split("\x00", 1)[0]
+
+
 class MetricsPushServer:
-    """Minimal broadcast-only WebSocket server: accepts connections, performs
-    the RFC 6455 handshake, and fans every ``broadcast()`` payload out to all
-    connected clients. Client->server frames are not consumed (a metrics feed
-    is one-directional; the reference's dashboard likewise only subscribes).
-    Dead clients are dropped on the first failed send."""
+    """Broadcast WebSocket server with a STOMP 1.2 broker layer: accepts
+    connections, performs the RFC 6455 handshake, and fans every
+    ``broadcast()`` payload out to all connected clients. A client that
+    completes the STOMP handshake (CONNECT -> CONNECTED) receives payloads
+    as MESSAGE frames on the destinations it SUBSCRIBEd to (the reference's
+    ``/topic/metrics`` contract); a client that never speaks STOMP receives
+    the raw JSON text frames. Dead clients are dropped on the first failed
+    send or closed read."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0) -> None:
         self._srv = socket.create_server((host, port))
         self._srv.settimeout(0.2)
         self.host, self.port = self._srv.getsockname()[:2]
-        self._clients: list[socket.socket] = []
+        # conn -> {"stomp": bool, "subs": {destination: subscription-id}}
+        self._state: dict[socket.socket, dict[str, Any]] = {}
         self._lock = threading.Lock()
         self._closing = threading.Event()
+        self._msg_seq = 0
         self._thread = threading.Thread(target=self._accept_loop, daemon=True)
         self._thread.start()
 
@@ -87,7 +193,88 @@ class MetricsPushServer:
                 conn.close()
                 continue
             with self._lock:
-                self._clients.append(conn)
+                self._state[conn] = {"stomp": False, "subs": {}}
+            threading.Thread(
+                target=self._client_loop, args=(conn,), daemon=True
+            ).start()
+
+    def _client_loop(self, conn: socket.socket) -> None:
+        """Per-client reader: consumes masked client frames — STOMP verbs,
+        ping (answered with pong), close. Payloads are O(frame), never data
+        rows, so one lightweight thread per dashboard client is the whole
+        cost (same shape as the reference's Spring broker)."""
+        buf = b""
+        conn.settimeout(0.2)
+        while not self._closing.is_set():
+            try:
+                chunk = conn.recv(4096)
+                if not chunk:
+                    break
+                buf += chunk
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            frames, buf = decode_client_frames(buf)
+            for opcode, payload in frames:
+                if opcode == 0x8:  # close
+                    self._drop(conn)
+                    return
+                if opcode == 0x9:  # ping -> pong, same payload
+                    try:
+                        conn.sendall(bytes([0x8A, len(payload)]) + payload)
+                    except OSError:
+                        self._drop(conn)
+                        return
+                    continue
+                if opcode == 0x1:
+                    self._on_text(conn, payload.decode("utf-8", "replace"))
+        self._drop(conn)
+
+    def _on_text(self, conn: socket.socket, text: str) -> None:
+        frame = parse_stomp_frame(text)
+        if frame is None:
+            return  # heart-beat or non-STOMP chatter: ignore
+        command, headers, _body = frame
+        with self._lock:
+            st = self._state.get(conn)
+        if st is None:
+            return
+        if command in ("CONNECT", "STOMP"):
+            st["stomp"] = True
+            self._send_frame(
+                conn,
+                encode_stomp_frame(
+                    "CONNECTED", {"version": "1.2", "heart-beat": "0,0"}
+                ),
+            )
+        elif command == "SUBSCRIBE":
+            dest = headers.get("destination", "")
+            if dest:
+                st["subs"][dest] = headers.get("id", "0")
+        elif command == "UNSUBSCRIBE":
+            sid = headers.get("id")
+            st["subs"] = {d: i for d, i in st["subs"].items() if i != sid}
+        elif command == "DISCONNECT":
+            receipt = headers.get("receipt")
+            if receipt:
+                self._send_frame(
+                    conn, encode_stomp_frame("RECEIPT", {"receipt-id": receipt})
+                )
+
+    def _send_frame(self, conn: socket.socket, stomp_payload: str) -> None:
+        try:
+            conn.sendall(encode_text_frame(stomp_payload))
+        except OSError:
+            self._drop(conn)
+
+    def _drop(self, conn: socket.socket) -> None:
+        with self._lock:
+            self._state.pop(conn, None)
+        try:
+            conn.close()
+        except OSError:
+            pass
 
     @staticmethod
     def _handshake(conn: socket.socket) -> None:
@@ -115,34 +302,63 @@ class MetricsPushServer:
             ).encode("ascii")
         )
 
-    def broadcast(self, payload: str) -> int:
-        """Send one text frame to every client; returns clients reached."""
-        frame = encode_text_frame(payload)
+    def broadcast(self, payload: str, destination: str = "/topic/metrics") -> int:
+        """Fan one payload out to every client; returns clients reached.
+        STOMP clients subscribed to ``destination`` get a MESSAGE frame
+        (destination/subscription/message-id headers, JSON body); STOMP
+        clients without a matching subscription get nothing (broker
+        semantics); raw-WebSocket clients get the payload as a plain text
+        frame."""
+        raw = encode_text_frame(payload)
         sent = 0
         with self._lock:
-            alive = []
-            for c in self._clients:
-                try:
-                    c.sendall(frame)
-                    alive.append(c)
-                    sent += 1
-                except OSError:
-                    c.close()
-            self._clients = alive
+            clients = list(self._state.items())
+        for conn, st in clients:
+            if st["stomp"]:
+                sub_id = st["subs"].get(destination)
+                if sub_id is None:
+                    continue
+                with self._lock:
+                    self._msg_seq += 1
+                    mid = self._msg_seq
+                data = encode_text_frame(
+                    encode_stomp_frame(
+                        "MESSAGE",
+                        {
+                            "destination": destination,
+                            "subscription": sub_id,
+                            "message-id": f"m-{mid}",
+                            "content-type": "application/json",
+                            "content-length": str(len(payload.encode("utf-8"))),
+                        },
+                        payload,
+                    )
+                )
+            else:
+                data = raw
+            try:
+                conn.sendall(data)
+                sent += 1
+            except OSError:
+                self._drop(conn)
         return sent
 
     @property
     def client_count(self) -> int:
         with self._lock:
-            return len(self._clients)
+            return len(self._state)
 
     def close(self) -> None:
         self._closing.set()
         self._thread.join(timeout=5)
         with self._lock:
-            for c in self._clients:
+            conns = list(self._state)
+            self._state = {}
+        for c in conns:
+            try:
                 c.close()
-            self._clients = []
+            except OSError:
+                pass
         self._srv.close()
 
 

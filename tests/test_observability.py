@@ -242,3 +242,145 @@ def test_dashboard_card_ids_match_push_payload_fields():
     src = inspect.getsource(push.WebSocketMetricsPush.onQueryProgress)
     for f in payload_fields:
         assert f'"{f}"' in src, f"listener no longer emits {f}"
+
+
+# --- STOMP layer over the WebSocket push ------------------------------------
+
+
+def _ws_send_text(s, payload: str) -> None:
+    """Client->server text frame (masked, RFC 6455 §5.3 requires it)."""
+    import os as _os
+
+    data = payload.encode("utf-8")
+    mask = _os.urandom(4)
+    n = len(data)
+    head = bytearray([0x81])
+    if n < 126:
+        head.append(0x80 | n)
+    elif n < 1 << 16:
+        head.append(0x80 | 126)
+        head += n.to_bytes(2, "big")
+    else:
+        head.append(0x80 | 127)
+        head += n.to_bytes(8, "big")
+    masked = bytes(c ^ mask[i % 4] for i, c in enumerate(data))
+    s.sendall(bytes(head) + mask + masked)
+
+
+def test_stomp_codec_roundtrip():
+    from flink_stream_processing_spark.streaming.push import (
+        encode_stomp_frame,
+        parse_stomp_frame,
+    )
+
+    raw = encode_stomp_frame(
+        "MESSAGE", {"destination": "/topic/metrics", "subscription": "s0"}, "{}"
+    )
+    assert raw.endswith("\x00") and "\n\n" in raw
+    cmd, headers, body = parse_stomp_frame(raw)
+    assert cmd == "MESSAGE" and body == "{}"
+    assert headers["destination"] == "/topic/metrics"
+    # heart-beat and non-STOMP text are ignored, not errors
+    assert parse_stomp_frame("\n") is None
+    assert parse_stomp_frame("hello world\n\nbody\x00") is None
+    # repeated headers: first occurrence wins (STOMP 1.2)
+    cmd, headers, _ = parse_stomp_frame("SEND\na:1\na:2\n\n\x00")
+    assert headers["a"] == "1"
+
+
+def test_stomp_subscribe_receives_message_frame(spark):
+    """The reference's broker contract end-to-end (WebSocketConfig.java:26-49,
+    MetricsService.java:104): CONNECT -> CONNECTED, SUBSCRIBE to
+    /topic/metrics, then a live streaming query's progress arrives as a
+    STOMP MESSAGE frame with destination/subscription headers and the JSON
+    metrics body. A second, non-STOMP client on the SAME server still gets
+    the raw JSON frame."""
+    import json
+    import time
+
+    from flink_stream_processing_spark.streaming.push import (
+        MetricsPushServer,
+        WebSocketMetricsPush,
+        parse_stomp_frame,
+    )
+
+    srv = MetricsPushServer()
+    listener = WebSocketMetricsPush(srv)
+    spark.streams.addListener(listener)
+    try:
+        stomp_c, _, _ = _ws_connect(srv.host, srv.port)
+        raw_c, _, _ = _ws_connect(srv.host, srv.port)
+        deadline = time.time() + 10
+        while srv.client_count < 2 and time.time() < deadline:
+            time.sleep(0.05)
+        stomp_c.settimeout(10)
+        _ws_send_text(
+            stomp_c, "CONNECT\naccept-version:1.2\nhost:localhost\n\n\x00"
+        )
+        cmd, headers, _ = parse_stomp_frame(_ws_read_text_frame(stomp_c))
+        assert cmd == "CONNECTED" and headers["version"] == "1.2"
+        _ws_send_text(
+            stomp_c,
+            "SUBSCRIBE\nid:sub-0\ndestination:/topic/metrics\n\n\x00",
+        )
+        time.sleep(0.3)  # server applies SUBSCRIBE asynchronously
+
+        df = spark.readStream.format("rate").option("rowsPerSecond", 100).load()
+        q = (
+            df.writeStream.format("memory")
+            .queryName(f"stomp_{uuid.uuid4().hex[:8]}")
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            stomp_c.settimeout(30)
+            raw_c.settimeout(30)
+            cmd, headers, body = parse_stomp_frame(_ws_read_text_frame(stomp_c))
+            raw_msg = json.loads(_ws_read_text_frame(raw_c))
+        finally:
+            q.stop()
+        assert cmd == "MESSAGE"
+        assert headers["destination"] == "/topic/metrics"
+        assert headers["subscription"] == "sub-0"
+        assert headers["content-type"] == "application/json"
+        assert headers["message-id"]
+        msg = json.loads(body)
+        assert msg["batch_id"] >= 0 and "latency_ms" in msg
+        assert raw_msg["topic"] == "/topic/metrics"  # raw client unaffected
+        stomp_c.close()
+        raw_c.close()
+    finally:
+        spark.streams.removeListener(listener)
+        srv.close()
+
+
+def test_stomp_unsubscribed_destination_gets_nothing():
+    """Broker semantics: a STOMP client subscribed to a different
+    destination receives no MESSAGE for /topic/metrics."""
+    import time
+
+    from flink_stream_processing_spark.streaming.push import (
+        MetricsPushServer,
+        parse_stomp_frame,
+    )
+
+    srv = MetricsPushServer()
+    try:
+        c, _, _ = _ws_connect(srv.host, srv.port)
+        deadline = time.time() + 10
+        while srv.client_count == 0 and time.time() < deadline:
+            time.sleep(0.05)
+        c.settimeout(10)
+        _ws_send_text(c, "CONNECT\naccept-version:1.2\n\n\x00")
+        cmd, _, _ = parse_stomp_frame(_ws_read_text_frame(c))
+        assert cmd == "CONNECTED"
+        _ws_send_text(c, "SUBSCRIBE\nid:s1\ndestination:/topic/other\n\n\x00")
+        time.sleep(0.3)
+        assert srv.broadcast('{"x":1}', destination="/topic/metrics") == 0
+        assert srv.broadcast('{"x":2}', destination="/topic/other") == 1
+        cmd, headers, body = parse_stomp_frame(_ws_read_text_frame(c))
+        assert cmd == "MESSAGE" and headers["destination"] == "/topic/other"
+        assert body == '{"x":2}'
+        c.close()
+    finally:
+        srv.close()

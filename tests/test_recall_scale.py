@@ -108,3 +108,38 @@ def test_embedding_near_dup_recall_at_sf01(spark):
     )
     assert exact, "sf0.1 corpus has no pairs at the threshold; gate is vacuous"
     assert lsh == exact
+
+
+def test_minhash_scaling_slope_ungated(spark):
+    """Default-gate slope assertion (VERDICT r3 item 7): doubling the corpus
+    (5k -> 10k sf0.1 docs, disjoint-replica bulk) must scale the LSH
+    banding near-linearly. A super-linear regression (e.g. an accidental
+    all-pairs expansion: 12.5M -> 50M pairs, ratio >= 4) fails HERE, in
+    every pytest run, not just the opt-in stress path. Min-of-two timings
+    per size absorb scheduler noise; the bound (3.0) sits between linear
+    (~2, less with fixed overhead) and quadratic (~4+)."""
+    from flink_stream_processing_spark.operators.dedup import minhash_near_dups
+
+    from .test_scale_stress import synth_docs_50k
+
+    def run(replicas: int) -> float:
+        best = float("inf")
+        for _ in range(2):
+            corpus = synth_docs_50k(spark, replicas=replicas)
+            corpus.cache()
+            corpus.count()
+            t0 = time.perf_counter()
+            minhash_near_dups(corpus, threshold=0.5).count()
+            best = min(best, time.perf_counter() - t0)
+            corpus.unpersist()
+        return best
+
+    run(1)  # warm codegen/scan paths so t1 isn't cold-start-inflated
+    t1 = run(1)
+    t2 = run(2)
+    ratio = t2 / t1
+    print(f"\n  slope 5k->10k: {t1:.2f}s -> {t2:.2f}s (ratio {ratio:.2f})", file=sys.stderr)
+    assert ratio < 3.0, (
+        f"minhash banding scaled super-linearly: {t1:.2f}s -> {t2:.2f}s "
+        f"(ratio {ratio:.2f}); expected ~linear in corpus size"
+    )

@@ -45,8 +45,9 @@ def _timed(label: str, fn):
     return out
 
 
-def synth_docs_50k(spark) -> DataFrame:
-    """5 000 sf0.1 docs x 10 replicas, all perturbation JVM-side.
+def synth_docs_50k(spark, replicas: int | None = None) -> DataFrame:
+    """5 000 sf0.1 docs x ``replicas`` (default $SPARK_GRAFT_SCALE_REPLICAS,
+    10), all perturbation JVM-side.
 
     replica 0: original text; doc_id = base*10.
     replica 1: ~8% deterministic word dropout -> the planted near-dup of
@@ -56,8 +57,10 @@ def synth_docs_50k(spark) -> DataFrame:
                they can only near-dup *within* a replica, mirroring the
                base corpus's own near-dup structure).
     """
+    if replicas is None:
+        replicas = REPLICAS
     base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
-    reps = spark.range(REPLICAS).select(F.col("id").cast("int").alias("replica"))
+    reps = spark.range(replicas).select(F.col("id").cast("int").alias("replica"))
     words = F.split(F.col("text"), " ")
     dropped = F.filter(
         words,
@@ -72,7 +75,7 @@ def synth_docs_50k(spark) -> DataFrame:
     return (
         base.crossJoin(reps)
         .select(
-            (F.col("doc_id") * REPLICAS + F.col("replica")).alias("doc_id"),
+            (F.col("doc_id") * replicas + F.col("replica")).alias("doc_id"),
             F.when(F.col("replica") == 0, F.col("text"))
             .when(F.col("replica") == 1, F.array_join(dropped, " "))
             .otherwise(F.array_join(salted, " "))
