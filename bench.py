@@ -108,6 +108,17 @@ HEADLINE = [
     "scd2_user_state",
     "bm25_lexical_topk",
     "hybrid_rrf_search",
+    "retention_cohorts",
+    "funnel_conversion",
+    "timeseries_gap_fill",
+    "zscore_anomalies",
+    "histogram_totalprice",
+    "table_profile_orders",
+    "pareto_frontier_orders",
+    "salted_two_phase_agg",
+    "kmeans_assign_update",
+    "content_defined_chunks",
+    "char_entropy_quality",
 ]
 
 

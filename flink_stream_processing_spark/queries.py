@@ -39,6 +39,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 # Import side-effect registration: each module adds its queries on import.
 from .queries_impl import (  # noqa: E402,F401
+    analytics_extra,
     corpus_pipeline,
     file_formats,
     grouped_pandas,
@@ -46,6 +47,7 @@ from .queries_impl import (  # noqa: E402,F401
     llm_dedup,
     llm_multimodal,
     llm_pipeline2,
+    llm_pipeline3,
     llm_similarity,
     llm_text,
     reference_parity,
@@ -71,9 +73,11 @@ _ALL_IMPL = [
     llm_similarity,
     llm_multimodal,
     llm_pipeline2,
+    llm_pipeline3,
     llm_corpus_ops,
     corpus_pipeline,
     grouped_pandas,
     file_formats,
     retrieval,
+    analytics_extra,
 ]

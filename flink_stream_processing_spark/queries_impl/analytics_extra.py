@@ -1,0 +1,450 @@
+"""Product-analytics battery over the events/orders tables: retention
+cohorts, ordered funnels, time-series gap fill, trailing-window z-score
+anomalies, equi-width histograms, table profiling, Pareto frontier, and a
+salted two-phase aggregation.
+
+These are the workhorse queries of a large-scale behavioral/metrics
+pipeline (the reference's windowed-metrics job grown up: SURVEY.md §2.5's
+aggregate family generalized to cohort/funnel/anomaly analytics). Every
+query is expressed declaratively so Catalyst keeps pushdown/pruning, and
+each carries an exact DuckDB oracle.
+
+Scale notes (100 TB):
+- Cohort/funnel/gap-fill shuffle once on user_id and stay keyed — at scale
+  that is one hash partition pass over the fact table; no driver state.
+- Gap-fill generates each user's day spine with ``sequence``+``explode``,
+  bounded by the user's own [min_day, max_day] span — never a global
+  calendar cross join.
+- The z-score window is a bounded ROWS frame (21 trailing rows), so state
+  per key is O(frame), not O(history).
+- The histogram broadcasts a single (lo, hi) stats row; bucketing is pure
+  per-row math (classic two-pass equi-width at any scale).
+- The salted two-phase aggregate shows the skew recipe explicitly: salt →
+  partial agg on (key, salt) → final agg on key. AQE does this adaptively;
+  the explicit form is for pinned-plan pipelines and is oracle-checked to
+  be semantically invisible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..queries import query
+from ..sources.batch import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# --- Retention cohorts --------------------------------------------------
+# Cohort = ISO week (Monday-truncated) of a user's first event; a cohort
+# cell counts distinct users active k whole weeks after their cohort week.
+_COHORT_ORACLE = """
+WITH activity AS (
+  SELECT user_id, date_trunc('week', ts) AS wk FROM events GROUP BY 1, 2
+), coh AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM activity GROUP BY 1
+)
+SELECT epoch_ms(c.cohort_wk)::BIGINT AS cohort_week_ms,
+       CAST(datediff('day', c.cohort_wk, a.wk) // 7 AS BIGINT) AS week_no,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM activity a JOIN coh c USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("retention_cohorts", oracle=_COHORT_ORACLE)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix. One shuffle on user_id builds both
+    the activity grid and the cohort assignment; the final cell count is a
+    keyed agg on (cohort_week, week_no) — two shuffles total regardless of
+    fact-table size. Week arithmetic is whole-day diff // 7 (both weeks are
+    Monday-truncated, so the division is exact)."""
+    ev = _t(spark, sf_dir, "events")
+    activity = (
+        ev.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+    )
+    coh = activity.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        activity.join(coh, "user_id")
+        .select(
+            F.unix_millis("cohort_wk").alias("cohort_week_ms"),
+            (F.datediff("wk", "cohort_wk") / F.lit(7))
+            .cast("bigint")
+            .alias("week_no"),
+            "user_id",
+        )
+        .groupBy("cohort_week_ms", "week_no")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week_ms", "week_no")
+    )
+
+
+# --- Ordered funnel -----------------------------------------------------
+# Min-time funnel view -> click -> purchase: a user converts a stage only
+# if their earliest event of that stage is strictly after the earliest
+# event of the previous stage.
+_FUNNEL_ORACLE = """
+WITH f AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT CAST(count(*) FILTER (WHERE t_view IS NOT NULL) AS BIGINT) AS n_view,
+       CAST(count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view)
+            AS BIGINT) AS n_view_click,
+       CAST(count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view
+                              AND t_purchase > t_click)
+            AS BIGINT) AS n_full_funnel
+FROM f
+"""
+
+
+@query("funnel_conversion", oracle=_FUNNEL_ORACLE)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-stage ordered funnel as ONE conditional aggregation pass —
+    min-per-stage pivot on user_id (single shuffle), then a scalar
+    conditional count. No self-joins, no per-stage subqueries: the classic
+    funnel anti-pattern (stage tables joined N-1 times) is N shuffles of
+    the fact table; this is one."""
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    stage1 = F.col("t_view").isNotNull()
+    stage2 = stage1 & (F.col("t_click") > F.col("t_view"))
+    stage3 = stage2 & (F.col("t_purchase") > F.col("t_click"))
+    as_cnt = lambda c, n: F.sum(c.cast("long")).alias(n)  # noqa: E731
+    return f.agg(
+        as_cnt(stage1, "n_view"),
+        as_cnt(stage2, "n_view_click"),
+        as_cnt(stage3, "n_full_funnel"),
+    )
+
+
+# --- Time-series gap fill ----------------------------------------------
+_GAP_FILL_ORACLE = """
+WITH span AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
+  FROM events GROUP BY 1
+), spine AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM span
+), daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT s.user_id, epoch_ms(s.day)::BIGINT AS day_ms,
+       CAST(coalesce(d.cnt, 0) AS BIGINT) AS n_events
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+ORDER BY s.user_id, day_ms
+"""
+
+
+@query("timeseries_gap_fill", oracle=_GAP_FILL_ORACLE)
+def q_timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-fill missing days per user: explode each user's own
+    [first_day, last_day] spine (``sequence`` + ``explode``) and left-join
+    the daily counts. The spine is generated from the per-user span agg —
+    rows produced scale with Σ user-span-days, not users × global-calendar;
+    and both the spine and the counts are keyed on user_id so the join
+    co-partitions after one shuffle each."""
+    ev = _t(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.unix_millis("day").alias("day_ms"),
+            F.coalesce("cnt", F.lit(0)).cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id", "day_ms")
+    )
+
+
+# --- Trailing-window z-score anomalies ---------------------------------
+# Flag events whose value is > 2.5 sample-stddevs from the mean of the
+# user's 20 strictly-preceding events (full windows only). z is rounded to
+# 4 decimals: avg/stddev accumulate in row order in both engines, but the
+# online algorithms differ in the last ulps.
+_ZSCORE_ORACLE = """
+WITH w AS (
+  SELECT event_id, user_id, ts, value,
+         avg(value)  OVER win AS mu,
+         stddev_samp(value) OVER win AS sigma,
+         count(*) OVER win AS n_prior
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, round(value, 6) AS value,
+       round((value - mu) / sigma, 4) AS zscore
+FROM w
+WHERE n_prior = 20 AND sigma > 0 AND abs((value - mu) / sigma) > 2.5
+ORDER BY event_id
+"""
+
+
+@query("zscore_anomalies", oracle=_ZSCORE_ORACLE)
+def q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly detection in batch: bounded ROWS frame (20
+    trailing events) per user — state is O(frame) per key, the shape that
+    ports directly to a stateful streaming operator. One shuffle on
+    user_id; the frame excludes the current row so the score is a true
+    out-of-sample deviation."""
+    ev = _t(spark, sf_dir, "events")
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    z = (F.col("value") - F.avg("value").over(win)) / F.stddev_samp("value").over(win)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.round("value", 6).alias("value"),
+            F.round(z, 4).alias("zscore"),
+            F.count(F.lit(1)).over(win).alias("n_prior"),
+            F.stddev_samp("value").over(win).alias("sigma"),
+            z.alias("z_raw"),
+        )
+        .filter((F.col("n_prior") == 20) & (F.col("sigma") > 0) & (F.abs("z_raw") > 2.5))
+        .select("event_id", "user_id", "value", "zscore")
+        .orderBy("event_id")
+    )
+
+
+# --- Equi-width histogram ----------------------------------------------
+# Manual bucketing (floor((v-lo)*n/(hi-lo)) clamped) instead of
+# width_bucket so both engines run the identical double-precision
+# expression.
+_HISTOGRAM_ORACLE = """
+WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+SELECT CAST(least(19, floor((o_totalprice - lo) * 20 / (hi - lo))) AS BIGINT)
+         AS bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS bucket_value
+FROM orders, b
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("histogram_totalprice", oracle=_HISTOGRAM_ORACLE)
+def q_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bucket equi-width histogram of order totals: pass 1 computes the
+    (lo, hi) range (scalar agg), pass 2 broadcasts that single row and
+    buckets per-row — the textbook two-pass histogram; at 100 TB both
+    passes are map-side-combined scans with no wide shuffle beyond the
+    20-group final agg."""
+    orders = _t(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    bucket = F.least(
+        F.lit(19),
+        F.floor(
+            (F.col("o_totalprice") - F.col("lo")) * 20 / (F.col("hi") - F.col("lo"))
+        ),
+    ).cast("bigint")
+    return (
+        orders.join(F.broadcast(b))
+        .select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("bucket_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --- Table profiling ----------------------------------------------------
+# One stacked profile row per column: null count, distinct count, numeric
+# min/max (NULL for varchar columns), lexical min/max (NULL for numerics).
+_PROFILE_COLS_NUM = ["o_orderkey", "o_custkey", "o_totalprice"]
+_PROFILE_COLS_STR = ["o_orderstatus", "o_orderpriority"]
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       round(min({c}) :: DOUBLE, 6) AS min_num,
+       round(max({c}) :: DOUBLE, 6) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM orders"""
+    for c in _PROFILE_COLS_NUM
+) + "\nUNION ALL\n" + "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+       min({c}) AS min_str, max({c}) AS max_str
+FROM orders"""
+    for c in _PROFILE_COLS_STR
+) + "\nORDER BY col_name"
+
+
+@query("table_profile_orders", oracle=_PROFILE_ORACLE)
+def q_table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling sweep (the ingestion-QA step of a training-data
+    pipeline): per-column null/distinct/min/max in a SINGLE aggregation
+    pass — all columns' stats are computed in one scan and then unpivoted
+    to (col_name, stats) rows driver-side-free via a tiny stack expr. The
+    naive per-column UNION of scans reads the table N times; this reads it
+    once."""
+    orders = _t(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS_NUM + _PROFILE_COLS_STR:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+    for c in _PROFILE_COLS_NUM:
+        aggs += [
+            F.round(F.min(c).cast("double"), 6).alias(f"{c}__min_num"),
+            F.round(F.max(c).cast("double"), 6).alias(f"{c}__max_num"),
+        ]
+    for c in _PROFILE_COLS_STR:
+        aggs += [F.min(c).alias(f"{c}__min_str"), F.max(c).alias(f"{c}__max_str")]
+    stats = orders.agg(*aggs)
+
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    rows = []
+    for c in _PROFILE_COLS_NUM:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min_num").alias("min_num"),
+                F.col(f"{c}__max_num").alias("max_num"),
+                null_s.alias("min_str"),
+                null_s.alias("max_str"),
+            )
+        )
+    for c in _PROFILE_COLS_STR:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                null_d.alias("min_num"),
+                null_d.alias("max_num"),
+                F.col(f"{c}__min_str").alias("min_str"),
+                F.col(f"{c}__max_str").alias("max_str"),
+            )
+        )
+    return (
+        stats.select(F.explode(F.array(*rows)).alias("p"))
+        .select("p.*")
+        .orderBy("col_name")
+    )
+
+
+# --- Pareto frontier ----------------------------------------------------
+# Skyline over (earliest order date, highest total price): a date is on
+# the frontier iff its max price beats every strictly-earlier date's max.
+_PARETO_ORACLE = """
+WITH dmax AS (
+  SELECT o_orderdate AS d, max(o_totalprice) AS mp FROM orders GROUP BY 1
+), run AS (
+  SELECT d, mp,
+         max(mp) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS prior_max
+  FROM dmax
+)
+SELECT epoch_ms(d)::BIGINT AS date_ms, round(mp, 2) AS frontier_price
+FROM run
+WHERE prior_max IS NULL OR mp > prior_max
+ORDER BY date_ms
+"""
+
+
+@query("pareto_frontier_orders", oracle=_PARETO_ORACLE)
+def q_pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline without the O(n²) dominance join: collapse to per-date
+    max (keyed agg), then one running-max window over dates — O(n log n)
+    and shuffle-bounded by the number of DISTINCT dates, not rows. The
+    window is a single global ordering over the collapsed (tiny) date set,
+    so the notorious single-partition window problem applies to |dates|,
+    not |orders|."""
+    orders = _t(spark, sf_dir, "orders")
+    dmax = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.max("o_totalprice").alias("mp")
+    )
+    win = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        dmax.withColumn("prior_max", F.max("mp").over(win))
+        .filter(F.col("prior_max").isNull() | (F.col("mp") > F.col("prior_max")))
+        .select(
+            F.unix_millis("d").alias("date_ms"),
+            F.round("mp", 2).alias("frontier_price"),
+        )
+        .orderBy("date_ms")
+    )
+
+
+# --- Salted two-phase aggregation --------------------------------------
+_SALTED_ORACLE = """
+SELECT o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("salted_two_phase_agg", oracle=_SALTED_ORACLE)
+def q_salted_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation made explicit: revenue per order priority via
+    salt → partial agg on (key, salt) → final agg on key. With only 5
+    priority values, a direct groupBy funnels the whole fact table through
+    5 reducers; salting fans the partial state across 32×5 groups and the
+    final agg combines 160 tiny rows. Spark's partial aggregation usually
+    does this implicitly — the explicit form is the pinned recipe for
+    pathological key skew (and for engines/modes without map-side combine),
+    and the oracle proves it is semantically invisible."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey"), F.lit(32))
+    )
+    partial = joined.groupBy("o_orderpriority", "salt").agg(
+        F.sum("rev").alias("rev_part"), F.count(F.lit(1)).alias("n_part")
+    )
+    return (
+        partial.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum("rev_part"), 2).alias("revenue"),
+            F.sum("n_part").alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )

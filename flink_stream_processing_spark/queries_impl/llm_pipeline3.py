@@ -1,0 +1,235 @@
+"""Third LLM-pipeline wave: distributed k-means (one Lloyd iteration,
+oracle-checked), rolling-hash content-defined chunking, and a
+character-entropy quality score.
+
+Together with llm_pipeline2 these cover the clustering / chunking /
+quality-scoring stages of a training-data pipeline. All three are
+engine-deterministic: the k-means distance is plain double arithmetic, the
+CDC boundary test is integer polynomial hashing (no engine hash functions,
+which differ between Spark and DuckDB), and the entropy is a closed-form
+per-row expression — so each query carries an exact DuckDB oracle.
+
+Scale notes (100 TB):
+- k-means: centroids are broadcast (k×d doubles — kilobytes); assignment is
+  a map-only pass over the corpus; the update is a (cluster, dim) keyed agg
+  whose cardinality is k×d, independent of corpus size. This is exactly how
+  MLlib's KMeans structures an iteration; expressing it in DataFrame ops
+  keeps it inside codegen and lets the same shape run per-iteration in a
+  driver loop.
+- CDC chunking: per-row array math, no shuffle; boundary positions never
+  leave the executor — only per-doc chunk stats are emitted.
+- Entropy: 28 fixed string-replace counts per row, no explode — the
+  explode-chars-then-groupBy alternative multiplies the shuffle volume by
+  average document length and is exactly what NOT to do at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..queries import query
+from ..sources.batch import load_table
+
+_K = 8  # clusters; centroids seeded from vec_id 0..7 (deterministic)
+
+
+def _emb_double(df: DataFrame) -> DataFrame:
+    """Embeddings cast float→double once so every downstream arithmetic op
+    (both engines) runs in double precision on identical inputs."""
+    return df.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+
+_KMEANS_ORACLE = f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cent AS (
+  SELECT vec_id AS cluster, v AS c FROM emb WHERE vec_id < {_K}
+), dist AS (
+  SELECT e.vec_id, c.cluster,
+         list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.c)
+           + list_dot_product(c.c, c.c) AS d2
+  FROM emb e CROSS JOIN cent c
+), assigned AS (
+  SELECT vec_id, cluster
+  FROM (SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster)
+                 AS rn
+        FROM dist)
+  WHERE rn = 1
+)
+SELECT a.cluster, CAST(u.dim - 1 AS INT) AS dim,
+       round(avg(e.v[u.dim]), 6) AS centroid,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM assigned a
+JOIN emb e USING (vec_id)
+CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS dim) u
+GROUP BY a.cluster, u.dim
+ORDER BY cluster, dim
+"""
+
+
+@query("kmeans_assign_update", oracle=_KMEANS_ORACLE)
+def q_kmeans_assign_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd's iteration of k-means over the embedding corpus:
+    broadcast the k seed centroids (vec_id 0..7), assign every vector to
+    its nearest centroid (squared L2 via the dot-product identity — one
+    ``aggregate`` over the zipped arrays), and emit the updated centroids
+    as flat (cluster, dim, centroid, n_members) rows.
+
+    Distances use ‖x‖² − 2·x·c + ‖c‖² so both engines sum in the same
+    array order; the argmin tie-breaks on cluster id. Running the full
+    algorithm is this same DataFrame shape in a driver loop with a
+    convergence test — each iteration is one broadcast + one k×d-cardinality
+    agg, nothing driver-side but the k×d centroid matrix."""
+    emb = _emb_double(load_table(spark, sf_dir, "embeddings"))
+    cent = emb.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("cluster"), F.col("v").alias("c")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    dist = emb.join(F.broadcast(cent)).select(
+        "vec_id",
+        "cluster",
+        "v",
+        (
+            dot(F.col("v"), F.col("v"))
+            - 2 * dot(F.col("v"), F.col("c"))
+            + dot(F.col("c"), F.col("c"))
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+    assigned = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster", "v")
+    )
+    return (
+        assigned.select("cluster", F.posexplode("v").alias("dim", "val"))
+        .groupBy("cluster", "dim")
+        .agg(
+            F.round(F.avg("val"), 6).alias("centroid"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(F.col("cluster"), F.col("dim").cast("int"), "centroid", "n_members")
+        .orderBy("cluster", "dim")
+    )
+
+
+# --- Content-defined chunking ------------------------------------------
+# Boundary at position p iff the 4-char polynomial hash
+#   ascii(t[p])*31^3 + ascii(t[p+1])*31^2 + ascii(t[p+2])*31 + ascii(t[p+3])
+# is ≡ 0 (mod 61). Pure integer math → identical in any engine; the mod
+# picks an expected chunk length of ~61 chars, like a Rabin-fingerprint
+# CDC with a 6-bit mask.
+_CDC_BOUNDARY = (
+    "ascii(substring({t}, p, 1)) * 29791 + ascii(substring({t}, p + 1, 1)) * 961"
+    " + ascii(substring({t}, p + 2, 1)) * 31 + ascii(substring({t}, p + 3, 1))"
+)
+
+_CDC_ORACLE = f"""
+SELECT doc_id,
+       CAST(CASE WHEN len(text) >= 4 THEN len(list_filter(
+              generate_series(1, len(text) - 3),
+              p -> ({_CDC_BOUNDARY.format(t='text')}) % 61 = 0))
+            ELSE 0 END AS BIGINT) AS n_boundaries,
+       CAST(len(text) AS BIGINT) AS n_chars
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("content_defined_chunks", oracle=_CDC_ORACLE)
+def q_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (rolling-hash boundaries): count the
+    positions where the 4-gram polynomial hash hits the 1/61 mask. Unlike
+    fixed-size chunking, an insertion early in a document only moves
+    boundaries locally — the CDC property that makes chunk-level dedup
+    robust to edits. Map-only: the boundary scan is a higher-order
+    ``filter`` over a position ``sequence``, evaluated inside codegen per
+    row; only (doc_id, n_boundaries, n_chars) leaves the executor."""
+    docs = load_table(spark, sf_dir, "documents")
+    boundary = _CDC_BOUNDARY.format(t="text")
+    n_bound = F.expr(
+        "CASE WHEN length(text) >= 4 THEN size(filter("
+        "  sequence(1, length(text) - 3),"
+        f"  p -> ({boundary}) % 61 = 0))"
+        " ELSE 0 END"
+    ).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_bound.alias("n_boundaries"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+# --- Character-entropy quality score -----------------------------------
+# Shannon entropy (nats) of the document's distribution over
+# [a-z], space, and "other" (28 symbols). Low entropy flags
+# degenerate/repetitive text; a cheap perplexity proxy that needs no
+# model. Counting via length-difference after replace() keeps it one
+# per-row projection: no explode, no shuffle.
+_ENTROPY_SYMS = [chr(c) for c in range(ord("a"), ord("z") + 1)] + [" "]
+
+
+def _entropy_counts_sql(quote: str) -> str:
+    reps = ", ".join(
+        f"len({{t}}) - len(replace({{t}}, {quote}{s}{quote}, ''))"
+        for s in _ENTROPY_SYMS
+    )
+    return f"[{reps}]"
+
+
+_ENTROPY_ORACLE = f"""
+WITH c AS (
+  SELECT doc_id, lower(text) AS t, len(text) AS n,
+         {_entropy_counts_sql("'").format(t="lower(text)")} AS known
+  FROM documents
+), k AS (
+  SELECT doc_id, n, list_append(known, n - list_sum(known)) AS counts
+  FROM c
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+       round(-list_sum(list_transform(counts,
+              x -> CASE WHEN x > 0 THEN (x::DOUBLE / n) * ln(x::DOUBLE / n)
+                   ELSE 0 END)), 4) AS char_entropy
+FROM k
+WHERE n > 0
+ORDER BY doc_id
+"""
+
+
+@query("char_entropy_quality", oracle=_ENTROPY_ORACLE)
+def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-entropy quality score over a fixed 28-symbol
+    alphabet (a-z, space, other). 28 replace-count expressions per row —
+    all inside whole-stage codegen — then one ``aggregate`` for the entropy
+    sum. The per-symbol counts are exact integers, so the only float work
+    is the final p·ln p fold, identical in both engines and rounded to 4
+    decimals."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    t = F.lower("text")
+    n = F.length("text")
+    known = F.array(
+        *[n - F.length(F.replace(t, F.lit(s))) for s in _ENTROPY_SYMS]
+    )
+    counts = F.concat(
+        known, F.array(n - F.aggregate(known, F.lit(0), lambda a, x: a + x))
+    )
+    nd = n.cast("double")
+    entropy = -F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.when(x > 0, (x.cast("double") / nd) * F.log(x.cast("double") / nd)).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_chars"),
+        F.round(entropy, 4).alias("char_entropy"),
+    ).orderBy("doc_id")

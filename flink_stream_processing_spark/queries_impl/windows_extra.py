@@ -401,3 +401,56 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = events_file_stream(spark, _events_stream_dir(sf_dir))
     agg = streaming_session_windows(events, gap="10 minutes", watermark="5 seconds")
     return _run_stream_to_table(spark, agg, "complete")
+
+_CHAINED_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, epoch_ms(date_trunc('day', h))::BIGINT AS day_ms,
+       max(n) AS max_hourly, CAST(count(*) AS BIGINT) AS n_hours
+FROM hourly
+WHERE date_trunc('day', h) < (SELECT date_trunc('day', max(ts)) FROM events)
+GROUP BY 1, 2
+ORDER BY event_type, day_ms
+"""
+
+
+@query("streaming_chained_agg", oracle=_CHAINED_ORACLE)
+def q_streaming_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED windowed aggregations in one streaming query — two stateful
+    operators stacked (hourly counts re-aggregated into daily max/count) —
+    exercising multi-stateful-operator watermark propagation (Spark 3.4+:
+    the downstream agg windows over ``window_time`` of the upstream window
+    column). Flink expresses this as window(...).aggregate() feeding a
+    second keyed window; here both levels stay declarative and the state
+    for each level is bounded by its own watermark horizon. Append mode
+    emits each day's row once its watermark passes. The final (still-open)
+    day never finalizes in append mode — its window end is beyond the last
+    watermark — so the stream emits exactly the fully-closed days and the
+    oracle matches that semantics with ``day < date_trunc('day', max ts)``."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.pipeline import events_file_stream
+
+    events = events_file_stream(spark, _events_stream_dir(sf_dir))
+    hourly = (
+        events.withWatermark("ts", "5 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w1"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    daily = (
+        hourly.groupBy(
+            F.window(F.window_time("w1"), "1 day").alias("w2"), "event_type"
+        )
+        .agg(F.max("n").alias("max_hourly"), F.count(F.lit(1)).alias("n_hours"))
+        .select(
+            "event_type",
+            F.unix_millis(F.col("w2.start")).alias("day_ms"),
+            "max_hourly",
+            "n_hours",
+        )
+    )
+    out = _run_stream_to_table(spark, daily, "append")
+    return out.orderBy("event_type", "day_ms")
