@@ -454,3 +454,39 @@ def q_streaming_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_stream_to_table(spark, daily, "append")
     return out.orderBy("event_type", "day_ms")
+
+
+def q_streaming_running_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transformWithStateInPandas (Spark 4.x arbitrary-state API) twin
+    of `streaming_running_counts`: same per-key running counter, expressed
+    as a StatefulProcessor with a typed ValueState handle instead of the
+    applyInPandasWithState tuple contract; requires the RocksDB state-store
+    provider (set here, restored after).
+
+    NOT registered in the driver registry: transformWithState's Python
+    worker needs google.protobuf, which this container lacks (and installs
+    are off-limits), so the driver would see a guaranteed-red row. The
+    operator is complete and gated by an env-conditional test
+    (tests/test_streaming.py::test_transform_with_state_parity) that runs
+    it against the same batch row_number oracle wherever protobuf exists."""
+    from ..streaming.pipeline import events_file_stream
+    from ..streaming.stateful import running_event_counts_tws
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        events = events_file_stream(spark, _events_stream_dir(sf_dir))
+        out = _run_stream_to_table(
+            spark, running_event_counts_tws(events), "append"
+        )
+        out = out.localCheckpoint(eager=True)  # materialize before conf restore
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    return out

@@ -82,3 +82,60 @@ def running_event_counts(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+class _RunningCountProcessor:
+    """``transformWithStateInPandas`` twin of ``_count_events`` — the
+    arbitrary-state API that supersedes ``applyInPandasWithState`` (typed
+    value/list/map state handles, timers, TTL, initial state). The operator
+    logic is identical: one long of state per key, rows numbered in
+    (ts, event_id) order across micro-batches. Implemented against the
+    Spark 4.x StatefulProcessor contract."""
+
+    def init(self, handle) -> None:
+        self._n = handle.getValueState("n", "n BIGINT")
+
+    def handleInputRows(self, key, rows, timer_values):
+        import pandas as pd
+
+        (user_id,) = key
+        n = self._n.get()[0] if self._n.exists() else 0
+        chunks = [pdf for pdf in rows if not pdf.empty]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+            counts = n + pd.RangeIndex(1, len(pdf) + 1)
+            n += len(pdf)
+            yield pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "running_count": counts,
+                }
+            )
+        self._n.update((n,))
+
+    def close(self) -> None:
+        pass
+
+
+def running_event_counts_tws(events: DataFrame) -> DataFrame:
+    """Per-user running event counter on the transformWithState API (see
+    ``_RunningCountProcessor``); same contract as ``running_event_counts``
+    so both implementations gate against the same batch oracle."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # Subclass registration kept local so importing this module never pulls
+    # the stateful-processor machinery unless the operator is used.
+    proc = type(
+        "RunningCountProcessor", (_RunningCountProcessor, StatefulProcessor), {}
+    )()
+    return (
+        events.select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=RUNNING_COUNT_SCHEMA,
+            outputMode="append",
+            timeMode="None",
+        )
+    )

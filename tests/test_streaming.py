@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import uuid
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from flink_stream_processing_spark.operators.window_metrics import (
@@ -390,3 +392,28 @@ def test_events_stream_starts_on_empty_directory(spark, tmp_path):
     # explicit override is honored without probing at all
     df2 = events_file_stream(spark, str(d), ts_is_long=False)
     assert dict(df2.dtypes)["ts"] == "timestamp"
+
+
+def test_transform_with_state_parity(spark, request):
+    """transformWithStateInPandas running counter vs the batch row_number
+    oracle — skipped where the transformWithState Python worker's protobuf
+    dependency is absent (this container); runs everywhere else."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from flink_stream_processing_spark.queries_impl.windows_extra import (
+        q_streaming_running_counts_tws,
+    )
+
+    from .conftest import SF_DIR
+    from .oracle_utils import assert_matches_oracle
+
+    out = q_streaming_running_counts_tws(spark, SF_DIR)
+    assert_matches_oracle(
+        out,
+        """
+        SELECT user_id, event_id,
+               CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    AS BIGINT) AS running_count
+        FROM events
+        """,
+        SF_DIR,
+    )
