@@ -448,3 +448,139 @@ def q_salted_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- CEP-style sequence pattern detection ------------------------------
+# Flink's CEP library (relaxed contiguity, `followedBy`): match
+# view -> click -> purchase per user where each step follows the previous
+# within 10 minutes (other events may interleave). Expressed as chained
+# "last qualifying predecessor" analytic windows — no joins over the fact
+# table, no state machine.
+_CEP_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, event_type, event_id,
+         max(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view
+  FROM events
+), o2 AS (
+  SELECT *,
+         max(CASE WHEN event_type = 'click' AND last_view IS NOT NULL
+                   AND ts - last_view <= INTERVAL 10 MINUTES THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_qual_click
+  FROM o
+), clicks AS (
+  SELECT user_id, ts AS click_ts, max(last_view) AS view_ts
+  FROM o WHERE event_type = 'click' AND last_view IS NOT NULL
+           AND ts - last_view <= INTERVAL 10 MINUTES
+  GROUP BY user_id, ts
+)
+SELECT p.user_id, p.event_id AS purchase_id,
+       epoch_ms(c.view_ts)::BIGINT AS view_ms,
+       epoch_ms(p.last_qual_click)::BIGINT AS click_ms,
+       epoch_ms(p.ts)::BIGINT AS purchase_ms
+FROM o2 p
+JOIN clicks c ON p.user_id = c.user_id AND p.last_qual_click = c.click_ts
+WHERE p.event_type = 'purchase' AND p.last_qual_click IS NOT NULL
+  AND p.ts - p.last_qual_click <= INTERVAL 10 MINUTES
+ORDER BY p.user_id, purchase_id
+"""
+
+
+@query("cep_funnel_sequences", oracle=_CEP_ORACLE)
+def q_cep_funnel_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP pattern matching (Flink CEP ``begin.followedBy.followedBy``
+    with a 10-minute within-clause, relaxed contiguity) WITHOUT a state
+    machine: each step's 'last qualifying predecessor' is a conditional
+    running max over the user's event sequence, chained through two
+    analytic passes that reuse ONE user_id sort/exchange. The only join
+    is pattern-match rows back to the (tiny) qualifying-click set to
+    recover the view timestamp. At 100 TB this is two window passes over
+    a single hash partitioning — the NFA approach shuffles nothing less
+    and keeps per-key state besides."""
+    ev = _t(spark, sf_dir, "events")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ten_min = F.expr("INTERVAL 10 MINUTES")
+    o = ev.withColumn(
+        "last_view",
+        F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(seq),
+    )
+    click_qual = (
+        (F.col("event_type") == "click")
+        & F.col("last_view").isNotNull()
+        & (F.col("ts") <= F.col("last_view") + ten_min)
+    )
+    o2 = o.withColumn(
+        "last_qual_click", F.max(F.when(click_qual, F.col("ts"))).over(seq)
+    )
+    clicks = (
+        o.filter(click_qual)
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("last_view").alias("view_ts"))
+    )
+    matched = o2.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("last_qual_click").isNotNull()
+        & (F.col("ts") <= F.col("last_qual_click") + ten_min)
+    )
+    return (
+        matched.join(
+            clicks,
+            (matched.user_id == clicks.user_id)
+            & (matched.last_qual_click == clicks.click_ts),
+        )
+        .select(
+            matched.user_id,
+            F.col("event_id").alias("purchase_id"),
+            F.unix_millis("view_ts").alias("view_ms"),
+            F.unix_millis("last_qual_click").alias("click_ms"),
+            F.unix_millis(matched.ts).alias("purchase_ms"),
+        )
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+# --- Event-transition (Markov) matrix ----------------------------------
+_TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS dst
+  FROM events
+)
+SELECT src, dst, CAST(count(*) AS BIGINT) AS n,
+       round(count(*)::DOUBLE
+             / sum(count(*)) OVER (PARTITION BY src), 6) AS p
+FROM seq WHERE dst IS NOT NULL
+GROUP BY src, dst
+ORDER BY src, dst
+"""
+
+
+@query("event_transition_matrix", oracle=_TRANSITION_ORACLE)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    one lead() pass on the user_id partitioning, then a 25-cell agg; the
+    row-normalizing denominator is an analytic sum over the aggregated
+    (≤ |types|²) cells, not a second fact-table pass."""
+    ev = _t(spark, sf_dir, "events")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(seq).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = Window.partitionBy("src")
+    return (
+        pairs.withColumn(
+            "p", F.round(F.col("n").cast("double") / F.sum("n").over(total), 6)
+        )
+        .orderBy("src", "dst")
+    )
