@@ -584,3 +584,62 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src", "dst")
     )
+
+
+# --- Exponentially-weighted moving average -----------------------------
+# ewma_1 = x_1; ewma_k = 0.2·x_k + 0.8·ewma_{k-1} per user in (ts,
+# event_id) order. Inherently sequential per key — the oracle is a
+# DuckDB recursive CTE; the engine side runs the IDENTICAL double
+# recursion (same operand order → bit-equal) inside applyInPandas.
+_EWMA_ORACLE = """
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), ew AS (
+  SELECT user_id, event_id, rn, value, value AS ewma FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.event_id, b.rn, b.value, 0.2 * b.value + 0.8 * e.ewma
+  FROM base b JOIN ew e ON b.user_id = e.user_id AND b.rn = e.rn + 1
+)
+SELECT user_id, event_id, round(value, 6) AS value, round(ewma, 6) AS ewma
+FROM ew
+ORDER BY user_id, event_id
+"""
+
+
+def _ewma_group(pdf):
+    import pandas as pd
+
+    pdf = pdf.sort_values(["ts", "event_id"])
+    vals = pdf["value"].to_numpy()
+    out = vals.copy()
+    for i in range(1, len(out)):  # the oracle's exact recursion, same order
+        out[i] = 0.2 * vals[i] + 0.8 * out[i - 1]
+    return pd.DataFrame(
+        {
+            "user_id": pdf["user_id"].to_numpy(),
+            "event_id": pdf["event_id"].to_numpy(),
+            "value": vals.round(6),
+            "ewma": out.round(6),
+        }
+    )
+
+
+@query("ewma_smoothing", oracle=_EWMA_ORACLE)
+def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (α=0.2) — the canonical inherently-sequential
+    per-key computation: no window frame expresses it (each output feeds
+    the next) and the closed-form rewrite ((1-α)^-k weights) overflows on
+    long series, so the right distributed shape is applyInPandas — keys
+    fan out across executors, each key's series runs its O(n) recursion
+    locally in Arrow-batched numpy. Same parallelism profile as
+    sessionization: bounded by the longest single-key series, which is
+    exactly the constraint the math imposes."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    out_schema = "user_id bigint, event_id bigint, value double, ewma double"
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(_ewma_group, out_schema)
+        .orderBy("user_id", "event_id")
+    )

@@ -490,3 +490,24 @@ def q_streaming_running_counts_tws(spark: SparkSession, sf_dir: str) -> DataFram
         else:
             spark.conf.set(key, old)
     return out
+
+
+from .analytics_extra import _CEP_ORACLE  # noqa: E402
+
+
+@query("streaming_cep_funnel", oracle=_CEP_ORACLE)
+def q_streaming_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `cep_funnel_sequences` (Flink CEP analogue): the
+    view->click->purchase pattern matched INCREMENTALLY by a custom
+    stateful operator whose per-key state is three longs (the running
+    'last view' / 'last qualifying click' / its view) — the monotone-state
+    reduction of the NFA, advanced vectorized per micro-batch. Shares the
+    batch query's full oracle, so the incremental matcher is hash-gated
+    against the declarative window formulation."""
+    from ..streaming.pipeline import events_file_stream
+    from ..streaming.stateful import cep_funnel_matches
+
+    events = events_file_stream(spark, _events_stream_dir(sf_dir))
+    out = _run_stream_to_table(spark, cep_funnel_matches(events), "append")
+    return out.orderBy("user_id", "purchase_id")
+

@@ -139,3 +139,109 @@ def running_event_counts_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+CEP_MATCH_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("purchase_id", LongType()),
+        StructField("view_ms", LongType()),
+        StructField("click_ms", LongType()),
+        StructField("purchase_ms", LongType()),
+    ]
+)
+
+# state: latest view ts, latest qualifying-click ts, that click's view ts
+# (all epoch-nanos; sentinel = "none yet")
+_CEP_STATE_SCHEMA = StructType(
+    [
+        StructField("lv", LongType()),
+        StructField("lqc", LongType()),
+        StructField("lqc_view", LongType()),
+    ]
+)
+
+_CEP_NONE = -(2**62)
+_CEP_WITHIN_NS = 600 * 10**9  # the pattern's 10-minute within-clause
+
+
+def _cep_match_events(
+    key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+) -> Iterator["pd.DataFrame"]:
+    """Streaming CEP: view -> click -> purchase (relaxed contiguity, each
+    step within 10 min of the previous) as a per-key incremental scan.
+    Instead of an NFA object per key, the pattern's progress is three
+    longs of state, advanced VECTORIZED over the batch: 'last view',
+    'last qualifying click' and its view are shifted cummax arrays (all
+    three are non-decreasing in event order, so a running max IS the
+    sequential state machine). Matches batch `cep_funnel_sequences`
+    exactly on a finite stream."""
+    import numpy as np
+    import pandas as pd
+
+    (user_id,) = key
+    lv0, lqc0, lqcv0 = state.get if state.exists else (_CEP_NONE, _CEP_NONE, _CEP_NONE)
+    chunks = [pdf for pdf in pdfs if not pdf.empty]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+        ts = pdf["ts"].to_numpy("datetime64[ns]").astype(np.int64)
+        typ = pdf["event_type"].to_numpy()
+        eid = pdf["event_id"].to_numpy()
+        n = len(ts)
+
+        view_ts = np.where(typ == "view", ts, _CEP_NONE)
+        lv = np.empty(n, dtype=np.int64)
+        lv[0], lv[1:] = lv0, view_ts[:-1]  # strictly-preceding
+        lv = np.maximum.accumulate(lv)
+
+        qual_click = (typ == "click") & (lv > _CEP_NONE) & (ts - lv <= _CEP_WITHIN_NS)
+        qts = np.where(qual_click, ts, _CEP_NONE)
+        vlv = np.where(qual_click, lv, _CEP_NONE)
+        lqc = np.empty(n, dtype=np.int64)
+        lqc[0], lqc[1:] = lqc0, qts[:-1]
+        lqc = np.maximum.accumulate(lqc)
+        lqc_view = np.empty(n, dtype=np.int64)
+        lqc_view[0], lqc_view[1:] = lqcv0, vlv[:-1]
+        lqc_view = np.maximum.accumulate(lqc_view)
+
+        match = (
+            (typ == "purchase")
+            & (lqc > _CEP_NONE)
+            & (ts - lqc <= _CEP_WITHIN_NS)
+        )
+        if match.any():
+            yield pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "purchase_id": eid[match],
+                    "view_ms": lqc_view[match] // 1_000_000,
+                    "click_ms": lqc[match] // 1_000_000,
+                    "purchase_ms": ts[match] // 1_000_000,
+                }
+            )
+        state.update(
+            (
+                int(max(lv[-1], view_ts[-1])),
+                int(max(lqc[-1], qts[-1])),
+                int(max(lqc_view[-1], vlv[-1])),
+            )
+        )
+    else:
+        state.update((lv0, lqc0, lqcv0))
+
+
+def cep_funnel_matches(events: DataFrame) -> DataFrame:
+    """Streaming CEP pattern matcher (see ``_cep_match_events``): input
+    needs (user_id, event_id, ts, event_type); output one row per matched
+    pattern occurrence (keyed by the purchase event)."""
+    return (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _cep_match_events,
+            outputStructType=CEP_MATCH_SCHEMA,
+            stateStructType=_CEP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
