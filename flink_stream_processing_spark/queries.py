@@ -56,6 +56,7 @@ from .queries_impl import (  # noqa: E402,F401
     relational_olap,
     relational_tpch2,
     retrieval,
+    sql_surface,
     temporal,
     windows_extra,
 )
@@ -80,4 +81,5 @@ _ALL_IMPL = [
     file_formats,
     retrieval,
     analytics_extra,
+    sql_surface,
 ]

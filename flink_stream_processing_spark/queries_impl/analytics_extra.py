@@ -643,3 +643,69 @@ def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_ewma_group, out_schema)
         .orderBy("user_id", "event_id")
     )
+
+
+# --- PageRank over the customer-supplier graph -------------------------
+# Symmetrized bipartite graph: customer c and supplier s are linked iff s
+# supplied a line item of one of c's orders. 3 iterations, d = 0.85,
+# per-iteration 6-decimal rounding pins the order-dependent ulps (see
+# operators/graph.py).
+_PAGERANK_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), edges AS (
+  SELECT 'c' || c AS src, 's' || s AS dst FROM pairs
+  UNION ALL
+  SELECT 's' || s AS src, 'c' || c AS dst FROM pairs
+), deg AS (
+  SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION
+  SELECT DISTINCT dst FROM edges
+), n AS (
+  SELECT count(*)::DOUBLE AS nn FROM nodes
+), pr0 AS (
+  SELECT node, 1.0 / nn AS pr FROM nodes, n
+), it1 AS (
+  SELECT e.dst AS node, round(0.15 / any_value(n.nn) + 0.85 * sum(p.pr / d.outdeg), 6) AS pr
+  FROM edges e JOIN deg d ON e.src = d.src JOIN pr0 p ON e.src = p.node, n
+  GROUP BY e.dst
+), it2 AS (
+  SELECT e.dst AS node, round(0.15 / any_value(n.nn) + 0.85 * sum(p.pr / d.outdeg), 6) AS pr
+  FROM edges e JOIN deg d ON e.src = d.src JOIN it1 p ON e.src = p.node, n
+  GROUP BY e.dst
+)
+SELECT e.dst AS node, round(0.15 / any_value(n.nn) + 0.85 * sum(p.pr / d.outdeg), 6) AS pr
+FROM edges e JOIN deg d ON e.src = d.src JOIN it2 p ON e.src = p.node, n
+GROUP BY e.dst
+ORDER BY node
+"""
+
+
+@query("pagerank_customer_supplier", oracle=_PAGERANK_ORACLE)
+def q_pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, d=0.85) over the symmetrized
+    customer–supplier bipartite graph — the second workhorse iterative
+    graph op beside connected components: one keyed join + one keyed agg
+    per iteration (the Pregel shuffle profile), edge list and degrees
+    materialized once, rank vector never leaves the executors."""
+    from ..operators.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("cnode"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cnode").alias("src"), F.col("snode").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
+    )
+    return pagerank(edges, iters=3, damping=0.85).orderBy("node")

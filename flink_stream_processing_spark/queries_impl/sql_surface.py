@@ -1,0 +1,90 @@
+"""Pure-SQL surface: queries expressed as ANSI SQL TEXT over registered
+temp views and executed via ``spark.sql`` — proving the engine's second
+front-end (everything else in queries_impl uses the DataFrame DSL; both
+lower to the same Catalyst plans, and these entries gate that claim with
+the same DuckDB oracles).
+
+The SQL dialect is kept to the ANSI intersection so the Spark text and
+the DuckDB oracle stay near-identical — differences are confined to
+epoch-millis extraction (``unix_millis`` vs ``epoch_ms``).
+
+Scale note: view registration is catalog metadata only; the plans below
+are the same pushdown/pruning/broadcast shapes as their DSL twins (a
+temp view over a parquet scan is not a materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..queries import query
+from ..sources.batch import load_table
+
+_VIEWS = ("orders", "lineitem", "customer", "nation", "region", "events")
+
+
+def _register_views(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Register per-sf temp views (suffixed so concurrent sf_dirs never
+    collide) and return the logical->view name mapping."""
+    suffix = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    names = {}
+    for t in _VIEWS:
+        name = f"sqlsurf_{t}_{suffix}"
+        load_table(spark, sf_dir, t).createOrReplaceTempView(name)
+        names[t] = name
+    return names
+
+
+_REVENUE_SQL = """
+SELECT n.n_name AS nation,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+FROM {orders} o
+JOIN {customer} c ON o.o_custkey = c.c_custkey
+JOIN {nation} n   ON c.c_nationkey = n.n_nationkey
+JOIN {lineitem} l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY n.n_name
+ORDER BY nation
+"""
+
+_REVENUE_ORACLE = _REVENUE_SQL.format(
+    orders="orders", customer="customer", nation="nation", lineitem="lineitem"
+)
+
+
+@query("sql_surface_revenue_by_nation", oracle=_REVENUE_ORACLE)
+def q_sql_surface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join revenue rollup submitted as SQL TEXT — the oracle runs
+    the IDENTICAL string (modulo view names) in DuckDB, so this also
+    pins dialect compatibility of the shared subset. Catalyst gets the
+    same plan freedoms as the DSL (join reordering, broadcast of the
+    nation/customer dims, pushdown of the status filter)."""
+    v = _register_views(spark, sf_dir)
+    return spark.sql(_REVENUE_SQL.format(**v))
+
+
+_RANK_SQL = """
+SELECT user_id, event_id, value, value_rank
+FROM (
+  SELECT user_id, event_id, value,
+         CAST(rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id)
+              AS BIGINT) AS value_rank
+  FROM {events}
+  WHERE event_type = 'purchase'
+)
+WHERE value_rank <= 3
+ORDER BY user_id, value_rank, event_id
+"""
+
+_RANK_ORACLE = _RANK_SQL.format(events="events")
+
+
+@query("sql_surface_topk_window", oracle=_RANK_ORACLE)
+def q_sql_surface_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function top-k per key in SQL text (rank + subquery filter —
+    the ANSI form; QUALIFY is not in the shared dialect subset, Spark SQL
+    rejects it). The oracle runs the identical string. Same single
+    user_id exchange as the DSL ranking queries."""
+    v = _register_views(spark, sf_dir)
+    return spark.sql(_RANK_SQL.format(**v))
