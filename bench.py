@@ -119,6 +119,12 @@ HEADLINE = [
     "kmeans_assign_update",
     "content_defined_chunks",
     "char_entropy_quality",
+    "cep_funnel_sequences",
+    "event_transition_matrix",
+    "ewma_smoothing",
+    "pagerank_customer_supplier",
+    "sql_surface_revenue_by_nation",
+    "sql_surface_topk_window",
 ]
 
 

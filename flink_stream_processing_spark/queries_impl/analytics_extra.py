@@ -709,3 +709,44 @@ def q_pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("snode").alias("src"), F.col("cnode").alias("dst"))
     )
     return pagerank(edges, iters=3, damping=0.85).orderBy("node")
+
+
+# --- Physical join-strategy control ------------------------------------
+_HINT_JOIN_ORACLE = """
+SELECT l.l_returnflag,
+       round(sum(l.l_extendedprice), 2) AS gross,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
+@query("shuffle_hash_join_parity", oracle=_HINT_JOIN_ORACLE)
+def q_shuffle_hash_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-strategy control: the same logical join pinned to
+    SHUFFLE_HASH via a join hint — hash-build beats sort-merge when one
+    side is much smaller after filtering but still too big to broadcast
+    (no sort, no spill-prone merge). The oracle proves strategy choice is
+    semantically invisible; `tests/test_plans.py` pins that the hint
+    actually selects ShuffledHashJoin, so a Spark-version regression in
+    hint handling fails loudly instead of silently falling back."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+        .hint("SHUFFLE_HASH")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("gross"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -281,3 +281,76 @@ def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_schema = "doc_id bigint, n_chars bigint, char_entropy double"
     return docs.mapInPandas(_entropy_batches, out_schema).orderBy("doc_id")
+
+
+# --- N-gram-overlap decontamination ------------------------------------
+# The GPT-3/Dolma method (vs `benchmark_decontamination`'s phrase
+# containment): a training doc is contaminated iff it shares at least one
+# 8-token gram with the benchmark set (here: the 'src0' source plays the
+# benchmark; everything else is the training corpus).
+_NGRAM_DECON_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, source,
+         array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+  WHERE len(t) >= 8
+), bench AS (
+  SELECT DISTINCT gram FROM g WHERE source = 'src0'
+), train_g AS (
+  SELECT DISTINCT doc_id, gram FROM g WHERE source <> 'src0'
+), hits AS (
+  SELECT doc_id, count(*) AS n FROM train_g JOIN bench USING (gram)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_shared_grams,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+LEFT JOIN hits h USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@query("ngram_overlap_decontamination", oracle=_NGRAM_DECON_ORACLE)
+def q_ngram_overlap_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by 8-token-gram overlap — the method the
+    GPT-3/Dolma pipelines use (exact n-gram collision against the eval
+    set), complementing the phrase-containment variant. Gram sets are
+    built doc-locally (split → sequence → transform → explode, distinct
+    per doc); the collision join keys on the gram string and the BENCHMARK
+    side is broadcast — eval sets are tiny next to a training corpus, so
+    the corpus never shuffles on gram. Per-doc hit counts come back to the
+    doc list via a left join on doc_id (AQE broadcasts the aggregated
+    side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    grams = F.when(
+        F.size(toks) >= 8,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 8),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 8)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select("doc_id", "source", F.explode(grams).alias("gram"))
+    bench = g.filter(F.col("source") == "src0").select("gram").distinct()
+    train_g = (
+        g.filter(F.col("source") != "src0").select("doc_id", "gram").distinct()
+    )
+    hits = (
+        train_g.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        docs.filter(F.col("source") != "src0")
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_shared_grams"),
+            (F.coalesce("n", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )

@@ -162,3 +162,16 @@ def test_bm25_broadcasts_query_terms_no_corpus_reshuffle(spark):
     plan = formatted_plan(QUERIES["bm25_lexical_topk"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_shuffle_hash_hint_selected(spark):
+    """The SHUFFLE_HASH hint must actually pin the physical strategy (not
+    silently fall back to sort-merge/broadcast)."""
+    from flink_stream_processing_spark.queries_impl.analytics_extra import (
+        q_shuffle_hash_join_parity,
+    )
+
+    from .conftest import SF_DIR
+
+    plan = q_shuffle_hash_join_parity(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan
