@@ -125,6 +125,8 @@ HEADLINE = [
     "pagerank_customer_supplier",
     "sql_surface_revenue_by_nation",
     "sql_surface_topk_window",
+    "ngram_overlap_decontamination",
+    "shuffle_hash_join_parity",
 ]
 
 

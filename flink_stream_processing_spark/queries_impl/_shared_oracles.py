@@ -1,0 +1,46 @@
+"""Oracle SQL shared by a batch query and its streaming twin.
+
+Deliberately import-free: query modules import from here at module top,
+and this module imports nothing from the package — so it can never join
+an import cycle. (The previous home of _CEP_ORACLE, analytics_extra,
+made Python workers fail when unpickling that module's applyInPandas
+functions: the worker's import entry point was analytics_extra itself,
+whose ``from ..queries import query`` re-entered the registry's
+alphabetical module loop and reached windows_extra's
+``from .analytics_extra import _CEP_ORACLE`` while analytics_extra was
+still partially initialized.)
+"""
+
+# CEP pattern view -> click -> purchase, relaxed contiguity, each step
+# within 10 minutes — see analytics_extra.q_cep_funnel_sequences for the
+# semantics discussion.
+CEP_FUNNEL_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, event_type, event_id,
+         max(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view
+  FROM events
+), o2 AS (
+  SELECT *,
+         max(CASE WHEN event_type = 'click' AND last_view IS NOT NULL
+                   AND ts - last_view <= INTERVAL 10 MINUTES THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_qual_click
+  FROM o
+), clicks AS (
+  SELECT user_id, ts AS click_ts, max(last_view) AS view_ts
+  FROM o WHERE event_type = 'click' AND last_view IS NOT NULL
+           AND ts - last_view <= INTERVAL 10 MINUTES
+  GROUP BY user_id, ts
+)
+SELECT p.user_id, p.event_id AS purchase_id,
+       epoch_ms(c.view_ts)::BIGINT AS view_ms,
+       epoch_ms(p.last_qual_click)::BIGINT AS click_ms,
+       epoch_ms(p.ts)::BIGINT AS purchase_ms
+FROM o2 p
+JOIN clicks c ON p.user_id = c.user_id AND p.last_qual_click = c.click_ts
+WHERE p.event_type = 'purchase' AND p.last_qual_click IS NOT NULL
+  AND p.ts - p.last_qual_click <= INTERVAL 10 MINUTES
+ORDER BY p.user_id, purchase_id
+"""

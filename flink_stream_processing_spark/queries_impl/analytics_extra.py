@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..queries import query
 from ..sources.batch import load_table
+from ._shared_oracles import CEP_FUNNEL_ORACLE
 
 
 def _t(spark, sf_dir, name):
@@ -456,36 +457,7 @@ def q_salted_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # within 10 minutes (other events may interleave). Expressed as chained
 # "last qualifying predecessor" analytic windows — no joins over the fact
 # table, no state machine.
-_CEP_ORACLE = """
-WITH o AS (
-  SELECT user_id, ts, event_type, event_id,
-         max(CASE WHEN event_type = 'view' THEN ts END)
-           OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view
-  FROM events
-), o2 AS (
-  SELECT *,
-         max(CASE WHEN event_type = 'click' AND last_view IS NOT NULL
-                   AND ts - last_view <= INTERVAL 10 MINUTES THEN ts END)
-           OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_qual_click
-  FROM o
-), clicks AS (
-  SELECT user_id, ts AS click_ts, max(last_view) AS view_ts
-  FROM o WHERE event_type = 'click' AND last_view IS NOT NULL
-           AND ts - last_view <= INTERVAL 10 MINUTES
-  GROUP BY user_id, ts
-)
-SELECT p.user_id, p.event_id AS purchase_id,
-       epoch_ms(c.view_ts)::BIGINT AS view_ms,
-       epoch_ms(p.last_qual_click)::BIGINT AS click_ms,
-       epoch_ms(p.ts)::BIGINT AS purchase_ms
-FROM o2 p
-JOIN clicks c ON p.user_id = c.user_id AND p.last_qual_click = c.click_ts
-WHERE p.event_type = 'purchase' AND p.last_qual_click IS NOT NULL
-  AND p.ts - p.last_qual_click <= INTERVAL 10 MINUTES
-ORDER BY p.user_id, purchase_id
-"""
+_CEP_ORACLE = CEP_FUNNEL_ORACLE
 
 
 @query("cep_funnel_sequences", oracle=_CEP_ORACLE)
@@ -608,17 +580,33 @@ ORDER BY user_id, event_id
 """
 
 
-def _ewma_group(pdf):
+def _ewma_partition(it):
+    """Partition-local EWMA: buffer the partition's chunks, one sort, then
+    the oracle's exact recursion per key segment (same operand order →
+    bit-equal doubles). One Python call per PARTITION, not per key — the
+    shape that survives millions of tiny keys (cf. user_trend_partition_
+    local); memory is bounded by one partition, the same envelope any
+    sort-based operator holds."""
+    import numpy as np
     import pandas as pd
 
-    pdf = pdf.sort_values(["ts", "event_id"])
+    chunks = [pdf for pdf in it if not pdf.empty]
+    if not chunks:
+        return
+    pdf = pd.concat(chunks, ignore_index=True).sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    u = pdf["user_id"].to_numpy()
     vals = pdf["value"].to_numpy()
     out = vals.copy()
-    for i in range(1, len(out)):  # the oracle's exact recursion, same order
-        out[i] = 0.2 * vals[i] + 0.8 * out[i - 1]
-    return pd.DataFrame(
+    starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+    bounds = np.append(starts, len(u))
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        for i in range(a + 1, b):  # the oracle's recursion, same order
+            out[i] = 0.2 * vals[i] + 0.8 * out[i - 1]
+    yield pd.DataFrame(
         {
-            "user_id": pdf["user_id"].to_numpy(),
+            "user_id": u,
             "event_id": pdf["event_id"].to_numpy(),
             "value": vals.round(6),
             "ewma": out.round(6),
@@ -639,8 +627,8 @@ def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
     out_schema = "user_id bigint, event_id bigint, value double, ewma double"
     return (
-        ev.groupBy("user_id")
-        .applyInPandas(_ewma_group, out_schema)
+        ev.repartition(32, "user_id")
+        .mapInPandas(_ewma_partition, out_schema)
         .orderBy("user_id", "event_id")
     )
 

@@ -492,10 +492,10 @@ def q_streaming_running_counts_tws(spark: SparkSession, sf_dir: str) -> DataFram
     return out
 
 
-from .analytics_extra import _CEP_ORACLE  # noqa: E402
+from ._shared_oracles import CEP_FUNNEL_ORACLE  # noqa: E402
 
 
-@query("streaming_cep_funnel", oracle=_CEP_ORACLE)
+@query("streaming_cep_funnel", oracle=CEP_FUNNEL_ORACLE)
 def q_streaming_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of `cep_funnel_sequences` (Flink CEP analogue): the
     view->click->purchase pattern matched INCREMENTALLY by a custom
