@@ -44,3 +44,21 @@ WHERE p.event_type = 'purchase' AND p.last_qual_click IS NOT NULL
   AND p.ts - p.last_qual_click <= INTERVAL 10 MINUTES
 ORDER BY p.user_id, purchase_id
 """
+
+# Per-user EWMA (alpha=0.2) as a recursive CTE — shared by the batch
+# operator and its streaming GroupState twin.
+EWMA_ORACLE = """
+WITH RECURSIVE base AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), ew AS (
+  SELECT user_id, event_id, rn, value, value AS ewma FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.event_id, b.rn, b.value, 0.2 * b.value + 0.8 * e.ewma
+  FROM base b JOIN ew e ON b.user_id = e.user_id AND b.rn = e.rn + 1
+)
+SELECT user_id, event_id, round(value, 6) AS value, round(ewma, 6) AS ewma
+FROM ew
+ORDER BY user_id, event_id
+"""

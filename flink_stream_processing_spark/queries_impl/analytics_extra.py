@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..queries import query
 from ..sources.batch import load_table
-from ._shared_oracles import CEP_FUNNEL_ORACLE
+from ._shared_oracles import CEP_FUNNEL_ORACLE, EWMA_ORACLE
 
 
 def _t(spark, sf_dir, name):
@@ -563,21 +563,7 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # event_id) order. Inherently sequential per key — the oracle is a
 # DuckDB recursive CTE; the engine side runs the IDENTICAL double
 # recursion (same operand order → bit-equal) inside applyInPandas.
-_EWMA_ORACLE = """
-WITH RECURSIVE base AS (
-  SELECT user_id, event_id, value,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-  FROM events
-), ew AS (
-  SELECT user_id, event_id, rn, value, value AS ewma FROM base WHERE rn = 1
-  UNION ALL
-  SELECT b.user_id, b.event_id, b.rn, b.value, 0.2 * b.value + 0.8 * e.ewma
-  FROM base b JOIN ew e ON b.user_id = e.user_id AND b.rn = e.rn + 1
-)
-SELECT user_id, event_id, round(value, 6) AS value, round(ewma, 6) AS ewma
-FROM ew
-ORDER BY user_id, event_id
-"""
+_EWMA_ORACLE = EWMA_ORACLE
 
 
 def _ewma_partition(it):

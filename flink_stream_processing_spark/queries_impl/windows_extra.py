@@ -511,3 +511,21 @@ def q_streaming_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _run_stream_to_table(spark, cep_funnel_matches(events), "append")
     return out.orderBy("user_id", "purchase_id")
 
+
+
+from ._shared_oracles import EWMA_ORACLE as _EWMA_ORACLE_BATCH  # noqa: E402
+
+
+@query("streaming_ewma", oracle=_EWMA_ORACLE_BATCH)
+def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `ewma_smoothing`: the per-key recursion carried
+    across micro-batches in ONE double of GroupState — the minimal
+    stateful-smoothing operator (Flink's keyed-process-function staple).
+    Same operand order as the batch operator and the recursive-CTE oracle,
+    so all three are hash-identical on the finite stream."""
+    from ..streaming.pipeline import events_file_stream
+    from ..streaming.stateful import ewma_events
+
+    events = events_file_stream(spark, _events_stream_dir(sf_dir))
+    out = _run_stream_to_table(spark, ewma_events(events), "append")
+    return out.orderBy("user_id", "event_id")

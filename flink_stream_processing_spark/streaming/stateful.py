@@ -24,7 +24,7 @@ from typing import TYPE_CHECKING, Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 if TYPE_CHECKING:
     import pandas as pd
@@ -241,6 +241,69 @@ def cep_funnel_matches(events: DataFrame) -> DataFrame:
             _cep_match_events,
             outputStructType=CEP_MATCH_SCHEMA,
             stateStructType=_CEP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+EWMA_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = StructType(
+    [StructField("has_prev", LongType()), StructField("prev", DoubleType())]
+)
+
+
+def _ewma_events(
+    key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+) -> Iterator["pd.DataFrame"]:
+    """Streaming EWMA (α=0.2): one double of state per key (the previous
+    smoothed value); each micro-batch continues the recursion exactly
+    where the last one stopped, with the batch's rows sorted once —
+    identical operand order to the batch operator and its recursive-CTE
+    oracle, so all three agree bit-for-bit on a finite stream."""
+    import pandas as pd
+
+    (user_id,) = key
+    has_prev, prev = state.get if state.exists else (0, 0.0)
+    chunks = [pdf for pdf in pdfs if not pdf.empty]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+        vals = pdf["value"].to_numpy()
+        out = vals.copy()
+        if has_prev:
+            out[0] = 0.2 * vals[0] + 0.8 * prev
+        for i in range(1, len(out)):
+            out[i] = 0.2 * vals[i] + 0.8 * out[i - 1]
+        has_prev, prev = 1, float(out[-1])
+        yield pd.DataFrame(
+            {
+                "user_id": user_id,
+                "event_id": pdf["event_id"].to_numpy(),
+                "value": vals.round(6),
+                "ewma": out.round(6),
+            }
+        )
+    state.update((has_prev, prev))
+
+
+def ewma_events(events: DataFrame) -> DataFrame:
+    """Streaming per-key EWMA (see ``_ewma_events``): input needs
+    (user_id, event_id, ts, value); output one smoothed row per event."""
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _ewma_events,
+            outputStructType=EWMA_SCHEMA,
+            stateStructType=_EWMA_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
