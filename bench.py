@@ -127,6 +127,9 @@ HEADLINE = [
     "sql_surface_topk_window",
     "ngram_overlap_decontamination",
     "shuffle_hash_join_parity",
+    "scd2_asof_snapshot",
+    "cdc_changelog_materialize",
+    "pii_scan_counts",
 ]
 
 

@@ -5,6 +5,7 @@ cover the two workhorse iterative-graph shapes without GraphX/GraphFrames).
 Scale design (100 TB):
 - One iteration = one keyed join (ranks on src) + one keyed agg (sum by
   dst) — the exact shuffle profile of Pregel PageRank; nothing else moves.
+  Out-degrees are broadcast into the edge relation (O(nodes) ≪ O(edges)).
 - The edge list and out-degrees are materialized ONCE (``localCheckpoint``)
   so iterations touch the materialized relations, not the upstream plan
   that built the graph.
@@ -41,19 +42,17 @@ def pagerank(
     rounded to 6 decimals (see module docstring).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    e = e.localCheckpoint(eager=True)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # ONE materialization: (src, dst, outdeg). The no-dangling contract
+    # makes the node set exactly distinct(src), so nodes/N/initial ranks
+    # all derive from this relation instead of separate passes over the
+    # upstream edge plan.
+    contrib_base = e.join(F.broadcast(deg), "src").localCheckpoint(eager=True)
+    nodes = contrib_base.select(F.col("src").alias("node")).distinct()
     n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("nn"))
     ranks = nodes.join(F.broadcast(n_row)).select(
         "node", (F.lit(1.0) / F.col("nn")).alias("pr")
     )
-    contrib_base = e.join(deg, "src").localCheckpoint(eager=True)
     for _ in range(iters):
         ranks = (
             contrib_base.join(ranks, contrib_base.src == ranks.node)

@@ -629,9 +629,9 @@ WITH pairs AS (
   SELECT DISTINCT o_custkey AS c, l_suppkey AS s
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 ), edges AS (
-  SELECT 'c' || c AS src, 's' || s AS dst FROM pairs
+  SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
   UNION ALL
-  SELECT 's' || s AS src, 'c' || c AS dst FROM pairs
+  SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs
 ), deg AS (
   SELECT src, count(*) AS outdeg FROM edges GROUP BY src
 ), nodes AS (
@@ -664,7 +664,10 @@ def q_pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer–supplier bipartite graph — the second workhorse iterative
     graph op beside connected components: one keyed join + one keyed agg
     per iteration (the Pregel shuffle profile), edge list and degrees
-    materialized once, rank vector never leaves the executors."""
+    materialized once, rank vector never leaves the executors. Node ids
+    are packed into BIGINT (customer 2k / supplier 2k+1) — integer keys
+    hash and shuffle several times cheaper than string-tagged ids at
+    graph scale."""
     from ..operators.graph import pagerank
 
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -672,8 +675,8 @@ def q_pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("cnode"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("snode"),
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
         )
         .distinct()
     )
@@ -723,4 +726,53 @@ def q_shuffle_hash_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+# --- CDC changelog materialization -------------------------------------
+# The events stream read AS a change log keyed by user: signup/purchase
+# upsert the user's state, error is a delete tombstone, view/click are
+# non-state events and ignored. Materialized table = latest surviving op
+# per key — the latest-row-plus-tombstone merge at the heart of every CDC
+# sink (Debezium -> warehouse, Paimon/Hudi upsert tables).
+_CDC_ORACLE = """
+WITH log AS (
+  SELECT user_id, event_id, event_type, value, ts FROM events
+  WHERE event_type IN ('signup', 'purchase', 'error')
+), last AS (
+  SELECT user_id, event_type, value, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+           AS rn
+  FROM log
+)
+SELECT user_id, round(value, 6) AS last_value,
+       epoch_ms(ts)::BIGINT AS updated_ms
+FROM last
+WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
+"""
+
+
+@query("cdc_changelog_materialize", oracle=_CDC_ORACLE)
+def q_cdc_changelog_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog -> table materialization: latest op per key wins, delete
+    tombstones drop the key. One window pass on the key partitioning (the
+    same shuffle a MERGE INTO target dedup costs); at warehouse scale this
+    is the compaction step of every CDC ingestion pipeline, and rank-1
+    selection (not max-ts join-back) keeps it a single exchange."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase", "error")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.round("value", 6).alias("last_value"),
+            F.unix_millis("ts").alias("updated_ms"),
+        )
+        .orderBy("user_id")
     )

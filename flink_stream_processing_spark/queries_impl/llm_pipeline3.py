@@ -354,3 +354,101 @@ def q_ngram_overlap_decontamination(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("doc_id")
     )
+
+
+# --- Multi-class PII scan ----------------------------------------------
+# Breadth companion to text_redaction (emails only): count and mask
+# email / phone / IPv4 occurrences per doc. The corpus has no organic
+# PII, so each class is injected deterministically first (docs ≡ 0 mod 5
+# / mod 7 / mod 11 get one synthetic instance) — the expected match set
+# is then exact. All three patterns sit in the Java-regex ∩ RE2 dialect
+# subset.
+_PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_PHONE_RE = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_IP_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+_PII_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' mail user' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                      || '-0199' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.25' ELSE '' END
+           AS text2
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text2, '{_PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text2, '{_PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text2, '{_PII_IP_RE}')) AS BIGINT)    AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(text2,
+             '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_PII_PHONE_RE}', '<PHONE>', 'g'),
+             '{_PII_IP_RE}', '<IP>', 'g')) AS scrubbed_md5
+FROM t
+ORDER BY doc_id
+"""
+
+
+@query("pii_scan_counts", oracle=_PII_ORACLE)
+def q_pii_scan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class PII scan + scrub (email, phone, IPv4): per-doc class
+    counts and the md5 of the fully-scrubbed text, so any masking
+    difference in any class hash-mismatches. Chained regexp_replace in
+    one narrow projection — one text pass per class, no shuffle; classes
+    are scrubbed most-specific-first so earlier masks can't destroy later
+    matches."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" mail user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-0199"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" host 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".25"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    t = docs.select("doc_id", injected.alias("text2"))
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text2", _PII_EMAIL_RE, "<EMAIL>"),
+            _PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        _PII_IP_RE,
+        "<IP>",
+    )
+    n = lambda pat, name: (  # noqa: E731
+        F.size(F.regexp_extract_all("text2", F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(name)
+    )
+    return t.select(
+        "doc_id",
+        n(_PII_EMAIL_RE, "n_emails"),
+        n(_PII_PHONE_RE, "n_phones"),
+        n(_PII_IP_RE, "n_ips"),
+        F.md5(scrub).alias("scrubbed_md5"),
+    ).orderBy("doc_id")

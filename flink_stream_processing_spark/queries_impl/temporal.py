@@ -150,3 +150,69 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "is_current",
     )
+
+
+# As-of snapshot over the SCD2 history: the state of every user at one
+# instant T — i.e., time travel against the versioned dimension. T is the
+# corpus midpoint (2024-01-16) so the snapshot is non-trivial at every sf.
+_SCD2_ASOF_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+               OR NOT (event_type IS NOT DISTINCT FROM lag(event_type) OVER w)
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), v AS (
+  SELECT user_id, ts, event_type AS state,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS version
+  FROM o
+), runs AS (
+  SELECT user_id, state, version, min(ts) AS valid_from
+  FROM v GROUP BY user_id, state, version
+), hist AS (
+  SELECT user_id, state, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           AS valid_to
+  FROM runs
+)
+SELECT user_id, state,
+       epoch_ms(valid_from)::BIGINT AS valid_from_ms
+FROM hist
+WHERE valid_from <= TIMESTAMP '2024-01-16 00:00:00'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-16 00:00:00')
+ORDER BY user_id
+"""
+
+
+@query("scd2_asof_snapshot", oracle=_SCD2_ASOF_ORACLE)
+def q_scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel against the SCD2 dimension: one row per user giving the
+    version valid at T (valid_from <= T < valid_to). Runs the same
+    single-exchange history build and then a per-row interval predicate —
+    no extra shuffle; at warehouse scale this is the query pattern that
+    replaces full-table snapshots with interval filtering over the
+    compacted history."""
+    from ..operators.temporal import scd2_collapse
+
+    t = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    hist = scd2_collapse(
+        load_table(spark, sf_dir, "events"),
+        key="user_id",
+        attr="event_type",
+        ts="ts",
+        tiebreak="event_id",
+    )
+    return (
+        hist.filter(
+            (F.col("valid_from") <= t)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+        )
+        .select(
+            "user_id",
+            "state",
+            F.unix_millis("valid_from").alias("valid_from_ms"),
+        )
+        .orderBy("user_id")
+    )

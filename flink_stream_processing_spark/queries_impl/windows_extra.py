@@ -529,3 +529,51 @@ def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = events_file_stream(spark, _events_stream_dir(sf_dir))
     out = _run_stream_to_table(spark, ewma_events(events), "append")
     return out.orderBy("user_id", "event_id")
+
+
+_STREAM_STATIC_ORACLE = """
+WITH profile AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS lifetime_events,
+         round(avg(value), 6) AS lifetime_avg
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, round(e.value, 6) AS value,
+       p.lifetime_events, p.lifetime_avg
+FROM events e JOIN profile p ON e.user_id = p.user_id
+WHERE e.event_type = 'purchase'
+ORDER BY e.event_id
+"""
+
+
+@query("streaming_static_enrich", oracle=_STREAM_STATIC_ORACLE)
+def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join — the enrichment pattern every production stream
+    runs (events against a dimension/profile table): the static side is a
+    batch DataFrame joined per micro-batch, no watermark or join state
+    needed (unlike stream-stream). The static side here is the per-user
+    profile aggregate built batch-side; Spark broadcasts it into each
+    micro-batch. Finite-stream result equals the batch join oracle."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.pipeline import events_file_stream
+
+    profile = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("lifetime_events"),
+            F.round(F.avg("value"), 6).alias("lifetime_avg"),
+        )
+    )
+    stream = events_file_stream(spark, _events_stream_dir(sf_dir)).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream.join(F.broadcast(profile), "user_id").select(
+        "event_id",
+        "user_id",
+        F.round("value", 6).alias("value"),
+        "lifetime_events",
+        "lifetime_avg",
+    )
+    out = _run_stream_to_table(spark, joined, "append")
+    return out.orderBy("event_id")

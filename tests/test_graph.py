@@ -1,0 +1,49 @@
+"""Unit tests for operators/graph.py:pagerank on hand-built graphs (the
+query-level parity vs the chained-CTE oracle lives in test_oracle_parity;
+these pin the operator's math on cases small enough to reason about)."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_stream_processing_spark.operators.graph import pagerank
+
+
+def _ranks(spark, edge_list, iters=3):
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    return {
+        r["node"]: r["pr"] for r in pagerank(edges, iters=iters).collect()
+    }
+
+
+def test_symmetric_pair_is_uniform(spark):
+    # a <-> b: perfectly symmetric, ranks stay at 1/2 every iteration
+    r = _ranks(spark, [(1, 2), (2, 1)])
+    assert r == {1: 0.5, 2: 0.5}
+
+
+def test_mass_conservation_and_hub_dominance(spark):
+    # star: hub 0 <-> spokes 1..4 (symmetrized) — hub collects the mass
+    edges = []
+    for s in (1, 2, 3, 4):
+        edges += [(0, s), (s, 0)]
+    r = _ranks(spark, edges)
+    assert abs(sum(r.values()) - 1.0) < 1e-4  # rounding-bounded
+    assert r[0] > max(r[s] for s in (1, 2, 3, 4))
+    assert len({r[s] for s in (1, 2, 3, 4)}) == 1  # spokes symmetric
+
+
+def test_more_iterations_converge(spark):
+    # triangle 1-2-3 (non-bipartite, so no oscillation) + pendant 4 on 3,
+    # symmetrized; numerically: drift(6→12 iters) ≈ 0.007
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3), (3, 4), (4, 3)]
+    r6 = _ranks(spark, edges, iters=6)
+    r12 = _ranks(spark, edges, iters=12)
+    assert set(r6) == set(r12)
+    drift = max(abs(r6[n] - r12[n]) for n in r6)
+    assert drift < 0.02
+    # the triangle corner holding the pendant ends highest-ranked,
+    # the pendant lowest
+    assert r12[3] == max(r12.values())
+    assert r12[4] == min(r12.values())
+    assert r12[1] == r12[2]  # symmetric corners
