@@ -88,3 +88,45 @@ def q_sql_surface_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id exchange as the DSL ranking queries."""
     v = _register_views(spark, sf_dir)
     return spark.sql(_RANK_SQL.format(**v))
+
+
+_REACH_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM {orders} o JOIN {lineitem} l ON o.o_orderkey = l.l_orderkey
+  UNION ALL
+  SELECT DISTINCT l_suppkey * 2 + 1 AS src, o_custkey * 2 AS dst
+  FROM {orders} o JOIN {lineitem} l ON o.o_orderkey = l.l_orderkey
+), start AS (
+  SELECT CAST(min(o_custkey) * 2 AS BIGINT) AS node FROM {orders}
+), walk (node, depth) AS (
+  SELECT node, 0 FROM start
+  UNION ALL
+  SELECT e.dst, w.depth + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.depth < 2
+)
+SELECT node, CAST(min(depth) AS BIGINT) AS min_depth,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM walk
+GROUP BY node
+ORDER BY node
+"""
+
+_REACH_ORACLE = _REACH_SQL.format(orders="orders", lineitem="lineitem")
+
+
+@query("sql_surface_recursive_reachability", oracle=_REACH_ORACLE)
+def q_sql_surface_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE (Spark 4.x `WITH RECURSIVE`) in SQL text: bounded BFS
+    from the lowest customer over the symmetrized customer-supplier graph
+    — per reachable node, its minimum hop depth and path multiplicity.
+    The oracle runs the identical string, so both engines' recursive
+    semantics (UNION ALL accumulation, bounded by the depth predicate)
+    are pinned against each other. Depth is capped at 2: UNION ALL
+    recursion multiplies PATHS, not nodes — the cap is what keeps a
+    Pregel-shaped walk polynomially bounded, and unbounded traversals
+    belong to the dedicated iterative operators (connected components /
+    PageRank), not the SQL recursion."""
+    v = _register_views(spark, sf_dir)
+    return spark.sql(_REACH_SQL.format(**v))
