@@ -130,6 +130,8 @@ HEADLINE = [
     "scd2_asof_snapshot",
     "cdc_changelog_materialize",
     "pii_scan_counts",
+    "sql_surface_recursive_reachability",
+    "python_datasource_transactions",
 ]
 
 

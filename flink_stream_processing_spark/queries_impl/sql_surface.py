@@ -130,3 +130,45 @@ def q_sql_surface_recursive_reachability(spark: SparkSession, sf_dir: str) -> Da
     PageRank), not the SQL recursion."""
     v = _register_views(spark, sf_dir)
     return spark.sql(_REACH_SQL.format(**v))
+
+
+_PYDS_ORACLE = """
+WITH g AS (
+  SELECT i, (i * 48271) % 2147483647 AS h
+  FROM (SELECT unnest(generate_series(0, 999)) AS i)
+)
+SELECT i AS txn_id,
+       (h % 1000000) / 100.0 AS amount,
+       ['USD', 'EUR', 'GBP', 'JPY', 'CNY'][(h % 5) + 1] AS currency,
+       CASE WHEN h % 5 = 4 THEN 0.0 ELSE ((h % 400) + 50) / 100.0 END
+         AS exchange_rate
+FROM g
+ORDER BY txn_id
+"""
+
+
+@query("python_datasource_transactions", oracle=_PYDS_ORACLE)
+def q_python_datasource_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom PYTHON DATA SOURCE (Spark 4.x pluggable-connector API):
+    1000 synthetic transactions read through
+    ``spark.read.format("txn_gen")`` across 4 InputPartitions — the
+    reference generator as a catalog-pluggable source rather than a
+    driver loop. The Lehmer-LCG synthesis is 63-bit-safe integer math, so
+    the oracle regenerates the identical rows from generate_series; the
+    hash gate therefore proves the partitioned Python reader loses/dups
+    nothing."""
+    from pyspark.sql import functions as F
+
+    from ..sources.pydatasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("txn_gen")
+        .option("rows", "1000")
+        .option("partitions", "4")
+        .load()
+    )
+    return df.select(
+        "txn_id", F.round("amount", 6).alias("amount"), "currency",
+        F.round("exchange_rate", 6).alias("exchange_rate"),
+    ).orderBy("txn_id")

@@ -1,0 +1,84 @@
+"""Custom PYTHON DATA SOURCE (Spark 4.x ``pyspark.sql.datasource``): the
+reference's synthetic transaction generator re-expressed as a first-class
+pluggable source — ``spark.read.format("txn_gen")`` — instead of a
+driver-side loop (reference `RemittanceGenerator.java:13-75` produces one
+JSON event at a time into Kafka; sources/generator.py covers the
+rate-stream path; this covers the catalog-pluggable batch form).
+
+The synthesis is a Lehmer LCG step per row id — pure 63-bit-safe integer
+arithmetic, so a SQL oracle regenerates the identical rows from
+``generate_series`` (the same bit-reproducibility convention as the
+seeded-md5 samplers). CNY rows get exchange_rate 0.0, reproducing the
+reference generator's poison-value behavior (`RemittanceGenerator.java:49`).
+
+Scale design: the reader declares ``InputPartition``s and each partition
+generates its own row range — embarrassingly parallel, no driver
+materialization; ``partitions`` is the parallelism knob exactly like a
+real connector's split planning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_M = 2147483647  # Lehmer modulus (2^31 - 1)
+_A = 48271  # Lehmer multiplier
+
+CURRENCIES = ["USD", "EUR", "GBP", "JPY", "CNY"]
+
+TXN_SCHEMA = (
+    "txn_id bigint, amount double, currency string, exchange_rate double"
+)
+
+
+def synthesize(i: int) -> tuple:
+    """Row i of the deterministic stream (documented formula — the DuckDB
+    oracle recomputes exactly this)."""
+    h = (i * _A) % _M
+    amount = (h % 1000000) / 100.0
+    cur = CURRENCIES[h % 5]
+    rate = 0.0 if cur == "CNY" else ((h % 400) + 50) / 100.0
+    return (i, amount, cur, rate)
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class _TxnReader(DataSourceReader):
+    def __init__(self, options):
+        self.rows = int(options.get("rows", "1000"))
+        self.num_partitions = int(options.get("partitions", "4"))
+
+    def partitions(self):
+        per = -(-self.rows // self.num_partitions)  # ceil
+        return [
+            _RangePartition(lo, min(lo + per, self.rows))
+            for lo in range(0, self.rows, per)
+        ]
+
+    def read(self, partition):
+        for i in range(partition.start, partition.end):
+            yield synthesize(i)
+
+
+class TxnGenDataSource(DataSource):
+    """``spark.read.format("txn_gen").option("rows", N).option("partitions",
+    P).load()`` after ``spark.dataSource.register(TxnGenDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "txn_gen"
+
+    def schema(self) -> str:
+        return TXN_SCHEMA
+
+    def reader(self, schema):
+        return _TxnReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the txn_gen format on a session."""
+    spark.dataSource.register(TxnGenDataSource)
