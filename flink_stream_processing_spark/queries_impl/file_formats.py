@@ -71,3 +71,64 @@ def q_json_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("orc_source_roundtrip", oracle=_ROUNDTRIP_ORACLE)
 def q_orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_agg(_events_in_format(spark, sf_dir, "orc"))
+
+
+# Oracle = the batch datasource oracle (same Lehmer synthesis, full range).
+_PYDS_STREAM_ORACLE = """
+WITH g AS (
+  SELECT i, (i * 48271) % 2147483647 AS h
+  FROM (SELECT unnest(generate_series(0, 999)) AS i)
+)
+SELECT i AS txn_id,
+       (h % 1000000) / 100.0 AS amount,
+       ['USD', 'EUR', 'GBP', 'JPY', 'CNY'][(h % 5) + 1] AS currency,
+       CASE WHEN h % 5 = 4 THEN 0.0 ELSE ((h % 400) + 50) / 100.0 END
+         AS exchange_rate
+FROM g
+ORDER BY txn_id
+"""
+
+
+@query("python_datasource_stream", oracle=_PYDS_STREAM_ORACLE)
+def q_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python source consumed as a STREAM
+    (``SimpleDataSourceStreamReader``): offsets are plain row counters, so
+    micro-batch replay is exact and the drained stream must equal the
+    batch reader's rows — the hash gate proves offset bookkeeping
+    loses/dups nothing across micro-batches (4 batches of 250 here). The
+    stream is driven with a short processingTime trigger until the
+    deterministic source exhausts its 1000-row range, then stopped — the
+    bounded-drain idiom for sources with no end-of-data signal
+    (availableNow snapshots only one simple-reader batch)."""
+    import time
+    import uuid
+
+    from ..sources.pydatasource import register
+
+    register(spark)
+    name = f"pyds_{uuid.uuid4().hex[:10]}"
+    stream = (
+        spark.readStream.format("txn_gen")
+        .option("rows", "1000")
+        .option("batch_rows", "250")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and spark.table(name).count() < 1000:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    out = spark.table(name).localCheckpoint(eager=True)
+    return out.select(
+        "txn_id",
+        F.round("amount", 6).alias("amount"),
+        "currency",
+        F.round("exchange_rate", 6).alias("exchange_rate"),
+    ).orderBy("txn_id")

@@ -19,7 +19,12 @@ real connector's split planning.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _M = 2147483647  # Lehmer modulus (2^31 - 1)
 _A = 48271  # Lehmer multiplier
@@ -78,7 +83,36 @@ class TxnGenDataSource(DataSource):
     def reader(self, schema):
         return _TxnReader(self.options)
 
+    def simpleStreamReader(self, schema):  # noqa: N802
+        return _TxnStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotent registration of the txn_gen format on a session."""
     spark.dataSource.register(TxnGenDataSource)
+
+
+class _TxnStreamReader(SimpleDataSourceStreamReader):
+    """``SimpleDataSourceStreamReader``: offsets are plain row counters, so
+    replay between offsets is exact (the reader is deterministic), giving
+    the source end-to-end exactly-once under checkpointing — the property
+    the reference's fire-and-forget Kafka producer loop does NOT have.
+    Emits ``batch_rows`` rows per micro-batch up to ``rows`` total."""
+
+    def __init__(self, options):
+        self.total = int(options.get("rows", "1000"))
+        self.batch_rows = int(options.get("batch_rows", "250"))
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = start["next"]
+        hi = min(lo + self.batch_rows, self.total)
+        return iter([synthesize(i) for i in range(lo, hi)]), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        return iter([synthesize(i) for i in range(start["next"], end["next"])])
+
+    def commit(self, end: dict) -> None:
+        pass
