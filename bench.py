@@ -132,6 +132,8 @@ HEADLINE = [
     "pii_scan_counts",
     "sql_surface_recursive_reachability",
     "python_datasource_transactions",
+    "incremental_agg_merge",
+    "hll_sketch_merge_bounds",
 ]
 
 

@@ -776,3 +776,96 @@ def q_cdc_changelog_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- Mergeable-aggregate patterns --------------------------------------
+# Incremental view maintenance: merge a base aggregate with a new-batch
+# delta instead of recomputing — valid for any commutative-monoid agg
+# state (count/sum/min/max here). The oracle is the full-recompute
+# aggregate, so the gate proves base ⊕ delta ≡ recompute.
+_INC_MERGE_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("incremental_agg_merge", oracle=_INC_MERGE_ORACLE)
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the corpus is split at a date
+    boundary into 'base' (already-materialized view state) and 'delta'
+    (the new batch); each aggregates independently and the two states
+    merge by monoid combination (sum of counts/sums, min of mins, max of
+    maxes). The oracle recomputes from scratch — hash equality IS the
+    algebraic proof that maintenance never needs the base table again,
+    which at warehouse scale turns an O(history) refresh into O(batch)."""
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-20 00:00:00").cast("timestamp")
+
+    def agg_state(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    base = agg_state(ev.filter(F.col("ts") < cut))
+    delta = agg_state(ev.filter(F.col("ts") >= cut))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+            F.round(F.min("min_value"), 6).alias("min_value"),
+            F.round(F.max("max_value"), 6).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# HLL sketch merge: per-day sketches unioned into one estimate — the
+# mergeability that makes sketch state distributable (partial sketches
+# per partition/day, union at the coordinator). Bound-checked oracle
+# (exact distinct + in-bound flag), like approx_distinct_bounds.
+_HLL_MERGE_ORACLE = """
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS merged_within_5pct
+FROM events
+"""
+
+
+@query("hll_sketch_merge_bounds", oracle=_HLL_MERGE_ORACLE)
+def q_hll_sketch_merge_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGE as a first-class op: one HLL sketch per day (the
+    partial-aggregation shape — at scale each partition/day builds its
+    sketch independently), then hll_union_agg collapses them to the
+    corpus-wide distinct-user estimate. The estimate from merged daily
+    sketches must land within 5% of exact — proving union loses no
+    precision class, the property that lets sketch state ship across
+    stages/days instead of raw keys."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("day_exact"),
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = ev.agg(F.count_distinct("user_id").alias("exact_users"))
+    return (
+        exact.join(F.broadcast(merged))
+        .select(
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("merged_within_5pct"),
+        )
+    )
