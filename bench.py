@@ -134,6 +134,8 @@ HEADLINE = [
     "python_datasource_transactions",
     "incremental_agg_merge",
     "hll_sketch_merge_bounds",
+    "weighted_sample_ares",
+    "equi_depth_histogram",
 ]
 
 

@@ -869,3 +869,46 @@ def q_hll_sketch_merge_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("merged_within_5pct"),
         )
     )
+
+
+# --- Equi-depth histogram ----------------------------------------------
+_EQUI_DEPTH_ORACLE = """
+WITH t AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM t
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@query("equi_depth_histogram", oracle=_EQUI_DEPTH_ORACLE)
+def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (quantile buckets — the companion of the
+    equi-width `histogram_totalprice`, and the statistic a CBO actually
+    wants for skewed columns): ntile(10) with a deterministic tiebreak,
+    then per-bucket bounds. The global ntile is the textbook
+    single-partition window hazard — at 100 TB this exact output comes
+    from approx_percentile cut points + the two-pass bucket-assign
+    (`histogram_totalprice`'s shape); the ntile form is kept as the exact
+    semantic (and its oracle), sized to the distinct-value scale where a
+    global window is affordable."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .select(F.col("bucket").cast("bigint").alias("bucket"), "n_orders", "lo", "hi")
+        .orderBy("bucket")
+    )

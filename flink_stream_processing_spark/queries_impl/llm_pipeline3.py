@@ -452,3 +452,56 @@ def q_pii_scan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         n(_PII_IP_RE, "n_ips"),
         F.md5(scrub).alias("scrubbed_md5"),
     ).orderBy("doc_id")
+
+
+# --- Deterministic weighted reservoir sampling (A-Res) -----------------
+# Efraimidis–Spirakis: key = u^(1/w) (equivalently rank by -ln(u)/w);
+# the top-k keys are a weighted sample without replacement. With the
+# seeded-md5 uniform the "reservoir" is fully deterministic and
+# engine-reproducible — the distributed form is a per-partition top-k
+# merged by TakeOrdered, never a global sort of the corpus.
+_WEIGHTED_SAMPLE_ORACLE = """
+WITH u AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5('ares' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           / 4294967296.0 AS unif
+  FROM documents
+  WHERE n_chars > 0
+), keyed AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         round(-ln(unif) / n_chars, 10) AS ares_key
+  FROM u
+)
+SELECT doc_id, n_chars, ares_key
+FROM keyed
+ORDER BY ares_key, doc_id
+LIMIT 50
+"""
+
+
+@query("weighted_sample_ares", oracle=_WEIGHTED_SAMPLE_ORACLE)
+def q_weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-Res),
+    weights = document length: rank every doc by -ln(u)/w with the
+    seeded-md5 uniform and keep the 50 smallest keys. Deterministic and
+    bit-reproducible across engines/partitionings (the same auditability
+    convention as stratified_sample); the plan is a per-partition top-k
+    heap merged on the driver (TakeOrderedAndProject), NOT a global sort
+    — the only shape that survives a 100 TB corpus for a 50-row sample."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    unif = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ares"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.round(-F.log(unif) / F.col("n_chars"), 10).alias("ares_key"),
+    )
+    return keyed.orderBy("ares_key", "doc_id").limit(50)
