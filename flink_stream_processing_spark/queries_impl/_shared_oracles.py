@@ -62,3 +62,22 @@ SELECT user_id, event_id, round(value, 6) AS value, round(ewma, 6) AS ewma
 FROM ew
 ORDER BY user_id, event_id
 """
+
+# Trailing-20-row out-of-sample z-score anomalies — shared by the batch
+# window query and the streaming ring-buffer twin.
+ZSCORE_ORACLE = """
+WITH w AS (
+  SELECT event_id, user_id, ts, value,
+         avg(value)  OVER win AS mu,
+         stddev_samp(value) OVER win AS sigma,
+         count(*) OVER win AS n_prior
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, round(value, 6) AS value,
+       round((value - mu) / sigma, 4) AS zscore
+FROM w
+WHERE n_prior = 20 AND sigma > 0 AND abs((value - mu) / sigma) > 2.5
+ORDER BY event_id
+"""

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..queries import query
 from ..sources.batch import load_table
-from ._shared_oracles import CEP_FUNNEL_ORACLE, EWMA_ORACLE
+from ._shared_oracles import CEP_FUNNEL_ORACLE, EWMA_ORACLE, ZSCORE_ORACLE
 
 
 def _t(spark, sf_dir, name):
@@ -189,22 +189,7 @@ def q_timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # user's 20 strictly-preceding events (full windows only). z is rounded to
 # 4 decimals: avg/stddev accumulate in row order in both engines, but the
 # online algorithms differ in the last ulps.
-_ZSCORE_ORACLE = """
-WITH w AS (
-  SELECT event_id, user_id, ts, value,
-         avg(value)  OVER win AS mu,
-         stddev_samp(value) OVER win AS sigma,
-         count(*) OVER win AS n_prior
-  FROM events
-  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
-)
-SELECT event_id, user_id, round(value, 6) AS value,
-       round((value - mu) / sigma, 4) AS zscore
-FROM w
-WHERE n_prior = 20 AND sigma > 0 AND abs((value - mu) / sigma) > 2.5
-ORDER BY event_id
-"""
+_ZSCORE_ORACLE = ZSCORE_ORACLE
 
 
 @query("zscore_anomalies", oracle=_ZSCORE_ORACLE)

@@ -577,3 +577,22 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_stream_to_table(spark, joined, "append")
     return out.orderBy("event_id")
+
+
+from ._shared_oracles import ZSCORE_ORACLE  # noqa: E402
+
+
+@query("streaming_zscore_anomalies", oracle=ZSCORE_ORACLE)
+def q_streaming_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `zscore_anomalies`: the bounded ROWS frame
+    becomes a 20-value ring buffer per key in GroupState (O(frame) state —
+    the streaming form of the batch frame bound), each event scored
+    out-of-sample before entering the buffer. Same full oracle as the
+    batch query, so the incremental statistics are hash-gated against the
+    declarative window formulation."""
+    from ..streaming.pipeline import events_file_stream
+    from ..streaming.stateful import zscore_anomaly_stream
+
+    events = events_file_stream(spark, _events_stream_dir(sf_dir))
+    out = _run_stream_to_table(spark, zscore_anomaly_stream(events), "append")
+    return out.select("event_id", "user_id", "value", "zscore").orderBy("event_id")

@@ -24,7 +24,13 @@ from typing import TYPE_CHECKING, Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 if TYPE_CHECKING:
     import pandas as pd
@@ -304,6 +310,85 @@ def ewma_events(events: DataFrame) -> DataFrame:
             _ewma_events,
             outputStructType=EWMA_SCHEMA,
             stateStructType=_EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+ZSCORE_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("zscore", DoubleType()),
+    ]
+)
+
+# state: the key's trailing window of raw values (bounded ring buffer)
+_ZSCORE_STATE_SCHEMA = StructType(
+    [StructField("window", ArrayType(DoubleType()))]
+)
+
+_Z_FRAME = 20
+_Z_THRESH = 2.5
+
+
+def _zscore_events(
+    key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+) -> Iterator["pd.DataFrame"]:
+    """Streaming trailing-window z-score: per key, a bounded ring buffer
+    of the last 20 raw values is the ENTIRE state (O(frame) per key — the
+    same bound the batch ROWS frame holds); each event scores against the
+    buffer BEFORE being pushed, i.e. a strictly out-of-sample deviation.
+    Statistics use the textbook two-pass mean/ssq per event over the
+    20-value buffer — identical math to the batch oracle's windowed
+    avg/stddev_samp up to the 4-decimal rounding both sides apply."""
+    import numpy as np
+    import pandas as pd
+
+    (user_id,) = key
+    buf = list(state.get[0]) if state.exists else []
+    chunks = [pdf for pdf in pdfs if not pdf.empty]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+        out_ids, out_vals, out_z = [], [], []
+        for eid, v in zip(pdf["event_id"].to_numpy(), pdf["value"].to_numpy()):
+            if len(buf) == _Z_FRAME:
+                arr = np.asarray(buf)
+                mu = arr.mean()
+                sigma = arr.std(ddof=1)
+                if sigma > 0:
+                    z = (v - mu) / sigma
+                    if abs(z) > _Z_THRESH:
+                        out_ids.append(int(eid))
+                        out_vals.append(round(float(v), 6))
+                        out_z.append(round(float(z), 4))
+            buf.append(float(v))
+            if len(buf) > _Z_FRAME:
+                buf.pop(0)
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    "event_id": out_ids,
+                    "user_id": user_id,
+                    "value": out_vals,
+                    "zscore": out_z,
+                }
+            )
+    state.update((buf,))
+
+
+def zscore_anomaly_stream(events: DataFrame) -> DataFrame:
+    """Streaming anomaly detector (see ``_zscore_events``): input needs
+    (user_id, event_id, ts, value); output one row per flagged event."""
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _zscore_events,
+            outputStructType=ZSCORE_SCHEMA,
+            stateStructType=_ZSCORE_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
