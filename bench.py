@@ -136,6 +136,8 @@ HEADLINE = [
     "hll_sketch_merge_bounds",
     "weighted_sample_ares",
     "equi_depth_histogram",
+    "null_semantics_battery",
+    "decimal_arithmetic_battery",
 ]
 
 

@@ -132,3 +132,49 @@ def q_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "currency",
         F.round("exchange_rate", 6).alias("exchange_rate"),
     ).orderBy("txn_id")
+
+
+_JDBC_DIRS: dict[str, str] = {}
+
+
+_JDBC_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("jdbc_source_roundtrip", oracle=_JDBC_ORACLE)
+def q_jdbc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC as a SOURCE (the reference only sinks to JDBC): the per-type
+    aggregate is written once to a live embedded-Derby database through
+    the JDBC writer, then read BACK via ``spark.read.jdbc`` and compared
+    against the parquet-side oracle — gating type mapping (BIGINT/DOUBLE/
+    VARCHAR) through a real database in both directions. PostgreSQL swaps
+    in via url/properties; at scale the read parallelizes with
+    partitionColumn bounds (documented, single-partition here — the
+    aggregate is 5 rows)."""
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    d = _JDBC_DIRS.get(sf_dir)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="jdbc_src_")
+        url = f"jdbc:derby:{d}/eventsdb;create=true"
+        agg = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+        )
+        agg.write.mode("overwrite").jdbc(url, "event_aggs", properties=props)
+        _JDBC_DIRS[sf_dir] = d
+    url = f"jdbc:derby:{_JDBC_DIRS[sf_dir]}/eventsdb"
+    return (
+        spark.read.jdbc(url, "event_aggs", properties=props)
+        .select("event_type", "n_events", "sum_value")
+        .orderBy("event_type")
+    )

@@ -481,3 +481,106 @@ def q_json_path_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --- NULL-semantics battery --------------------------------------------
+# NULLs derived via nullif (the corpus has none organically): every
+# NULL-related semantic a migration gets wrong — count(*) vs count(col),
+# distinct-with-null, group-by-null-key, null-safe equality, and
+# coalesce fallbacks — pinned cross-engine in one query.
+_NULL_SEMANTICS_ORACLE = """
+WITH t AS (
+  SELECT user_id,
+         nullif(event_type, 'error') AS etype,
+         nullif(value, 0.0) AS v
+  FROM events
+)
+SELECT coalesce(etype, '<NULL>') AS etype_key,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(etype) AS BIGINT) AS n_nonnull_etype,
+       CAST(count(DISTINCT etype) AS BIGINT) AS n_distinct_etype,
+       CAST(sum(CASE WHEN etype IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_nullsafe_null,
+       round(sum(coalesce(v, -1.0)), 2) AS sum_v_coalesced
+FROM t
+GROUP BY etype
+ORDER BY etype_key
+"""
+
+
+@query("null_semantics_battery", oracle=_NULL_SEMANTICS_ORACLE)
+def q_null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics pinned cross-engine: NULL group keys form their own
+    group, count(col) skips NULLs while count(*) doesn't, DISTINCT
+    counts exclude NULL, IS NOT DISTINCT FROM treats NULL=NULL as true,
+    and coalesce fallbacks flow through aggregation. One pass, one
+    shuffle — the battery exists because these are exactly the semantics
+    silent-corruption bugs live in when porting between engines."""
+    ev = _t(spark, sf_dir, "events")
+    t = ev.select(
+        "user_id",
+        F.nullif("event_type", F.lit("error")).alias("etype"),
+        F.nullif("value", F.lit(0.0)).alias("v"),
+    )
+    return (
+        t.groupBy("etype")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("etype").alias("n_nonnull_etype"),
+            F.countDistinct("etype").alias("n_distinct_etype"),
+            F.sum(
+                F.col("etype").eqNullSafe(F.lit(None).cast("string")).cast("long")
+            ).alias("n_nullsafe_null"),
+            F.round(F.sum(F.coalesce("v", F.lit(-1.0))), 2).alias("sum_v_coalesced"),
+        )
+        .select(
+            F.coalesce("etype", F.lit("<NULL>")).alias("etype_key"),
+            "n_rows",
+            "n_nonnull_etype",
+            "n_distinct_etype",
+            "n_nullsafe_null",
+            "sum_v_coalesced",
+        )
+        .orderBy("etype_key")
+    )
+
+
+# --- Decimal arithmetic battery ----------------------------------------
+# Money math on DECIMAL(18,2): exact addition/multiplication semantics
+# (no float drift), surfaced as DOUBLE only at the boundary so the
+# comparator sees one dtype.
+_DECIMAL_ORACLE = """
+SELECT l_returnflag,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))) AS DOUBLE)
+         AS gross_exact,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                * CAST(1 - l_discount AS DECIMAL(18, 2))) AS DOUBLE)
+         AS net_exact,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("decimal_arithmetic_battery", oracle=_DECIMAL_ORACLE)
+def q_decimal_arithmetic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL money math: sums and scaled products over
+    DECIMAL(18,2) are exact in both engines (no float summation-order
+    drift — note NO rounding is applied before comparison, unlike every
+    double aggregate in this registry), cast to DOUBLE only at the output
+    boundary. This is the arithmetic path a financial pipeline must pin;
+    Spark's decimal precision-promotion rules (18,2 × 18,2 → 38,4) stay
+    inside the 38-digit envelope here."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(price).cast("double").alias("gross_exact"),
+            F.sum(price * disc).cast("double").alias("net_exact"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )
