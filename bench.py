@@ -138,6 +138,9 @@ HEADLINE = [
     "equi_depth_histogram",
     "null_semantics_battery",
     "decimal_arithmetic_battery",
+    "session_funnel_conversion",
+    "weekly_revenue_wow",
+    "abc_pareto_classification",
 ]
 
 

@@ -897,3 +897,167 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("bucket").cast("bigint").alias("bucket"), "n_orders", "lo", "hi")
         .orderBy("bucket")
     )
+
+
+# --- Session-scoped funnel ---------------------------------------------
+# Composition: sessionize (10-min gap, the gaps-and-islands pass) then
+# run the min-time ordered funnel WITHIN each session — "did this visit
+# convert", the form product analytics actually ships.
+_SESSION_FUNNEL_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTES
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, event_type,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM o
+), f AS (
+  SELECT user_id, sess_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM s GROUP BY user_id, sess_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(*) FILTER (WHERE t_view IS NOT NULL) AS BIGINT) AS n_view,
+       CAST(count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view)
+            AS BIGINT) AS n_view_click,
+       CAST(count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view
+                              AND t_purchase > t_click)
+            AS BIGINT) AS n_converted
+FROM f
+"""
+
+
+@query("session_funnel_conversion", oracle=_SESSION_FUNNEL_ORACLE)
+def q_session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel scoped to sessions: the gaps-and-islands sessionizer and
+    the per-session stage pivot REUSE one user_id exchange (window, then
+    groupBy on (user, session) — co-partitioned), ending in a scalar
+    conditional count. Composition of two registry primitives with no
+    extra shuffle over either alone."""
+    ev = _t(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = (
+        F.lag("ts").over(wseq).isNull()
+        | (F.col("ts") >= F.lag("ts").over(wseq) + F.expr("INTERVAL 10 MINUTES"))
+    ).cast("long")
+    s = ev.withColumn(
+        "sess_id",
+        F.sum(new_sess).over(wseq.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    f = s.groupBy("user_id", "sess_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    stage1 = F.col("t_view").isNotNull()
+    stage2 = stage1 & (F.col("t_click") > F.col("t_view"))
+    stage3 = stage2 & (F.col("t_purchase") > F.col("t_click"))
+    return f.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(stage1.cast("long")).alias("n_view"),
+        F.sum(stage2.cast("long")).alias("n_view_click"),
+        F.sum(stage3.cast("long")).alias("n_converted"),
+    )
+
+
+# --- Week-over-week revenue delta --------------------------------------
+_WOW_ORACLE = """
+WITH weekly AS (
+  SELECT date_trunc('week', o_orderdate) AS wk,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT epoch_ms(wk)::BIGINT AS week_ms, revenue,
+       round(revenue - lag(revenue) OVER (ORDER BY wk), 2) AS wow_delta,
+       round(100.0 * (revenue - lag(revenue) OVER (ORDER BY wk))
+             / lag(revenue) OVER (ORDER BY wk), 4) AS wow_pct
+FROM weekly
+ORDER BY week_ms
+"""
+
+
+@query("weekly_revenue_wow", oracle=_WOW_ORACLE)
+def q_weekly_revenue_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period reporting: weekly revenue with lag deltas. The
+    global-ordering window runs over the COLLAPSED weekly series (|weeks|
+    rows), not the fact table — aggregate first, window the small result;
+    first week's deltas are NULL by lag semantics on both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    weekly = orders.groupBy(
+        F.date_trunc("week", "o_orderdate").alias("wk")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("wk")
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        F.unix_millis("wk").alias("week_ms"),
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("wow_delta"),
+        F.round(F.lit(100.0) * (F.col("revenue") - prev) / prev, 4).alias("wow_pct"),
+    ).orderBy("week_ms")
+
+
+# --- ABC / Pareto classification ---------------------------------------
+_ABC_ORACLE = """
+WITH p AS (
+  SELECT l_partkey, round(sum(l_extendedprice), 2) AS revenue
+  FROM lineitem GROUP BY 1
+), r AS (
+  SELECT l_partkey, revenue,
+         sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS running,
+         sum(revenue) OVER () AS total
+  FROM p
+)
+SELECT CASE WHEN running / total <= 0.5 THEN 'A'
+            WHEN running / total <= 0.8 THEN 'B' ELSE 'C' END AS abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       round(sum(revenue), 2) AS class_revenue
+FROM r
+GROUP BY 1
+ORDER BY abc_class
+"""
+
+
+@query("abc_pareto_classification", oracle=_ABC_ORACLE)
+def q_abc_pareto_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue share: running
+    cumulative share over the revenue-ranked parts, bucketed at 50%/80%.
+    The running-sum window orders the AGGREGATED per-part series (with a
+    deterministic tiebreak), not line items; the global total is a
+    window-over-nothing on the same collapsed series. At true catalog
+    scale the global ordering becomes a range-partitioned sort — same
+    semantics, and the 2-pass structure is unchanged."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = li.groupBy("l_partkey").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy(F.col("revenue").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = p.select(
+        "revenue",
+        F.sum("revenue").over(w).alias("running"),
+        F.sum("revenue").over(Window.partitionBy()).alias("total"),
+    )
+    cls = (
+        F.when(F.col("running") / F.col("total") <= 0.5, "A")
+        .when(F.col("running") / F.col("total") <= 0.8, "B")
+        .otherwise("C")
+    )
+    return (
+        r.groupBy(cls.alias("abc_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("revenue"), 2).alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )
