@@ -141,6 +141,9 @@ HEADLINE = [
     "session_funnel_conversion",
     "weekly_revenue_wow",
     "abc_pareto_classification",
+    "volume_anomaly_days",
+    "referential_integrity_audit",
+    "corpus_length_report",
 ]
 
 

@@ -1061,3 +1061,198 @@ def q_abc_pareto_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# --- Volume-anomaly days -----------------------------------------------
+# Data-freshness/completeness monitoring: flag (event_type, day) cells
+# whose volume deviates > 2σ from that type's other-days baseline
+# (leave-one-out mean/std so a spike can't mask itself).
+_VOLUME_ANOMALY_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, day, n,
+         (sum(n) OVER w - n) / (count(*) OVER w - 1) AS loo_mean,
+         count(*) OVER w AS n_days
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type)
+), scored AS (
+  SELECT s.event_type, s.day, s.n, s.loo_mean,
+         sqrt(sum((d.n - s.loo_mean) * (d.n - s.loo_mean))
+              / (s.n_days - 2)) AS loo_std
+  FROM stats s JOIN daily d
+    ON s.event_type = d.event_type AND s.day <> d.day
+  GROUP BY s.event_type, s.day, s.n, s.loo_mean, s.n_days
+)
+SELECT event_type, epoch_ms(day)::BIGINT AS day_ms, n,
+       round(loo_mean, 4) AS baseline,
+       round((n - loo_mean) / loo_std, 4) AS deviation
+FROM scored
+WHERE loo_std > 0 AND abs((n - loo_mean) / loo_std) > 2
+ORDER BY event_type, day_ms
+"""
+
+
+@query("volume_anomaly_days", oracle=_VOLUME_ANOMALY_ORACLE)
+def q_volume_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-health monitoring: daily volume per event type scored
+    against a LEAVE-ONE-OUT baseline (the day under test is excluded from
+    its own mean/std, so a single broken day can't normalize itself).
+    Everything runs on the collapsed (type, day) grid — |types|·|days|
+    rows — so the self-join for the LOO std is trivial at any fact-table
+    scale; the fact table itself is touched once for the daily counts."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    stats = daily.select(
+        "event_type",
+        "day",
+        "n",
+        ((F.sum("n").over(w) - F.col("n")) / (F.count(F.lit(1)).over(w) - 1)).alias(
+            "loo_mean"
+        ),
+        F.count(F.lit(1)).over(w).alias("n_days"),
+    )
+    d2 = daily.select(
+        F.col("event_type").alias("et2"), F.col("day").alias("day2"),
+        F.col("n").alias("n2"),
+    )
+    scored = (
+        stats.join(
+            d2,
+            (stats.event_type == d2.et2) & (stats.day != d2.day2),
+        )
+        .groupBy("event_type", "day", "n", "loo_mean", "n_days")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("n2") - F.col("loo_mean")) * (F.col("n2") - F.col("loo_mean")))
+                / (F.col("n_days") - 2)
+            ).alias("loo_std")
+        )
+    )
+    dev = (F.col("n") - F.col("loo_mean")) / F.col("loo_std")
+    return (
+        scored.filter((F.col("loo_std") > 0) & (F.abs(dev) > 2))
+        .select(
+            "event_type",
+            F.unix_millis("day").alias("day_ms"),
+            "n",
+            F.round("loo_mean", 4).alias("baseline"),
+            F.round(dev, 4).alias("deviation"),
+        )
+        .orderBy("event_type", "day_ms")
+    )
+
+
+# --- Referential-integrity audit ---------------------------------------
+_RI_AUDIT_ORACLE = """
+SELECT 'lineitem_orphans' AS check_name,
+       CAST(count(*) AS BIGINT) AS n_bad
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IS NULL
+UNION ALL
+SELECT 'order_customer_orphans',
+       CAST(count(*) AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+UNION ALL
+SELECT 'customer_nation_orphans',
+       CAST(count(*) AS BIGINT)
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE n.n_nationkey IS NULL
+UNION ALL
+SELECT 'duplicate_order_keys',
+       CAST(count(*) AS BIGINT)
+FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+ORDER BY check_name
+"""
+
+
+@query("referential_integrity_audit", oracle=_RI_AUDIT_ORACLE)
+def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-QA audit: orphaned foreign keys at every edge of the
+    star schema plus key-uniqueness, as one stacked report. Each check is
+    an anti-join (broadcast where the parent side is a dim); a healthy
+    load reports all zeros — and the oracle proves the CHECKS themselves,
+    not just the happy path, agree across engines."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey")
+
+    def cnt(df):
+        return df.agg(F.count(F.lit(1)).alias("n_bad"))
+
+    checks = [
+        (
+            "lineitem_orphans",
+            cnt(li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")),
+        ),
+        (
+            "order_customer_orphans",
+            cnt(orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")),
+        ),
+        (
+            "customer_nation_orphans",
+            cnt(
+                cust.join(
+                    F.broadcast(nation),
+                    cust.c_nationkey == nation.n_nationkey,
+                    "left_anti",
+                )
+            ),
+        ),
+        (
+            "duplicate_order_keys",
+            cnt(
+                orders.groupBy("o_orderkey")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") > 1)
+            ),
+        ),
+    ]
+    out = None
+    for name, df in checks:
+        row = df.select(F.lit(name).alias("check_name"), "n_bad")
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("check_name")
+
+
+# --- Corpus length report ----------------------------------------------
+_CORPUS_REPORT_ORACLE = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+       round(avg(n_chars), 4) AS mean_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("corpus_length_report", oracle=_CORPUS_REPORT_ORACLE)
+def q_corpus_length_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile (the report every dataset card needs):
+    doc counts, char mass, exact interpolated p50/p90 and mean. Exact
+    percentiles per group — at true corpus scale the same report swaps
+    in approx_percentile with a documented rank-error bound
+    (approx_quantile_bounds is the gated pattern); the scan reads two
+    columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.round(F.percentile("n_chars", F.lit(0.5)), 4).alias("p50_chars"),
+            F.round(F.percentile("n_chars", F.lit(0.9)), 4).alias("p90_chars"),
+            F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+        )
+        .orderBy("source")
+    )
