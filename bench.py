@@ -144,6 +144,9 @@ HEADLINE = [
     "volume_anomaly_days",
     "referential_integrity_audit",
     "corpus_length_report",
+    "keyed_merge_upsert",
+    "sentence_stats",
+    "jdbc_source_roundtrip",
 ]
 
 

@@ -1256,3 +1256,86 @@ def q_corpus_length_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- Keyed MERGE upsert (warehouse MERGE INTO emulation) ---------------
+# The keyed-state sibling of incremental_agg_merge: materialize the
+# target from the first 20 days' changelog, then MERGE the last 10 days'
+# delta (update matched, insert new, delete tombstoned). The oracle is
+# the CDC materialization over the FULL range — merge(base, delta) must
+# equal recompute, the correctness contract of MERGE INTO pipelines.
+_MERGE_ORACLE = """
+WITH log AS (
+  SELECT user_id, event_id, event_type, value, ts FROM events
+  WHERE event_type IN ('signup', 'purchase', 'error')
+), last AS (
+  SELECT user_id, event_type, value, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+           AS rn
+  FROM log
+)
+SELECT user_id, round(value, 6) AS last_value,
+       epoch_ms(ts)::BIGINT AS updated_ms
+FROM last
+WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
+"""
+
+
+@query("keyed_merge_upsert", oracle=_MERGE_ORACLE)
+def q_keyed_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation on keyed state: target rows (latest per key
+    from the base period, tombstones applied) full-outer-joined with the
+    delta period's latest ops — delta wins where matched, inserts where
+    new, deletes where its last op is a tombstone, target survives
+    otherwise. One window pass per side + one keyed join; the oracle
+    recomputes from the full changelog, so hash equality proves the merge
+    law (merge(base, delta) ≡ recompute) that lets a warehouse apply
+    day-sized deltas instead of replaying history."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase", "error")
+    )
+    cut = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def latest_ops(df):
+        """Latest op per key INCLUDING tombstones (the merge needs to see
+        deletes; dropping happens at apply time)."""
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type", "value", "ts")
+        )
+
+    base = latest_ops(ev.filter(F.col("ts") < cut)).select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_type").alias("b_op"),
+        F.col("value").alias("b_value"),
+        F.col("ts").alias("b_ts"),
+    )
+    delta = latest_ops(ev.filter(F.col("ts") >= cut)).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("d_op"),
+        F.col("value").alias("d_value"),
+        F.col("ts").alias("d_ts"),
+    )
+    merged = base.join(delta, base.b_user == delta.d_user, "full_outer")
+    take_delta = F.col("d_user").isNotNull()
+    alive = F.when(take_delta, F.col("d_op") != "error").otherwise(
+        F.col("b_op") != "error"
+    )
+    return (
+        merged.filter(alive)
+        .select(
+            F.coalesce("d_user", "b_user").alias("user_id"),
+            F.round(
+                F.when(take_delta, F.col("d_value")).otherwise(F.col("b_value")), 6
+            ).alias("last_value"),
+            F.unix_millis(
+                F.when(take_delta, F.col("d_ts")).otherwise(F.col("b_ts"))
+            ).alias("updated_ms"),
+        )
+        .orderBy("user_id")
+    )

@@ -505,3 +505,56 @@ def q_weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(-F.log(unif) / F.col("n_chars"), 10).alias("ares_key"),
     )
     return keyed.orderBy("ares_key", "doc_id").limit(50)
+
+
+# --- Sentence-level text stats -----------------------------------------
+_SENTENCE_ORACLE = r"""
+WITH s AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[.!?]+'),
+                     x -> len(trim(x)) > 0) AS sents
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(sents) AS BIGINT) AS n_sentences,
+       CAST(CASE WHEN len(sents) > 0
+            THEN list_max(list_transform(sents, x -> len(trim(x))))
+            ELSE 0 END AS BIGINT) AS max_sentence_chars,
+       round(CASE WHEN len(sents) > 0
+             THEN list_sum(list_transform(sents, x -> len(trim(x))))::DOUBLE
+                  / len(sents)
+             ELSE 0.0 END, 4) AS mean_sentence_chars
+FROM s
+ORDER BY doc_id
+"""
+
+
+@query("sentence_stats", oracle=_SENTENCE_ORACLE)
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats (the doc-structure signal quality
+    filters read: run-on text, fragment spam): split on [.!?]+ runs,
+    whitespace-trimmed non-empty segments, per-doc count and length
+    moments. Array higher-order functions only — per-row, no explode, no
+    shuffle; segmentation is intentionally the regex-boundary definition
+    shared exactly by both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.split(F.col("text"), r"[.!?]+"),
+        lambda x: F.length(F.trim(x)) > 0,
+    )
+    lens = F.transform(sents, lambda x: F.length(F.trim(x)))
+    n = F.size(sents)
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_sentences"),
+        F.when(n > 0, F.array_max(lens)).otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("max_sentence_chars"),
+        F.round(
+            F.when(
+                n > 0,
+                F.aggregate(lens, F.lit(0), lambda a, x: a + x).cast("double") / n,
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("mean_sentence_chars"),
+    ).orderBy("doc_id")
