@@ -147,6 +147,7 @@ HEADLINE = [
     "keyed_merge_upsert",
     "sentence_stats",
     "jdbc_source_roundtrip",
+    "rolling_7d_active_users",
 ]
 
 

@@ -175,3 +175,24 @@ def test_shuffle_hash_hint_selected(spark):
 
     plan = q_shuffle_hash_join_parity(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan, plan
+
+
+def test_jdbc_read_pushes_filters(spark, tmp_path):
+    """Predicate pushdown must reach the JDBC source relation (scan shows
+    PushedFilters), so a WHERE against a federated table filters in the
+    database, not in Spark."""
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    url = f"jdbc:derby:{tmp_path}/pushdb;create=true"
+    from flink_stream_processing_spark.sources.batch import load_table
+
+    from .conftest import SF_DIR
+
+    agg = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .count()
+    )
+    agg.write.mode("overwrite").jdbc(url, "t", properties=props)
+    df = spark.read.jdbc(url, "t", properties=props).filter("count > 100")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "count" in plan.lower(), plan
