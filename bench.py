@@ -148,6 +148,9 @@ HEADLINE = [
     "sentence_stats",
     "jdbc_source_roundtrip",
     "rolling_7d_active_users",
+    "triangle_count_cosuppliers",
+    "salted_skew_join_revenue",
+    "winsorized_totalprice",
 ]
 
 

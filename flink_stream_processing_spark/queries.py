@@ -40,6 +40,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Import side-effect registration: each module adds its queries on import.
 from .queries_impl import (  # noqa: E402,F401
     analytics_extra,
+    analytics_graph2,
     corpus_pipeline,
     file_formats,
     grouped_pandas,
@@ -81,5 +82,6 @@ _ALL_IMPL = [
     file_formats,
     retrieval,
     analytics_extra,
+    analytics_graph2,
     sql_surface,
 ]

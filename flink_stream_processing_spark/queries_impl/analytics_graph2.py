@@ -1,0 +1,196 @@
+"""Wave-4 analytics: degree-oriented triangle counting, an explicit
+salted skew JOIN (the join-side companion to ``salted_two_phase_agg``'s
+aggregation salting), and per-group winsorization (robust-statistics
+clipping via two-phase percentile + broadcast-back).
+
+Scale notes (100 TB):
+- Triangle counting uses the degree-orientation ordering (see
+  ``operators/graph.triangle_counts``) so wedge fan-out is bounded by
+  sqrt(2m) per vertex instead of a hub's full degree².
+- The salted join replicates the DIM side S× and salts the FACT side by a
+  deterministic row hash — the classic recipe when one join key carries a
+  disproportionate share of the fact rows and the dim side is too big to
+  broadcast outright. The oracle proves the transform is semantically
+  invisible.
+- Winsorization is two aggregation passes: percentiles per group (O(groups)
+  output, broadcast back), then one clip+agg pass — never a per-row window
+  sort over the whole fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import triangle_counts
+from ..queries import query
+from ..sources.batch import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# --- Triangle counting ---------------------------------------------------
+# Co-supplier graph: suppliers that BOTH ship a high-quantity line
+# (l_quantity > 45) in the same order. The quantity predicate keeps the
+# graph sparse (the unfiltered co-occurrence graph is complete at small
+# SF); at sf0.1 it yields ~12k edges / ~3.9k triangles over 1k suppliers.
+
+_TRIANGLE_ORACLE = """
+WITH co AS (
+  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  WHERE a.l_quantity > 45 AND b.l_quantity > 45
+), tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM co e1
+  JOIN co e2 ON e2.u = e1.v
+  JOIN co e3 ON e3.u = e1.u AND e3.v = e2.v
+), corners AS (
+  SELECT unnest([x, y, z]) AS suppkey FROM tri
+)
+SELECT suppkey, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY suppkey ORDER BY suppkey
+"""
+
+
+@query("triangle_count_cosuppliers", oracle=_TRIANGLE_ORACLE)
+def q_triangle_count_cosuppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle counts over the high-quantity co-supplier
+    graph — the third workhorse graph op beside PageRank and connected
+    components, and the canonical test of a join-based graph engine
+    (wedge join + closing-arc probe). The engine enumerates triangles in
+    degree-orientation order (hub-proof at power-law scale); the oracle
+    enumerates in id order — the triangle SET is identical, which is
+    exactly what the hash gate proves."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_suppkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+        .distinct()
+    )
+    return (
+        triangle_counts(pairs)
+        .select(
+            F.col("node").alias("suppkey"),
+            F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+# --- Salted skew join ----------------------------------------------------
+
+_SALT_BUCKETS = 8
+
+_SALTED_JOIN_ORACLE = """
+SELECT s.s_nationkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_nationkey
+ORDER BY s.s_nationkey
+"""
+
+
+@query("salted_skew_join_revenue", oracle=_SALTED_JOIN_ORACLE)
+def q_salted_skew_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-fact-to-dim JOIN with explicit key salting: the fact side is
+    salted by a deterministic row hash, the dim side replicated once per
+    salt bucket, and the join keys on (key, salt) — so a hot supplier's
+    rows spread across ``_SALT_BUCKETS`` reducers instead of piling onto
+    one. The join is pinned to shuffle_hash (the scenario is "dim too big
+    to broadcast"); the oracle is the plain unsalted join, proving the
+    rewrite is semantically invisible. AQE's skew-join split does this
+    adaptively at runtime; the explicit form is for pinned-plan pipelines
+    and pre-Spark-3 engines."""
+    s = F.lit(_SALT_BUCKETS)
+    fact = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_extendedprice",
+        "l_discount",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), s).alias("salt"),
+    )
+    dim = (
+        _t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), s - 1).cast("array<long>")))
+    )
+    joined = fact.join(
+        dim.hint("shuffle_hash"),
+        (fact.l_suppkey == dim.s_suppkey) & (fact.salt == dim.salt),
+    )
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+# --- Winsorization -------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH pct AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.05) AS p05,
+         quantile_cont(o_totalprice, 0.95) AS p95
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority,
+       round(avg(least(greatest(o.o_totalprice, p.p05), p.p95)), 4) AS avg_winsorized,
+       round(avg(o.o_totalprice), 4) AS avg_raw,
+       CAST(sum(CASE WHEN o.o_totalprice < p.p05 OR o.o_totalprice > p.p95
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o JOIN pct p USING (o_orderpriority)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@query("winsorized_totalprice", oracle=_WINSOR_ORACLE)
+def q_winsorized_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (robust mean): clip each order's total to
+    its priority group's [p05, p95] exact-percentile band and compare the
+    winsorized mean to the raw mean — the standard outlier-robust metric
+    for monitoring heavy-tailed value columns. Two-phase plan: exact
+    percentiles per group (one agg, O(groups) rows, broadcast back), then
+    one clip+aggregate pass over the fact table. Spark's ``percentile``
+    and DuckDB's ``quantile_cont`` share the linear-interpolation
+    definition, so the band edges agree to the ulp."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    pct = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("p05"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+    )
+    tp = F.col("o_totalprice")
+    clipped = orders.join(F.broadcast(pct), "o_orderpriority")
+    return (
+        clipped.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.avg(F.least(F.greatest(tp, F.col("p05")), F.col("p95"))), 4).alias(
+                "avg_winsorized"
+            ),
+            F.round(F.avg(tp), 4).alias("avg_raw"),
+            F.sum(
+                ((tp < F.col("p05")) | (tp > F.col("p95"))).cast("long")
+            ).alias("n_clipped"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -47,3 +47,60 @@ def test_more_iterations_converge(spark):
     assert r12[3] == max(r12.values())
     assert r12[4] == min(r12.values())
     assert r12[1] == r12[2]  # symmetric corners
+
+
+# --- triangle_counts -----------------------------------------------------
+
+from flink_stream_processing_spark.operators.graph import triangle_counts  # noqa: E402
+
+
+def _tris(spark, edge_list):
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    return {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+
+
+def test_k4_every_node_in_three_triangles(spark):
+    # complete graph on 4 nodes: C(3,2)=3 triangles per node, 4 total
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    t = _tris(spark, edges)
+    assert t == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_star_has_no_triangles(spark):
+    t = _tris(spark, [(0, s) for s in range(1, 6)])
+    assert t == {}
+
+
+def test_canonicalization_dups_reversals_self_loops(spark):
+    # one triangle {1,2,3}, every edge given twice (both directions),
+    # plus self-loops — canonicalization must collapse all of it
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1), (1, 1), (2, 2)]
+    t = _tris(spark, edges)
+    assert t == {1: 1, 2: 1, 3: 1}
+
+
+def test_two_triangles_sharing_an_edge(spark):
+    # {1,2,3} and {2,3,4} share edge (2,3): nodes 2,3 in 2 each
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    t = _tris(spark, edges)
+    assert t == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_degree_orientation_matches_id_orientation(spark):
+    # pseudo-random sparse graph: degree-ordered enumeration must produce
+    # the same per-node counts as a brute-force id-ordered reference
+    import itertools
+
+    nodes = list(range(30))
+    edges = [
+        (a, b)
+        for a, b in itertools.combinations(nodes, 2)
+        if (a * 7919 + b * 104729) % 5 == 0
+    ]
+    eset = set(edges)
+    expect: dict[int, int] = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset:
+            for n in (a, b, c):
+                expect[n] = expect.get(n, 0) + 1
+    assert _tris(spark, edges) == expect
