@@ -49,8 +49,18 @@ def pagerank(
     # all derive from this relation instead of separate passes over the
     # upstream edge plan.
     contrib_base = e.join(F.broadcast(deg), "src").localCheckpoint(eager=True)
-    nodes = contrib_base.select(F.col("src").alias("node")).distinct()
-    n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("nn"))
+    # nodes and the 1-row node count are ALSO checkpointed: both appear in
+    # every iteration's plan (initial ranks / the teleport term), and
+    # without materialization each iteration would re-run the distinct +
+    # count aggregation over the edge relation.
+    nodes = (
+        contrib_base.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("nn")).localCheckpoint(
+        eager=True
+    )
     ranks = nodes.join(F.broadcast(n_row)).select(
         "node", (F.lit(1.0) / F.col("nn")).alias("pr")
     )

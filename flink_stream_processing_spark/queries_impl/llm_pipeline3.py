@@ -333,7 +333,15 @@ def q_ngram_overlap_decontamination(spark: SparkSession, sf_dir: str) -> DataFra
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 8)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = docs.select("doc_id", "source", F.explode(grams).alias("gram"))
+    # Collide on the 8-byte xxhash64 of the gram, not the gram string:
+    # distinct/join keys shrink ~6× (8 bytes vs a ~50-byte 8-token string),
+    # which is most of this query's shuffle volume. A cross-gram hash
+    # collision (2^-64 per pair) could overcount one doc's hit count; at
+    # corpus scale that expected error is orders of magnitude below the
+    # contamination threshold anyone filters at.
+    g = docs.select("doc_id", "source", F.explode(grams).alias("gram_s")).select(
+        "doc_id", "source", F.xxhash64("gram_s").alias("gram")
+    )
     bench = g.filter(F.col("source") == "src0").select("gram").distinct()
     train_g = (
         g.filter(F.col("source") != "src0").select("doc_id", "gram").distinct()
