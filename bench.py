@@ -151,6 +151,7 @@ HEADLINE = [
     "triangle_count_cosuppliers",
     "salted_skew_join_revenue",
     "winsorized_totalprice",
+    "mmr_diversified_topk",
 ]
 
 

@@ -452,3 +452,88 @@ def label_centroids(
         exploded.groupBy(label_col, "dim")
         .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"))
     )
+
+
+def mmr_rerank(
+    candidates_with_vecs: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    rel_col: str = "rel",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance rerank of a per-query candidate set:
+    greedily pick k items maximizing ``lam*rel - (1-lam)*max_sim_to_picked``
+    (first pick = pure relevance). Input: one row per (query, candidate)
+    with the candidate's relevance and embedding.
+
+    Scale design (the serving/curation shape): MMR is inherently a small-k
+    greedy over an ALREADY-PRUNED candidate set (ANN/exact top-N, N ≲ 100),
+    so the right distribution is one group per query — candidate-pair
+    similarities are built by a per-query self-join (N² rows per query,
+    bounded by the prefilter), and the greedy itself runs vectorized in
+    ``applyInPandas`` over each group. Every float the greedy consumes
+    (rel, pair sims, both rounded to 5) is computed JVM-side with the same
+    expressions as the exact top-k operators — the pandas stage only
+    selects argmaxes over given numbers, so results are bit-reproducible
+    across engines and partitionings.
+    """
+    import pandas as pd
+
+    c = candidates_with_vecs.select(
+        F.col(query_id_col).alias("qid"),
+        F.col(id_col).alias("cid"),
+        F.col(rel_col).alias("rel"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nrm"),
+    )
+    a = c.select("qid", F.col("cid").alias("ia"), F.col("rel").alias("rel_a"),
+                 F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = c.select("qid", F.col("cid").alias("ib"), F.col("v").alias("vb"),
+                 F.col("nrm").alias("nb"))
+    pairs = (
+        a.join(b, "qid")
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            "qid", "ia", "rel_a", "ib",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 5
+                    ).alias("s"),
+        )
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["qid"].iloc[0])
+        rel = (
+            pdf.drop_duplicates("ia").set_index("ia")["rel_a"].to_dict()
+        )
+        sim = {(int(r.ia), int(r.ib)): float(r.s) for r in pdf.itertuples()}
+        remaining = sorted(rel)
+        picked: list[tuple[int, float]] = []
+        while remaining and len(picked) < k:
+            best_id, best_score = None, None
+            for cid in remaining:
+                if not picked:
+                    score = float(rel[cid])
+                else:
+                    ms = max(sim[(cid, p)] for p, _ in picked)
+                    score = lam * float(rel[cid]) - (1.0 - lam) * ms
+                # strict > : ties resolve to the LOWEST id (sorted order)
+                if best_score is None or score > best_score:
+                    best_id, best_score = cid, score
+            picked.append((best_id, best_score))
+            remaining.remove(best_id)
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "rank": range(1, len(picked) + 1),
+                "vec_id": [p for p, _ in picked],
+                "mmr": [round(s, 6) for _, s in picked],
+            }
+        )
+
+    return (
+        pairs.groupBy("qid")
+        .applyInPandas(greedy, "query_id long, rank long, vec_id long, mmr double")
+        .orderBy("query_id", "rank")
+    )

@@ -263,3 +263,128 @@ def q_cosine_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.filter(F.col("vec_id") >= 10)
     return cosine_topk_batch(corpus, queries, k=5)
+
+
+# --- MMR diversified retrieval ------------------------------------------
+# Unrolled greedy in SQL: pick1 = argmax rel; each later pick maximizes
+# 0.7*rel - 0.3*max(sim to already-picked). All sims rounded to 5 before
+# selection on BOTH sides, so the argmax chain is deterministic; the
+# engine's pandas stage consumes JVM-computed numbers only (see
+# operators/similarity.mmr_rerank).
+
+_MMR_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 4
+), c0 AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 4
+), scored AS (
+  SELECT qid, vec_id, e,
+         round(list_dot_product(e, qv)
+               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qv, qv))),
+               5) AS rel
+  FROM c0, q
+), cand AS (
+  SELECT qid, vec_id, e, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rk
+    FROM scored) WHERE rk <= 25
+), sim AS (
+  SELECT a.qid, a.vec_id AS ia, b.vec_id AS ib,
+         round(list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+               5) AS s
+  FROM cand a JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+), p1 AS (
+  SELECT qid, vec_id, round(rel, 6) AS mmr FROM (
+    SELECT qid, vec_id, rel,
+           row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rn
+    FROM cand) WHERE rn = 1
+), sc2 AS (
+  SELECT c.qid, c.vec_id, 0.7 * c.rel - 0.3 * max(m.s) AS score
+  FROM cand c
+  JOIN sim m ON m.qid = c.qid AND m.ia = c.vec_id
+  JOIN p1 t ON t.qid = m.qid AND t.vec_id = m.ib
+  LEFT JOIN p1 x ON x.qid = c.qid AND x.vec_id = c.vec_id
+  WHERE x.vec_id IS NULL
+  GROUP BY c.qid, c.vec_id, c.rel
+), p2 AS (
+  SELECT qid, vec_id, round(score, 6) AS mmr FROM (
+    SELECT qid, vec_id, score,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+    FROM sc2) WHERE rn = 1
+), sel2 AS (
+  SELECT qid, vec_id FROM p1 UNION ALL SELECT qid, vec_id FROM p2
+), sc3 AS (
+  SELECT c.qid, c.vec_id, 0.7 * c.rel - 0.3 * max(m.s) AS score
+  FROM cand c
+  JOIN sim m ON m.qid = c.qid AND m.ia = c.vec_id
+  JOIN sel2 t ON t.qid = m.qid AND t.vec_id = m.ib
+  LEFT JOIN sel2 x ON x.qid = c.qid AND x.vec_id = c.vec_id
+  WHERE x.vec_id IS NULL
+  GROUP BY c.qid, c.vec_id, c.rel
+), p3 AS (
+  SELECT qid, vec_id, round(score, 6) AS mmr FROM (
+    SELECT qid, vec_id, score,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+    FROM sc3) WHERE rn = 1
+), sel3 AS (
+  SELECT qid, vec_id FROM sel2 UNION ALL SELECT qid, vec_id FROM p3
+), sc4 AS (
+  SELECT c.qid, c.vec_id, 0.7 * c.rel - 0.3 * max(m.s) AS score
+  FROM cand c
+  JOIN sim m ON m.qid = c.qid AND m.ia = c.vec_id
+  JOIN sel3 t ON t.qid = m.qid AND t.vec_id = m.ib
+  LEFT JOIN sel3 x ON x.qid = c.qid AND x.vec_id = c.vec_id
+  WHERE x.vec_id IS NULL
+  GROUP BY c.qid, c.vec_id, c.rel
+), p4 AS (
+  SELECT qid, vec_id, round(score, 6) AS mmr FROM (
+    SELECT qid, vec_id, score,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+    FROM sc4) WHERE rn = 1
+), sel4 AS (
+  SELECT qid, vec_id FROM sel3 UNION ALL SELECT qid, vec_id FROM p4
+), sc5 AS (
+  SELECT c.qid, c.vec_id, 0.7 * c.rel - 0.3 * max(m.s) AS score
+  FROM cand c
+  JOIN sim m ON m.qid = c.qid AND m.ia = c.vec_id
+  JOIN sel4 t ON t.qid = m.qid AND t.vec_id = m.ib
+  LEFT JOIN sel4 x ON x.qid = c.qid AND x.vec_id = c.vec_id
+  WHERE x.vec_id IS NULL
+  GROUP BY c.qid, c.vec_id, c.rel
+), p5 AS (
+  SELECT qid, vec_id, round(score, 6) AS mmr FROM (
+    SELECT qid, vec_id, score,
+           row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+    FROM sc5) WHERE rn = 1
+), allp AS (
+  SELECT qid, 1 AS rank, vec_id, mmr FROM p1
+  UNION ALL SELECT qid, 2, vec_id, mmr FROM p2
+  UNION ALL SELECT qid, 3, vec_id, mmr FROM p3
+  UNION ALL SELECT qid, 4, vec_id, mmr FROM p4
+  UNION ALL SELECT qid, 5, vec_id, mmr FROM p5
+)
+SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank, vec_id, mmr
+FROM allp ORDER BY query_id, rank
+"""
+
+
+@query("mmr_diversified_topk", oracle=_MMR_ORACLE)
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 for a batch of 4 query vectors (candidate
+    pool = exact cosine top-25): the standard redundancy-suppressing
+    rerank for RAG serving and diversity-aware data curation. Two-stage
+    shape — distributed prefilter (one corpus scan, no corpus shuffle),
+    then per-query greedy over N=25 candidates in applyInPandas. The
+    oracle unrolls the same greedy as five chained argmax CTEs."""
+    from ..operators.similarity import cosine_topk_batch, mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 4)
+    cand = cosine_topk_batch(corpus, queries, k=25).select(
+        "query_id", "vec_id", F.col("sim").alias("rel")
+    )
+    cand_e = cand.join(emb.select("vec_id", "embedding"), "vec_id")
+    return mmr_rerank(cand_e, k=5, lam=0.7)

@@ -325,3 +325,33 @@ def test_connected_components_chains_and_separates(spark):
     assert {k: v for k, v in got.items() if k < 10} == {0: 0, 1: 0, 2: 0}
     assert {k: v for k, v in got.items() if 10 <= k < 20} == {10: 10, 11: 10}
     assert all(got[k] == 20 for k in range(20, 30))
+
+
+# --- MMR rerank ----------------------------------------------------------
+
+def test_mmr_skips_redundant_near_duplicate(spark):
+    """Candidates 10/11 are near-identical and most relevant; plain top-k
+    would rank them 1-2, MMR must interleave the diverse candidate 12."""
+    from pyspark.sql import functions as F
+
+    from flink_stream_processing_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        # (query_id, vec_id, rel, embedding) — rel precomputed (rounded 5)
+        (0, 10, 0.99, [1.0, 0.0, 0.0]),
+        (0, 11, 0.98, [0.999, 0.01, 0.0]),   # near-dup of 10
+        (0, 12, 0.80, [0.0, 1.0, 0.0]),      # orthogonal, diverse
+        (0, 13, 0.10, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, vec_id long, rel double, embedding array<double>"
+    )
+    out = mmr_rerank(df, k=3, lam=0.7).collect()
+    order = [r["vec_id"] for r in out]
+    assert order[0] == 10          # pure relevance first
+    assert order[1] == 12          # diversity beats the near-dup
+    assert order[2] == 11
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    # first pick's mmr is its relevance; later scores strictly below
+    assert out[0]["mmr"] == 0.99
+    assert all(out[i]["mmr"] >= out[i + 1]["mmr"] for i in range(len(out) - 1))
