@@ -152,6 +152,9 @@ HEADLINE = [
     "salted_skew_join_revenue",
     "winsorized_totalprice",
     "mmr_diversified_topk",
+    "temperature_mix_alpha",
+    "fixed_quota_sample",
+    "quality_percentile_by_source",
 ]
 
 

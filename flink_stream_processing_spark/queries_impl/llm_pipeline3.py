@@ -566,3 +566,131 @@ def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_sentence_chars"),
     ).orderBy("doc_id")
+
+
+# --- Temperature-scaled language mix ------------------------------------
+# The mBERT/XLM-R multilingual rebalancing rule: sampling share
+# q_l ∝ p_l^alpha (alpha=0.3) flattens the language distribution so
+# low-resource languages are upsampled without swamping the head. Output
+# per language: raw token share, temperature share, and the effective
+# per-doc sampling multiplier q_l/p_l a weighted dataloader consumes.
+
+_TOKS3 = r"string_split_regex(lower(trim(text)), '\s+')"
+
+_TEMP_MIX_ORACLE = f"""
+WITH lt AS (
+  SELECT lang, CAST(sum(len({_TOKS3})) AS DOUBLE) AS lang_tokens
+  FROM documents GROUP BY lang
+), p AS (
+  SELECT lang, lang_tokens,
+         lang_tokens / sum(lang_tokens) OVER () AS p_raw,
+         pow(lang_tokens / sum(lang_tokens) OVER (), 0.3) AS pw
+  FROM lt
+)
+SELECT lang,
+       CAST(lang_tokens AS BIGINT) AS lang_tokens,
+       round(p_raw, 6) AS p_raw,
+       round(pw / sum(pw) OVER (), 6) AS q_temp,
+       round((pw / sum(pw) OVER ()) / p_raw, 6) AS multiplier
+FROM p ORDER BY lang
+"""
+
+
+@query("temperature_mix_alpha", oracle=_TEMP_MIX_ORACLE)
+def q_temperature_mix_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.3) language-sampling mix. One agg down
+    to O(languages) rows; normalizations are windows over those few rows —
+    at 100 TB the only full-data pass is the token-count aggregate (a
+    map-side-combined sum per language)."""
+    toks_n = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("double")
+    lt = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", toks_n.alias("nt"))
+        .groupBy("lang")
+        .agg(F.sum("nt").alias("lang_tokens"))
+    )
+    wall = Window.partitionBy()
+    p_raw = F.col("lang_tokens") / F.sum("lang_tokens").over(wall)
+    p = lt.select(
+        "lang",
+        "lang_tokens",
+        p_raw.alias("p_raw"),
+        F.pow(p_raw, F.lit(0.3)).alias("pw"),
+    )
+    q_temp = F.col("pw") / F.sum("pw").over(wall)
+    return p.select(
+        "lang",
+        F.col("lang_tokens").cast("bigint").alias("lang_tokens"),
+        F.round("p_raw", 6).alias("p_raw"),
+        F.round(q_temp, 6).alias("q_temp"),
+        F.round(q_temp / F.col("p_raw"), 6).alias("multiplier"),
+    ).orderBy("lang")
+
+
+# --- Fixed-quota per-stratum sampling -----------------------------------
+# "Exactly n docs per language", reproducibly: rank within each language
+# by the seeded-md5 of the doc id (the repo's rand()-free uniform) and
+# keep rank <= n. Unlike the rate-based stratified sampler this guarantees
+# the exact quota even for tiny strata.
+
+_QUOTA_N = 40
+
+_QUOTA_ORACLE = f"""
+SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':quota'), doc_id) AS rk
+  FROM documents)
+WHERE rk <= {_QUOTA_N}
+ORDER BY lang, rk
+"""
+
+
+@query("fixed_quota_sample", oracle=_QUOTA_ORACLE)
+def q_fixed_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sample (n=40 per language), bit-reproducible
+    across engines/partitionings via seeded-md5 ordering. The rank window
+    sorts WITHIN each language partition only; at 100 TB quota sampling of
+    a huge stratum switches to the two-pass threshold form (sample the
+    hash space, refine the cutoff), same keys, no global sort."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    u = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":quota")))
+    w = Window.partitionBy("lang").orderBy(u, "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _QUOTA_N)
+        .orderBy("lang", "rk")
+    )
+
+
+# --- Per-source score calibration ---------------------------------------
+# Cross-source comparability: a raw quality metric (here: doc length) is
+# not comparable across sources with different length distributions, so
+# curation thresholds are set on the WITHIN-SOURCE percentile instead.
+
+_CALIB_ORACLE = """
+SELECT doc_id, source,
+       round(percent_rank() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id), 6) AS len_pctile
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("quality_percentile_by_source", oracle=_CALIB_ORACLE)
+def q_quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source percentile calibration of a per-doc metric
+    (percent_rank over the source partition; deterministic tiebreak by
+    doc_id). Scale: one shuffle on source + in-partition sort — the
+    standard score-normalization step before cross-source filtering."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.round(F.percent_rank().over(w), 6).alias("len_pctile"),
+        )
+        .orderBy("doc_id")
+    )
