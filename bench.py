@@ -155,6 +155,7 @@ HEADLINE = [
     "temperature_mix_alpha",
     "fixed_quota_sample",
     "quality_percentile_by_source",
+    "jpeg_decode_dims",
 ]
 
 

@@ -2,9 +2,9 @@
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
 ``decode_media`` is a REAL dependency-free header decoder: it struct-parses
-PNG (IHDR width/height/bit depth), BMP (DIB header dims), and WAV (fmt
-chunk sample rate/channels/bits) straight from the byte payload — no codec
-libraries needed. Full pixel/sample decode (resize, resample, frame
+PNG (IHDR width/height/bit depth), BMP (DIB header dims), WAV (fmt chunk
+sample rate/channels/bits), and JPEG (generic marker walk to SOF0-SOF3)
+straight from the byte payload — no codec libraries needed. Full pixel/sample decode (resize, resample, frame
 sampling) would need codecs absent from this container; that tail is
 covered by the deterministic ``fake_feature_extract`` so the Spark-side
 plumbing — schema, partitioning, UDF signature, Arrow batch shape — is
@@ -113,6 +113,22 @@ def _decode_header(b: bytes) -> tuple:
         (sr,) = struct.unpack("<I", b[24:28])
         (bits,) = struct.unpack("<H", b[34:36])
         return ("wav", None, None, ch, sr, bits)
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        # JPEG: generic marker walk (APP0/COM/... are skipped via their
+        # OWN length fields — segment positions vary per file, so there is
+        # no fixed offset to cheat with) until a SOF0-SOF3 frame header.
+        i = 2
+        while i + 4 <= len(b) and b[i] == 0xFF:
+            marker = b[i + 1]
+            if marker == 0xD9:  # EOI
+                break
+            (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
+            if 0xC0 <= marker <= 0xC3 and i + 9 <= len(b):
+                prec = b[i + 4]
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return ("jpeg", w, h, None, None, prec)
+            i += 2 + seglen
+        return ("jpeg", None, None, None, None, None)
     return ("unknown", None, None, None, None, None)
 
 
@@ -247,3 +263,36 @@ def fake_feature_extract(df: DataFrame, id_col: str = "doc_id", media_col: str =
 
     flat = df.select(F.col(id_col), F.col(f"{media_col}.data").alias("data"))
     return flat.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+def _be16(n) -> "F.Column":
+    return F.format_string("%04x", n)
+
+
+def synthesize_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic JPEG headers from the doc id: SOI + APP0(JFIF) + a
+    VARIABLE-LENGTH COM segment (doc_id % 7 filler bytes — so the SOF
+    offset differs per file and only a real marker walk finds it) + SOF0
+    (8-bit precision, height/width from the id, 3 components) + EOI.
+    Same JVM-hex construction discipline as ``synthesize_media``: the
+    oracle rebuilds identical bytes in DuckDB."""
+    doc = F.col(id_col)
+    w = (doc % 509 + 16).cast("int")
+    h = (doc % 389 + 16).cast("int")
+    n_com = (doc % 7).cast("int")
+    app0 = F.lit("ffe000104a46494600010100000100010000")
+    com = F.concat(
+        F.lit("fffe"), _be16(n_com + 2), F.expr(f"repeat('41', cast({id_col} % 7 as int))")
+    )
+    sof0 = F.concat(
+        F.lit("ffc0001108"), _be16(h), _be16(w), F.lit("03012200021101031101")
+    )
+    hex_col = F.concat(F.lit("ffd8"), app0, com, sof0, F.lit("ffd9"))
+    return df.withColumn(
+        "media",
+        F.struct(
+            F.unhex(hex_col).alias("data"),
+            F.lit("image/jpeg").alias("mime"),
+            F.create_map(F.lit("origin"), F.lit("synthesized")).alias("meta"),
+        ),
+    )

@@ -165,3 +165,47 @@ def q_media_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "sample_idx")
     )
+
+
+# --- JPEG marker-walk decode --------------------------------------------
+
+_JPEG_ORACLE = """
+WITH synth AS (
+  SELECT doc_id,
+    'ffd8' || 'ffe000104a46494600010100000100010000' ||
+    'fffe' || printf('%04x', CAST(doc_id % 7 AS INT) + 2)
+           || repeat('41', CAST(doc_id % 7 AS INT)) ||
+    'ffc0001108' || printf('%04x', CAST(doc_id % 389 AS INT) + 16)
+                 || printf('%04x', CAST(doc_id % 509 AS INT) + 16) ||
+    '03012200021101031101' || 'ffd9' AS hx
+  FROM documents
+), blob AS (
+  SELECT doc_id, hex(unhex(hx)) AS hs FROM synth
+), sof AS (
+  SELECT doc_id, hs, position('FFC000' IN hs) AS p FROM blob
+)
+SELECT doc_id,
+       'jpeg' AS kind,
+       ('0x' || substr(hs, p + 14, 4))::BIGINT AS width,
+       ('0x' || substr(hs, p + 10, 4))::BIGINT AS height,
+       CAST(NULL AS BIGINT) AS channels,
+       CAST(NULL AS BIGINT) AS sample_rate,
+       ('0x' || substr(hs, p + 8, 2))::BIGINT AS bit_depth
+FROM sof ORDER BY doc_id
+"""
+
+
+@query("jpeg_decode_dims", oracle=_JPEG_ORACLE)
+def q_jpeg_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG header decode via a REAL marker walk: each synthesized file
+    carries a variable-length COM segment (doc_id % 7 filler bytes) before
+    SOF0, so the frame header sits at a DIFFERENT byte offset per file —
+    only a decoder that skips segments by their own length fields (like
+    any real JPEG parser) finds the dimensions. The oracle rebuilds the
+    identical bytes in DuckDB and locates SOF0 positionally. Same
+    Arrow-batched mapInPandas lane as the other decoders; only (id, data)
+    is shipped to Python."""
+    from ..operators.multimodal import decode_media, synthesize_jpeg
+
+    docs = synthesize_jpeg(load_table(spark, sf_dir, "documents").select("doc_id"))
+    return decode_media(docs).orderBy("doc_id")

@@ -78,3 +78,32 @@ def test_decode_media_over_spark(spark):
     assert (got[1].kind, got[1].width, got[1].height) == ("bmp", 20, 30)
     assert (got[2].kind, got[2].channels, got[2].sample_rate) == ("wav", 2, 22050)
     assert got[3].kind == "unknown"
+
+
+# --- JPEG marker walk ----------------------------------------------------
+
+def test_jpeg_marker_walk_decodes_dims():
+    from flink_stream_processing_spark.operators.multimodal import _decode_header
+
+    # SOI + APP0 + 3-byte COM + SOF0(h=0x0100, w=0x0200) + EOI
+    b = bytes.fromhex(
+        "ffd8" "ffe000104a46494600010100000100010000"
+        "fffe0005414141"
+        "ffc0001108" "0100" "0200" "03012200021101031101" "ffd9"
+    )
+    assert _decode_header(b) == ("jpeg", 0x0200, 0x0100, None, None, 8)
+
+
+def test_jpeg_without_sof_yields_nulls():
+    from flink_stream_processing_spark.operators.multimodal import _decode_header
+
+    # COM whose declared length overruns into EOI: walk finds no SOF
+    kind, w, h, ch, sr, bd = _decode_header(bytes.fromhex("ffd8fffe00024141ffd9"))
+    assert kind == "jpeg" and w is None and h is None
+
+
+def test_jpeg_progressive_sof2_also_parsed():
+    from flink_stream_processing_spark.operators.multimodal import _decode_header
+
+    b = bytes.fromhex("ffd8" "ffc2001108" "0040" "0080" "03012200021101031101" "ffd9")
+    assert _decode_header(b) == ("jpeg", 0x80, 0x40, None, None, 8)
