@@ -156,6 +156,7 @@ HEADLINE = [
     "fixed_quota_sample",
     "quality_percentile_by_source",
     "jpeg_decode_dims",
+    "zorder_layout",
 ]
 
 

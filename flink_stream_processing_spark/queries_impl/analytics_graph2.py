@@ -194,3 +194,54 @@ def q_winsorized_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- Z-order layout key --------------------------------------------------
+
+_ZBITS = 10
+
+_ZORDER_ORACLE = f"""
+WITH z AS (
+  SELECT l_orderkey,
+         list_sum(list_transform(range(0, {_ZBITS}), i ->
+           (((l_partkey % 1024) >> i) & 1) * (1::BIGINT << (2 * i))
+           + (((l_suppkey % 1024) >> i) & 1) * (1::BIGINT << (2 * i + 1))
+         )) AS zval
+  FROM lineitem
+)
+SELECT CAST(zval >> {_ZBITS} AS BIGINT) AS zbucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(zval) AS BIGINT) AS z_min,
+       CAST(max(zval) AS BIGINT) AS z_max
+FROM z GROUP BY zbucket ORDER BY zbucket
+"""
+
+
+@query("zorder_layout", oracle=_ZORDER_ORACLE)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys: interleave the low {b} bits of
+    (l_partkey, l_suppkey) into one space-filling-curve value — the
+    multi-dimensional clustering key behind Delta/Iceberg OPTIMIZE ZORDER.
+    Rows range-partitioned+sorted by zval colocate rows close in BOTH
+    dimensions, so min/max row-group stats prune scans for predicates on
+    EITHER key. Output is the per-bucket occupancy profile (bucket =
+    zval >> {b}) — what a layout planner inspects before rewriting files.
+    The interleave is one higher-order aggregate over a {b}-element
+    sequence, pure JVM integer math, no shuffle before the final
+    O(buckets) agg.""".format(b=_ZBITS)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
+    zval = F.expr(
+        f"aggregate(sequence(0, {_ZBITS - 1}), 0L, (acc, i) -> acc"
+        " + shiftleft(cast((l_partkey % 1024) as bigint) >> i & 1, 2 * i)"
+        " + shiftleft(cast((l_suppkey % 1024) as bigint) >> i & 1, 2 * i + 1))"
+    )
+    return (
+        li.select(zval.alias("zval"))
+        .groupBy(F.shiftright("zval", _ZBITS).cast("bigint").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("zval").cast("bigint").alias("z_min"),
+            F.max("zval").cast("bigint").alias("z_max"),
+        )
+        .orderBy("zbucket")
+    )

@@ -196,3 +196,32 @@ def test_jdbc_read_pushes_filters(spark, tmp_path):
     df = spark.read.jdbc(url, "t", properties=props).filter("count > 100")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "count" in plan.lower(), plan
+
+
+def test_salted_join_pins_shuffle_hash_and_no_cartesian(spark):
+    """The salted skew join must keep its pinned shuffle-hash strategy;
+    the dim replication (explode) must not degrade to a cartesian."""
+    plan = (
+        QUERIES["salted_skew_join_revenue"](spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ShuffledHashJoin" in plan, plan
+    assert "Cartesian" not in plan, plan
+
+
+def test_triangle_count_broadcasts_degrees_no_cartesian(spark):
+    """Triangle counting: the O(nodes) degree/rank relation joins in as a
+    broadcast; wedge + closing joins are keyed (never cartesian)."""
+    df = QUERIES["triangle_count_cosuppliers"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan, plan
+    assert has_broadcast_join(df)
+
+
+def test_mmr_prefilter_broadcasts_queries(spark):
+    """MMR's candidate prefilter must broadcast the query batch (corpus
+    never reshuffles for scoring)."""
+    df = QUERIES["mmr_diversified_topk"](spark, SF_DIR)
+    assert has_broadcast_join(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan, plan
