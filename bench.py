@@ -157,6 +157,7 @@ HEADLINE = [
     "quality_percentile_by_source",
     "jpeg_decode_dims",
     "zorder_layout",
+    "bigram_lm_perplexity",
 ]
 
 

@@ -694,3 +694,92 @@ def q_quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("doc_id")
     )
+
+
+# --- Bigram-LM perplexity filter ----------------------------------------
+# The CCNet-style quality gate: score every document by a language model
+# trained on a trusted slice (here: source 'src0'), filter the tail. The
+# LM is an add-1-smoothed word-bigram model; the per-bigram NLL is
+# ln(c(w1)+V) - ln(c(w1,w2)+1) — both log arguments are integers, so the
+# doubles are bit-identical in any engine and only the (stable at 1e-6)
+# summation order differs.
+
+_BIGRAM_LM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_TOKS3} AS t FROM documents
+), big AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+           AS bg
+  FROM toks
+), tr_big AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM big
+  WHERE source = 'src0' GROUP BY bg
+), tr_uni AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM (
+    SELECT string_split(bg, ' ')[1] AS w1 FROM big WHERE source = 'src0')
+  GROUP BY w1
+), v AS (
+  SELECT CAST(count(DISTINCT u) AS BIGINT) AS vocab FROM (
+    SELECT unnest(t) AS u FROM toks WHERE source = 'src0')
+), scored AS (
+  SELECT b.doc_id,
+         ln(coalesce(u.c1, 0) + v.vocab) - ln(coalesce(tb.c12, 0) + 1) AS nll
+  FROM big b
+  LEFT JOIN tr_big tb ON tb.bg = b.bg
+  LEFT JOIN tr_uni u ON u.w1 = string_split(b.bg, ' ')[1]
+  CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(nll), 6) AS avg_nll
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("bigram_lm_perplexity", oracle=_BIGRAM_LM_ORACLE)
+def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM negative log-likelihood against a model
+    trained on the trusted 'src0' slice — the perplexity-filtering step of
+    a pretraining pipeline. Scale shape: the LM itself is O(vocab²)
+    bounded and BROADCAST into the scoring pass (count tables + the
+    scalar vocab size), so the corpus is scanned once and never shuffled
+    on token keys for scoring; the only corpus-sized shuffle is the final
+    per-doc aggregate."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", toks.alias("t"))
+    bigrams = F.expr("transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))")
+    big = docs.select("doc_id", "source", F.explode(bigrams).alias("bg"))
+    train = big.filter(F.col("source") == "src0")
+    tr_big = train.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    tr_uni = (
+        train.select(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = (
+        docs.filter(F.col("source") == "src0")
+        .select(F.explode("t").alias("u"))
+        .agg(F.countDistinct("u").alias("vocab"))
+    )
+    scored = (
+        big.withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .join(F.broadcast(tr_big), "bg", "left")
+        .join(F.broadcast(tr_uni), "w1", "left")
+        .join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                F.log(F.coalesce("c1", F.lit(0)) + F.col("vocab"))
+                - F.log(F.coalesce("c12", F.lit(0)) + F.lit(1))
+            ).alias("nll"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
