@@ -158,6 +158,7 @@ HEADLINE = [
     "jpeg_decode_dims",
     "zorder_layout",
     "bigram_lm_perplexity",
+    "mad_robust_outliers",
 ]
 
 
