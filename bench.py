@@ -159,6 +159,7 @@ HEADLINE = [
     "zorder_layout",
     "bigram_lm_perplexity",
     "mad_robust_outliers",
+    "udtf_token_windows",
 ]
 
 

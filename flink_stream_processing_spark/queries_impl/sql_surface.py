@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..queries import query
 from ..sources.batch import load_table
 
-_VIEWS = ("orders", "lineitem", "customer", "nation", "region", "events")
+_VIEWS = ("orders", "lineitem", "customer", "nation", "region", "events", "documents")
 
 
 def _register_views(spark: SparkSession, sf_dir: str) -> dict[str, str]:
@@ -172,3 +172,54 @@ def q_python_datasource_transactions(spark: SparkSession, sf_dir: str) -> DataFr
         "txn_id", F.round("amount", 6).alias("amount"), "currency",
         F.round("exchange_rate", 6).alias("exchange_rate"),
     ).orderBy("txn_id")
+
+
+# --- Python UDTF (Spark 4 user-defined table function) -------------------
+
+_WIN_WIDTH = 32
+
+_UDTF_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(w.i AS BIGINT) AS win_idx,
+       CAST(least({_WIN_WIDTH}, len(toks) - w.i * {_WIN_WIDTH}) AS BIGINT)
+         AS n_toks,
+       toks[w.i * {_WIN_WIDTH} + 1] AS first_tok
+FROM t, LATERAL (
+  SELECT unnest(generate_series(
+    0, CAST(ceil(len(toks) / {_WIN_WIDTH}.0) AS INT) - 1)) AS i) w
+ORDER BY doc_id, win_idx
+"""
+
+
+@query("udtf_token_windows", oracle=_UDTF_ORACLE)
+def q_udtf_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 ``pyspark.sql.functions.udtf``) called via
+    LATERAL in SQL text: each document expands to its fixed-width token
+    windows (index, size, first token) — the table-function API surface,
+    completing the Python lane (pandas_udf / mapInPandas / applyInPandas /
+    applyInPandasWithState / DataSource / UDTF). Arrow-optimized
+    (``useArrow=True``); the equivalent set-expansion for hot paths stays
+    the declarative sequence+explode form (doc_chunks) — this entry pins
+    the API's correctness, not a scale path."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="win_idx bigint, n_toks bigint, first_tok string", useArrow=True)
+    class TokenWindows:
+        def eval(self, text: str, width: int):
+            toks = text.lower().strip().split()
+            for w in range(0, len(toks), width):
+                chunk = toks[w : w + width]
+                yield (w // width, len(chunk), chunk[0])
+
+    spark.udtf.register("token_windows", TokenWindows)
+    v = _register_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT d.doc_id, t.win_idx, t.n_toks, t.first_tok
+        FROM {v['documents']} d,
+             LATERAL token_windows(d.text, {_WIN_WIDTH}) t
+        ORDER BY d.doc_id, t.win_idx
+    """)
