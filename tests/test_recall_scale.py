@@ -143,3 +143,52 @@ def test_minhash_scaling_slope_ungated(spark):
         f"minhash banding scaled super-linearly: {t1:.2f}s -> {t2:.2f}s "
         f"(ratio {ratio:.2f}); expected ~linear in corpus size"
     )
+
+
+def test_triangle_count_scaling_slope_ungated(spark):
+    """Degree-oriented triangle counting must scale near-linearly when the
+    graph doubles as DISJOINT replicas (ideal = exactly 2x work). A
+    super-linear ratio means the orientation stopped bounding wedge
+    fan-out (e.g. an accidental unoriented wedge join: out-deg d doubles
+    wedge rows 4x). Synthetic graph: ~60k hash-derived edges over 10k
+    nodes per replica (avg degree ~12), id-offset per replica."""
+    from pyspark.sql import functions as F
+
+    from flink_stream_processing_spark.operators.graph import triangle_counts
+
+    def synth_edges(replicas: int):
+        parts = []
+        for r in range(replicas):
+            off = r * 20_000
+            base = spark.range(0, 60_000)
+            parts.append(
+                base.select(
+                    (F.pmod(F.xxhash64("id"), F.lit(10_000)) + off).alias("src"),
+                    (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10_000)) + off).alias("dst"),
+                )
+            )
+        e = parts[0]
+        for p in parts[1:]:
+            e = e.unionByName(p)
+        return e
+
+    def run(replicas: int) -> float:
+        best = float("inf")
+        for _ in range(2):
+            edges = synth_edges(replicas).cache()
+            edges.count()
+            t0 = time.perf_counter()
+            triangle_counts(edges).count()
+            best = min(best, time.perf_counter() - t0)
+            edges.unpersist()
+        return best
+
+    run(1)  # warm codegen
+    t1 = run(1)
+    t2 = run(2)
+    ratio = t2 / t1
+    print(f"\n  triangle slope 60k->120k edges: {t1:.2f}s -> {t2:.2f}s (ratio {ratio:.2f})", file=sys.stderr)
+    assert ratio < 3.0, (
+        f"triangle counting scaled super-linearly: {t1:.2f}s -> {t2:.2f}s "
+        f"(ratio {ratio:.2f}); expected ~linear for disjoint replicas"
+    )
