@@ -160,6 +160,7 @@ HEADLINE = [
     "bigram_lm_perplexity",
     "mad_robust_outliers",
     "udtf_token_windows",
+    "map_hof_battery",
 ]
 
 

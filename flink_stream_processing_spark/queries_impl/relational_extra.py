@@ -584,3 +584,60 @@ def q_decimal_arithmetic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- Map higher-order functions -----------------------------------------
+# transform_values / map_filter / map_zip_with / map_concat pinned against
+# a first-principles oracle: the map is BUILT from scalar columns, every
+# HOF result is reduced back to scalars, and DuckDB recomputes the same
+# scalars directly — so a semantic drift in any map HOF (ordering, null
+# handling, key dedup) breaks the hash gate without the comparator ever
+# having to hash an engine-specific map encoding.
+
+_MAP_HOF_ORACLE = """
+WITH x AS (
+  SELECT event_id,
+         CAST(json_extract(props, '$.k') AS DOUBLE) AS k,
+         value AS v
+  FROM events
+)
+SELECT event_id,
+       2 AS n_keys,
+       CAST((CASE WHEN 2*k > 50 THEN 1 ELSE 0 END)
+          + (CASE WHEN 2*v > 50 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+       concat_ws(',',
+         CASE WHEN 2*k > 50 THEN 'k' ELSE NULL END,
+         CASE WHEN 2*v > 50 THEN 'val' ELSE NULL END) AS keys_kept,
+       round(3*k + 3*v, 6) AS zip_total
+FROM x ORDER BY event_id
+"""
+
+
+@query("map_hof_battery", oracle=_MAP_HOF_ORACLE)
+def q_map_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order-function battery: build map{'k','val'} from event
+    columns, double every value (transform_values), keep entries > 50
+    (map_filter), element-wise add original+doubled (map_zip_with), and
+    reduce each result to scalars (size / sorted kept keys / aggregate of
+    map_values). All per-row JVM expressions — no shuffle, no UDF."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("double").alias("k"),
+        F.col("value").alias("v"),
+    )
+    m1 = F.create_map(F.lit("k"), F.col("k"), F.lit("val"), F.col("v"))
+    doubled = F.transform_values(m1, lambda _, v: v * 2)
+    kept = F.map_filter(doubled, lambda _, v: v > 50)
+    zipped = F.map_zip_with(m1, doubled, lambda _, a, b: a + b)
+    return (
+        ev.select(
+            "event_id",
+            F.size(m1).alias("n_keys"),
+            F.size(kept).alias("n_kept"),
+            F.concat_ws(",", F.array_sort(F.map_keys(kept))).alias("keys_kept"),
+            F.round(
+                F.aggregate(F.map_values(zipped), F.lit(0.0), lambda acc, x: acc + x), 6
+            ).alias("zip_total"),
+        )
+        .orderBy("event_id")
+    )
