@@ -54,3 +54,21 @@ class ProgressCollector(StreamingQueryListener):
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
         pass
+
+
+def observed(df, name: str, *metric_cols):
+    """Attach ``Dataset.observe`` metrics to a pipeline stage (Spark's
+    zero-cost in-flight accumulators — the batch/streaming analogue of the
+    reference's per-operator Prometheus counters, MetricsService.java:33-63):
+    the returned (DataFrame, Observation) pair lets a caller read row
+    counts / null counts / sums AFTER the next action without a second
+    scan of the data. In streaming, the same metrics surface per-batch via
+    QueryProgress.observedMetrics under ``name``."""
+    from pyspark.sql import Observation
+
+    if df.isStreaming:
+        # Streaming rejects Observation objects (one value per micro-batch);
+        # the string form routes metrics into QueryProgress.observedMetrics.
+        return df.observe(name, *metric_cols), None
+    obs = Observation(name)
+    return df.observe(obs, *metric_cols), obs

@@ -384,3 +384,65 @@ def test_stomp_unsubscribed_destination_gets_nothing():
         c.close()
     finally:
         srv.close()
+
+
+# --- Dataset.observe ------------------------------------------------------
+
+def test_observed_metrics_match_recomputation(spark):
+    """observe() accumulators collected during ONE pass must equal a
+    separate recomputation (no rows double-counted across partitions)."""
+    from pyspark.sql import functions as F
+
+    from flink_stream_processing_spark.sources.batch import load_table
+    from flink_stream_processing_spark.streaming.metrics import observed
+
+    from .conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders")
+    df, obs = observed(
+        orders,
+        "ingest_qa",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice")).alias("total"),
+        F.count(F.when(F.col("o_orderstatus").isNull(), 1)).alias("null_status"),
+    )
+    out = df.filter(F.col("o_totalprice") > 0).count()  # the action
+    got = obs.get
+    expect = orders.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("t")
+    ).first()
+    assert got["n_rows"] == expect["n"]
+    assert abs(got["total"] - expect["t"]) < 1e-6
+    assert got["null_status"] == 0
+    assert out <= got["n_rows"]
+
+
+def test_observed_metrics_in_streaming_progress(spark, tmp_path):
+    """The same observe() metrics surface per micro-batch in
+    StreamingQueryProgress.observedMetrics."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from flink_stream_processing_spark.streaming.metrics import observed
+
+    src = str(tmp_path / "obs_src")
+    spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    ).write.parquet(src)
+    stream = spark.readStream.schema("id long, v long").parquet(src)
+    df, _ = observed(stream, "batch_qa", F.count(F.lit(1)).alias("n_rows"))
+    q = (
+        df.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    seen = 0
+    for p in q.recentProgress:
+        prog = p if isinstance(p, dict) else _json.loads(p.json)
+        om = prog.get("observedMetrics") or {}
+        if "batch_qa" in om:
+            seen += om["batch_qa"]["n_rows"]
+    assert seen == 1000
