@@ -161,6 +161,7 @@ HEADLINE = [
     "mad_robust_outliers",
     "udtf_token_windows",
     "map_hof_battery",
+    "expectations_report_orders",
 ]
 
 

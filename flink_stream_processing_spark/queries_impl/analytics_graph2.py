@@ -315,3 +315,62 @@ def q_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- Declarative expectations report ------------------------------------
+
+_EXPECT_ORACLE = """
+SELECT * FROM (
+  SELECT 'not_null' AS rule, 'o_orderkey' AS "column",
+         CAST(count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS BIGINT)
+           AS n_violations,
+         count(CASE WHEN o_orderkey IS NULL THEN 1 END) = 0 AS passed
+  FROM orders
+  UNION ALL
+  SELECT 'unique', 'o_orderkey',
+         CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT),
+         count(o_orderkey) - count(DISTINCT o_orderkey) = 0
+  FROM orders
+  UNION ALL
+  SELECT 'range', 'o_totalprice',
+         CAST(count(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000
+                         THEN 1 END) AS BIGINT),
+         count(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000
+                    THEN 1 END) = 0
+  FROM orders
+  UNION ALL
+  SELECT 'accepted_values', 'o_orderstatus',
+         CAST(count(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                         THEN 1 END) AS BIGINT),
+         count(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                    THEN 1 END) = 0
+  FROM orders
+  UNION ALL
+  SELECT 'not_null', 'o_orderpriority',
+         CAST(count(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS BIGINT),
+         count(CASE WHEN o_orderpriority IS NULL THEN 1 END) = 0
+  FROM orders
+)
+ORDER BY rule, "column"
+"""
+
+
+@query("expectations_report_orders", oracle=_EXPECT_ORACLE)
+def q_expectations_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations over ``orders`` (not-null,
+    key uniqueness, value range, accepted values) compiled by
+    ``operators/expectations.py`` into ONE aggregation pass — N rules, one
+    scan. The oracle recomputes each rule as an independent SQL aggregate;
+    matching proves the single-pass compilation changes no semantics."""
+    from ..operators.expectations import expectations_report
+
+    rules = [
+        ("not_null", "o_orderkey"),
+        ("unique", "o_orderkey"),
+        ("range", "o_totalprice", 0, 1_000_000),
+        ("accepted_values", "o_orderstatus", ["O", "F", "P"]),
+        ("not_null", "o_orderpriority"),
+    ]
+    return expectations_report(_t(spark, sf_dir, "orders"), rules).orderBy(
+        "rule", "column"
+    )
