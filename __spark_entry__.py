@@ -44,8 +44,32 @@ def _sweep_order(names: list[str]) -> list[str]:
         for name, row in rows.items():
             if isinstance(row, dict) and not row.get("err"):
                 checked[name] = checked.get(name, 0) + 1
+    # Tie-break zero/equal-count queries by SENIORITY (QUERY_LEDGER.json:
+    # first-registered first), not registry order: a wave of brand-new
+    # queries must not push an older never-checked query out of the
+    # driver's per-round sweep budget. Names missing from the ledger
+    # (added after the last ledger refresh) are appended best-effort so
+    # the ledger stays the registration history.
+    ledger_path = os.path.join(here, "QUERY_LEDGER.json")
+    try:
+        with open(ledger_path) as f:
+            ledger = json.load(f)
+    except (OSError, ValueError):
+        ledger = []
+    known = set(ledger)
+    missing = [n for n in names if n not in known]
+    if missing:
+        ledger = ledger + missing
+        try:
+            with open(ledger_path, "w") as f:
+                json.dump(ledger, f, indent=0)
+        except OSError:
+            pass
+    seniority = {n: i for i, n in enumerate(ledger)}
     pos = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (checked.get(n, 0), pos[n]))
+    return sorted(
+        names, key=lambda n: (checked.get(n, 0), seniority.get(n, len(ledger)), pos[n])
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

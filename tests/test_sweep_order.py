@@ -40,13 +40,31 @@ def test_least_checked_sweep_first():
     assert seq == sorted(seq), "sweep order must be ascending in checked-count"
 
 
-def test_ties_keep_registry_order():
+def test_ties_keep_seniority_then_registry_order():
+    """Equal checked-count queries order by the registration ledger (older
+    first — a wave of new queries must not displace an older never-checked
+    query from the sweep budget), then registry order for same-age."""
     counts = _checked_counts()
+    here = os.path.dirname(os.path.abspath(entry_mod.__file__))
+    with open(os.path.join(here, "QUERY_LEDGER.json")) as f:
+        ledger = {n: i for i, n in enumerate(json.load(f))}
     pos = {n: i for i, n in enumerate(q.QUERIES)}
     names = list(entry_mod.queries())
     for a, b in zip(names, names[1:]):
         if counts.get(a, 0) == counts.get(b, 0):
-            assert pos[a] < pos[b], f"tie ({a}, {b}) broke registry order"
+            ka = (ledger.get(a, len(ledger)), pos[a])
+            kb = (ledger.get(b, len(ledger)), pos[b])
+            assert ka < kb, f"tie ({a}, {b}) broke seniority order"
+
+
+def test_ledger_self_heals_with_new_names():
+    """queries() appends registry names missing from the ledger, so the
+    ledger IS the registration history going forward."""
+    here = os.path.dirname(os.path.abspath(entry_mod.__file__))
+    with open(os.path.join(here, "QUERY_LEDGER.json")) as f:
+        ledger = json.load(f)
+    assert set(ledger) >= set(q.QUERIES)
+    assert len(ledger) == len(set(ledger))
 
 
 def test_oracle_cover_matches_registry():
