@@ -162,6 +162,8 @@ HEADLINE = [
     "udtf_token_windows",
     "map_hof_battery",
     "expectations_report_orders",
+    "point_in_time_feature_join",
+    "entity_resolution_clusters",
 ]
 
 

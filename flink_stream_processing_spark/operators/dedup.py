@@ -599,11 +599,15 @@ def connected_components(
         .withColumn("lbl", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    # Node ids (and therefore labels) can be any orderable type — longs for
+    # doc ids, strings for entity-resolution names — so the null `own`
+    # carrier is cast to the label's OWN dtype, not a hardcoded long.
+    lbl_type = labels.schema["lbl"].dataType
     for _ in range(max_iter):
         neigh = edges.join(labels, edges["src"] == labels["node"]).select(
             F.col("dst").alias("node"),
             "lbl",
-            F.lit(None).cast("long").alias("own"),
+            F.lit(None).cast(lbl_type).alias("own"),
         )
         # The node's previous label rides through the aggregate as `own`
         # (exactly one non-null per node, from the self row), so convergence

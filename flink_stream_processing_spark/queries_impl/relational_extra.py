@@ -641,3 +641,53 @@ def q_map_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --- Entity resolution: blocking -> verify -> transitive clustering ------
+
+_ER_ORACLE = """
+WITH RECURSIVE n AS (SELECT DISTINCT c_name FROM customer),
+pe AS (
+  SELECT a.c_name AS na, b.c_name AS nb
+  FROM n a JOIN n b ON a.c_name < b.c_name
+  WHERE levenshtein(a.c_name, b.c_name) <= 1
+),
+e AS (SELECT na AS a, nb AS b FROM pe UNION SELECT nb, na FROM pe),
+nodes AS (SELECT DISTINCT a AS x FROM e),
+reach(x, m) AS (
+  SELECT x, x FROM nodes
+  UNION
+  SELECT r.x, e.b FROM reach r JOIN e ON r.m = e.a
+),
+cc AS (SELECT x AS name, min(m) AS entity_rep FROM reach GROUP BY x)
+SELECT name, entity_rep,
+       CAST(count(*) OVER (PARTITION BY entity_rep) AS BIGINT) AS entity_size
+FROM cc ORDER BY name
+"""
+
+
+@query("entity_resolution_clusters", oracle=_ER_ORACLE)
+def q_entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution over customer names: SymSpell wildcard
+    blocking -> exact Levenshtein verify (``fuzzy_name_pairs``) -> the
+    matched-pair graph clustered by min-label propagation
+    (``connected_components``) into entity ids — the composition that
+    turns a pairwise matcher into record linkage (A~B~C chains collapse
+    to one entity even when A!~C). Only names that matched something
+    appear (singletons need no resolution). The oracle recomputes the
+    exact pair set brute-force and closes it with a recursive CTE —
+    blocking recall and the iterative clustering are gated TOGETHER."""
+    from ..operators.dedup import connected_components
+    from ..operators.text import fuzzy_name_pairs
+    from pyspark.sql.window import Window as _W
+
+    pairs = fuzzy_name_pairs(_t(spark, sf_dir, "customer"), "c_name", max_dist=1)
+    cc = connected_components(pairs, id_a="name_a", id_b="name_b")
+    return (
+        cc.select(F.col("node").alias("name"), F.col("lbl").alias("entity_rep"))
+        .withColumn(
+            "entity_size",
+            F.count(F.lit(1)).over(_W.partitionBy("entity_rep")).cast("bigint"),
+        )
+        .orderBy("name")
+    )

@@ -216,3 +216,57 @@ def q_scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- Point-in-time feature join (feature-store training join) -----------
+
+_PIT_ORACLE = """
+WITH feat AS (
+  SELECT user_id, ts, max_by(value, event_id) AS fval
+  FROM events GROUP BY user_id, ts
+), lab AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_id % 10 = 0
+)
+SELECT l.event_id, l.user_id,
+       epoch_ms(f.ts) AS feat_ts_ms,
+       round(f.fval, 6) AS feat_value
+FROM lab l LEFT JOIN LATERAL (
+  SELECT ts, fval FROM feat f
+  WHERE f.user_id = l.user_id AND f.ts <= l.ts - INTERVAL 1 HOUR
+  ORDER BY f.ts DESC LIMIT 1
+) f ON true
+ORDER BY l.event_id
+"""
+
+
+@query("point_in_time_feature_join", oracle=_PIT_ORACLE)
+def q_point_in_time_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time training join with a 1-hour embargo:
+    each label row (every 10th event) gets the user's most recent feature
+    value as of ``label_ts - 1h`` — never newer (leakage) and never inside
+    the embargo window (label-proximate contamination). Same single
+    union-marker window pass as the as-of join (one shuffle on user_id, no
+    range join); features are pre-deduplicated per (user, ts) with a
+    deterministic max_by tiebreak, the precondition ``as_of_join``
+    documents."""
+    from ..operators.temporal import as_of_join
+
+    ev = load_table(spark, sf_dir, "events")
+    feat = ev.groupBy("user_id", "ts").agg(
+        F.max_by("value", "event_id").alias("fval")
+    )
+    lab = ev.filter(F.col("event_id") % 10 == 0).select(
+        "event_id",
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("cutoff"),
+    )
+    j = as_of_join(
+        lab, feat, key="user_id", left_ts="cutoff", right_ts="ts",
+        right_value_cols=["fval"], how="left",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros("asof_ts") / 1000).cast("bigint").alias("feat_ts_ms"),
+        F.round("asof_fval", 6).alias("feat_value"),
+    ).orderBy("event_id")
