@@ -164,6 +164,7 @@ HEADLINE = [
     "expectations_report_orders",
     "point_in_time_feature_join",
     "entity_resolution_clusters",
+    "keyset_pagination_orders",
 ]
 
 

@@ -691,3 +691,47 @@ def q_entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("name")
     )
+
+
+# --- Keyset pagination ---------------------------------------------------
+
+_KEYSET_ORACLE = """
+WITH page1 AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+), cursor_row AS (
+  SELECT o_totalprice AS cp, o_orderkey AS ck FROM page1
+  ORDER BY o_totalprice, o_orderkey DESC LIMIT 1
+)
+SELECT o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice
+FROM orders o, cursor_row c
+WHERE o.o_totalprice < c.cp
+   OR (o.o_totalprice = c.cp AND o.o_orderkey > c.ck)
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 20
+"""
+
+
+@query("keyset_pagination_orders", oracle=_KEYSET_ORACLE)
+def q_keyset_pagination_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (cursor) pagination: page 2 of orders by (totalprice DESC,
+    orderkey) fetched via a compound-key predicate from page 1's last row
+    — the scalable replacement for OFFSET, which must scan and discard
+    every earlier page (O(page_n) per request at any engine). Both pages
+    are TakeOrderedAndProject heaps; the cursor is a broadcast single-row
+    relation, and the page-2 predicate prunes before the heap."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    page1 = orders.orderBy(F.col("o_totalprice").desc(), "o_orderkey").limit(20)
+    cursor = page1.orderBy("o_totalprice", F.col("o_orderkey").desc()).limit(1).select(
+        F.col("o_totalprice").alias("cp"), F.col("o_orderkey").alias("ck")
+    )
+    return (
+        orders.join(F.broadcast(cursor))
+        .filter(
+            (F.col("o_totalprice") < F.col("cp"))
+            | ((F.col("o_totalprice") == F.col("cp")) & (F.col("o_orderkey") > F.col("ck")))
+        )
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
