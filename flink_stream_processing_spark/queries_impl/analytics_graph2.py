@@ -1,7 +1,8 @@
 """Wave-4 analytics: degree-oriented triangle counting, an explicit
 salted skew JOIN (the join-side companion to ``salted_two_phase_agg``'s
-aggregation salting), and per-group winsorization (robust-statistics
-clipping via two-phase percentile + broadcast-back).
+aggregation salting), per-group winsorization and MAD robust outliers
+(robust statistics via percentile + broadcast-back passes), Z-order
+layout keys, and the declarative expectations report.
 
 Scale notes (100 TB):
 - Triangle counting uses the degree-orientation ordering (see
