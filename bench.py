@@ -165,6 +165,7 @@ HEADLINE = [
     "point_in_time_feature_join",
     "entity_resolution_clusters",
     "keyset_pagination_orders",
+    "count_min_sketch_tokens",
 ]
 
 

@@ -375,3 +375,89 @@ def q_expectations_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expectations_report(_t(spark, sf_dir, "orders"), rules).orderBy(
         "rule", "column"
     )
+
+
+# --- Count-Min sketch ----------------------------------------------------
+# Engine-agnostic CMS: d=4 rows x w=64 buckets, bucket = md5(token:row) low
+# 32 bits mod w (the repo's portable-hash convention — Spark and DuckDB
+# compute identical digests, so the ESTIMATES are bit-identical and the
+# oracle reproduces them exactly, not just their bounds).
+
+_CMS_D = 4
+_CMS_W = 64
+
+_CMS_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+  FROM documents
+), truth AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS true_count FROM tok GROUP BY t
+), cells AS (
+  SELECT j.j,
+         ('0x' || substr(md5(t || ':' || j.j), 1, 8))::BIGINT % {_CMS_W}
+           AS bucket,
+         count(*) AS c
+  FROM tok, (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS j) j
+  GROUP BY j.j, bucket
+), probes AS (
+  SELECT t, true_count FROM truth
+  ORDER BY true_count DESC, t LIMIT 20
+), est AS (
+  SELECT p.t, p.true_count, min(c.c) AS cms_estimate
+  FROM probes p
+  JOIN (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS j) jj ON true
+  JOIN cells c
+    ON c.j = jj.j
+   AND c.bucket = ('0x' || substr(md5(p.t || ':' || jj.j), 1, 8))::BIGINT
+                  % {_CMS_W}
+  GROUP BY p.t, p.true_count
+)
+SELECT t AS token, true_count,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       cms_estimate >= true_count AS never_underestimates
+FROM est ORDER BY true_count DESC, token
+"""
+
+
+@query("count_min_sketch_tokens", oracle=_CMS_ORACLE)
+def q_count_min_sketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the token stream (d=4 x w=64), probed with
+    the 20 most frequent tokens: per probe, the exact count, the CMS
+    estimate (min over rows of the hashed-bucket counter), and the
+    one-sided guarantee flag. The sketch is O(d*w) counters built by one
+    map-side-combined (row, bucket) aggregate — the mergeable-sketch shape
+    (counters from disjoint shards ADD) that pairs with the HLL entry.
+    Portable md5 bucketing makes the estimate itself engine-exact, so the
+    oracle checks VALUES, not just the epsilon bound."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t"))
+    )
+    truth = toks.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+    rows_j = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("j")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", "t", "j")), 1, 8), 16, 10)
+        .cast("long") % _CMS_W
+    ).alias("bucket")
+    cells = (
+        toks.select("t", rows_j)
+        .select("j", bucket)
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = truth.orderBy(F.col("true_count").desc(), "t").limit(20)
+    probe_cells = probes.select("t", "true_count", rows_j).select(
+        "t", "true_count", "j", bucket
+    )
+    return (
+        probe_cells.join(F.broadcast(cells).hint("broadcast"), ["j", "bucket"])
+        .groupBy("t", "true_count")
+        .agg(F.min("c").cast("bigint").alias("cms_estimate"))
+        .select(
+            F.col("t").alias("token"),
+            "true_count",
+            "cms_estimate",
+            (F.col("cms_estimate") >= F.col("true_count")).alias("never_underestimates"),
+        )
+        .orderBy(F.col("true_count").desc(), "token")
+    )
