@@ -166,6 +166,7 @@ HEADLINE = [
     "entity_resolution_clusters",
     "keyset_pagination_orders",
     "count_min_sketch_tokens",
+    "bloom_filter_membership",
 ]
 
 

@@ -461,3 +461,99 @@ def q_count_min_sketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("true_count").desc(), "token")
     )
+
+
+# --- Bloom filter membership ---------------------------------------------
+
+_BLOOM_K = 3
+_BLOOM_M = 4096
+
+_BLOOM_ORACLE = f"""
+WITH recent AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= DATE '2001-01-01'
+), members AS (
+  SELECT DISTINCT c.c_name AS name
+  FROM customer c JOIN recent o ON o.o_custkey = c.c_custkey
+), ks AS (
+  SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS j
+), bits AS (
+  SELECT DISTINCT
+    ('0x' || substr(md5(name || '#' || j), 1, 8))::BIGINT % {_BLOOM_M} AS bit
+  FROM members, ks
+), probes AS (
+  SELECT c_name AS name,
+         c_custkey IN (SELECT o_custkey FROM recent) AS is_member
+  FROM customer
+), probe_bits AS (
+  SELECT p.name, p.is_member, k.j,
+         ('0x' || substr(md5(p.name || '#' || k.j), 1, 8))::BIGINT % {_BLOOM_M}
+           AS bit
+  FROM probes p, ks k
+), verdict AS (
+  SELECT pb.name, pb.is_member,
+         count(b.bit) = {_BLOOM_K} AS bloom_positive
+  FROM probe_bits pb LEFT JOIN bits b ON b.bit = pb.bit
+  GROUP BY pb.name, pb.is_member
+)
+SELECT CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+       CAST(sum(CASE WHEN bloom_positive THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_positive,
+       CAST(sum(CASE WHEN bloom_positive AND NOT is_member THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_false_positives,
+       CAST(sum(CASE WHEN is_member AND NOT bloom_positive THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_false_negatives
+FROM verdict
+"""
+
+
+@query("bloom_filter_membership", oracle=_BLOOM_ORACLE)
+def q_bloom_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (k=3 hashes into m=4096 bits, portable md5
+    buckets): the ordered-in-2001 customer set (~60% of customers — real
+    negatives exist) is sketched into a bit set, every customer probes it,
+    and the report counts exact false positives (and
+    proves zero false negatives — the Bloom guarantee). The bit set is
+    O(m) and BROADCAST into the probe scan — the join-pruning shape: at
+    100 TB the probe side never shuffles, and disjoint shards' bit sets
+    merge by union, like every sketch here. Deterministic hashing makes
+    the FP count itself engine-exact."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    members = (
+        c.join(o, c.c_custkey == o.o_custkey).select(F.col("c_name").alias("name")).distinct()
+    )
+    ks = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("j")
+    bit = (
+        F.conv(F.substring(F.md5(F.concat_ws("#", "name", "j")), 1, 8), 16, 10)
+        .cast("long") % _BLOOM_M
+    ).alias("bit")
+    bits = members.select("name", ks).select(bit).distinct()
+    probes = c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        F.col("c_name").alias("name"), o.o_custkey.isNotNull().alias("is_member")
+    )
+    probe_bits = probes.select("name", "is_member", ks).select(
+        "name", "is_member", "j", bit
+    )
+    verdict = (
+        probe_bits.join(F.broadcast(bits.withColumnRenamed("bit", "hit")),
+                        F.col("bit") == F.col("hit"), "left")
+        .groupBy("name", "is_member")
+        .agg((F.count("hit") == _BLOOM_K).alias("bloom_positive"))
+    )
+    return verdict.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum(F.col("is_member").cast("long")).alias("n_members"),
+        F.sum(F.col("bloom_positive").cast("long")).alias("n_bloom_positive"),
+        F.sum((F.col("bloom_positive") & ~F.col("is_member")).cast("long")).alias(
+            "n_false_positives"
+        ),
+        F.sum((F.col("is_member") & ~F.col("bloom_positive")).cast("long")).alias(
+            "n_false_negatives"
+        ),
+    )
