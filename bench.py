@@ -167,6 +167,7 @@ HEADLINE = [
     "keyset_pagination_orders",
     "count_min_sketch_tokens",
     "bloom_filter_membership",
+    "max_concurrent_sessions",
 ]
 
 

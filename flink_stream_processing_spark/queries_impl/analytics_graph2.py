@@ -557,3 +557,96 @@ def q_bloom_filter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_false_negatives"
         ),
     )
+
+
+# --- Interval concurrency (sweep line) -----------------------------------
+
+_CONCURRENCY_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 10 MINUTES
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM o
+), sess AS (
+  SELECT user_id, min(ts) AS s, max(ts) AS e
+  FROM s GROUP BY user_id, sess_id
+), starts AS (
+  SELECT s AS ts, CAST(count(*) AS BIGINT) AS n_s FROM sess GROUP BY s
+), ends AS (
+  SELECT e AS ts, CAST(count(*) AS BIGINT) AS n_e FROM sess GROUP BY e
+), sweep AS (
+  SELECT coalesce(st.ts, en.ts) AS ts,
+         coalesce(st.n_s, 0) AS n_s, coalesce(en.n_e, 0) AS n_e
+  FROM starts st FULL OUTER JOIN ends en ON st.ts = en.ts
+), peaks AS (
+  SELECT ts,
+         sum(n_s) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING)
+           - coalesce(sum(n_e) OVER (ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS peak
+  FROM sweep
+)
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(max(peak) AS BIGINT) AS max_concurrent
+FROM peaks GROUP BY day ORDER BY day
+"""
+
+
+@query("max_concurrent_sessions", oracle=_CONCURRENCY_ORACLE)
+def q_max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent user sessions per day, by sweep line: sessionize
+    (10-min gap), emit +1/-1 at session start/end, running-sum the
+    collapsed per-timestamp deltas with starts-before-ends tie semantics
+    (a session ending exactly when another starts still overlaps it).
+    The sweep runs over O(sessions) collapsed timestamps — tiny next to
+    the event table; at 100 TB the sweep partitions by day with a
+    carried-in open-session count per partition boundary (one extra
+    per-day aggregate), same math."""
+    from pyspark.sql.window import Window as _W
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    wu = _W.partitionBy("user_id").orderBy("ts")
+    gap_us = 600 * 1_000_000
+    new_sess = (
+        F.lag("ts").over(wu).isNull()
+        | ((F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wu))) >= gap_us)
+    ).cast("int")
+    sess = (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn("sess_id", F.sum("new_sess").over(
+            wu.rowsBetween(_W.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    starts = sess.groupBy(F.col("s").alias("ts")).agg(
+        F.count(F.lit(1)).alias("n_s")
+    )
+    ends = sess.groupBy(F.col("e").alias("ts")).agg(F.count(F.lit(1)).alias("n_e"))
+    sweep = (
+        starts.join(ends, "ts", "full_outer")
+        .select(
+            "ts",
+            F.coalesce("n_s", F.lit(0)).alias("n_s"),
+            F.coalesce("n_e", F.lit(0)).alias("n_e"),
+        )
+    )
+    w_all = _W.orderBy("ts").rowsBetween(_W.unboundedPreceding, 0)
+    w_prev = _W.orderBy("ts").rowsBetween(_W.unboundedPreceding, -1)
+    peaks = sweep.select(
+        "ts",
+        (
+            F.sum("n_s").over(w_all)
+            - F.coalesce(F.sum("n_e").over(w_prev), F.lit(0))
+        ).alias("peak"),
+    )
+    return (
+        peaks.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.max("peak").cast("bigint").alias("max_concurrent"))
+        .orderBy("day")
+    )
