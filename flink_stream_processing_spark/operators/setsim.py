@@ -1,0 +1,153 @@
+"""Exact set-similarity join via prefix filtering (AllPairs / PPJoin family).
+
+The approximate near-dup paths (MinHash+LSH, SimHash — operators/dedup.py)
+trade a small recall risk for speed. This operator is their EXACT
+counterpart: every pair with word-shingle Jaccard >= threshold is returned,
+guaranteed by construction, yet without the O(n²) all-pairs scan — the
+classic AllPairs prefix-filter bound (Bayardo et al., "Scaling Up All Pairs
+Similarity Search", WWW'07; PPJoin, Xiao et al., VLDB'08).
+
+Construction:
+ 1. distinct word n-gram shingles per doc (same tokenization as the
+    MinHash path, so the two operators are directly comparable);
+ 2. a GLOBAL canonical ordering of shingles by (document frequency asc,
+    shingle asc) — rarest first;
+ 3. per doc, only the first ``p = s - ceil(t*s) + 1`` shingles (the
+    "prefix") generate join candidates. Any pair with Jaccard >= t shares
+    at least one prefix shingle: J >= t implies the overlap is >= t*s for
+    each side, and a set whose entire overlap sat in its suffix of length
+    ceil(t*s) - 1 < t*s would contradict that.
+ 4. candidates sharing a prefix shingle pass a length filter
+    (min(sa,sb) >= t*max(sa,sb), another necessary condition) and are then
+    verified with the EXACT Jaccard on the full shingle arrays.
+
+``ceil(t*s)`` is computed in integer arithmetic from a rational form of the
+threshold (Fraction), so no float rounding can shorten a prefix and
+silently lose recall.
+
+Scale design (100 TB):
+- The only wide exchanges are (a) one shuffle on shingle for document
+  frequency, and (b) the candidate self-join keyed on PREFIX shingles
+  only. Rare-first ordering means frequent shingles never reach the join:
+  candidate volume is sum over prefix shingles of df², with df small by
+  construction of the prefix.
+- Document frequency uses a window count over the postings (one shuffle),
+  not a groupBy + re-join (two).
+- The verify stage touches only candidate pairs; arrays travel once.
+- Skew guard: a shingle whose df exceeds ``max_df`` would generate df²
+  candidates; such shingles are TRUNCATED from prefixes only when a doc
+  has rarer alternatives is unsound, so instead the guard fails loudly
+  (same contract as dedup._guard_bucket_size) letting the operator be
+  re-run with a higher threshold or stopword pre-filter.
+
+Reference tie-in: the reference pipeline (StreamJob.java:36-51) has no
+relational dedup at all; this extends the LLM-pipeline dedup family that
+SURVEY.md §8 mandates for training-data curation.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import shingle_array
+
+
+def allpairs_jaccard_join(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    n: int = 3,
+    text: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 100_000,
+) -> DataFrame:
+    """All pairs with exact shingle-Jaccard >= ``threshold`` as
+    (id_a, id_b, jaccard), id_a < id_b. Exact: recall and precision are 1.0
+    by construction (prefix filter is a proven-complete candidate bound;
+    the verify stage computes true Jaccard)."""
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    num, den = frac.numerator, frac.denominator
+
+    arr = shingle_array(docs, text=text, id_col=id_col, n=n).select(
+        id_col, F.array_distinct("sh_arr").alias("sh")
+    )
+
+    postings = arr.select(id_col, F.explode("sh").alias("shingle"))
+    wdf = Window.partitionBy("shingle")
+    with_df = postings.withColumn("df", F.count(F.lit(1)).over(wdf))
+
+    # Canonical rare-first order; prefix length in exact integer arithmetic:
+    # ceil(num*s/den) = (num*s + den - 1) div den.
+    ordered = (
+        with_df.groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("ord"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+        .withColumn(
+            "prefix_len",
+            F.col("sz")
+            - ((F.lit(num) * F.col("sz") + F.lit(den - 1)) / F.lit(den)).cast("long")
+            + F.lit(1),
+        )
+    )
+
+    # Prefix explode carries each shingle's global df so the skew guard is
+    # a per-row executor-side assert (same loud-failure contract as
+    # dedup._guard_bucket_size — no driver-side collect): a prefix shingle
+    # with df > max_df means df² candidate blowup, so fail with coordinates
+    # instead of OOMing the join.
+    prefix = (
+        ordered.select(
+            F.col(id_col).alias("pid"),
+            "sz",
+            F.explode(
+                F.slice(F.col("ord"), 1, F.col("prefix_len").cast("int"))
+            ).alias("p"),
+        )
+        .select(
+            "pid",
+            "sz",
+            F.when(
+                F.assert_true(
+                    F.col("p.df") <= max_df,
+                    F.concat(
+                        F.lit(f"prefix shingle over max_df={max_df}: df="),
+                        F.col("p.df").cast("string"),
+                        F.lit(" — raise the threshold or pre-filter stopword shingles"),
+                    ),
+                ).isNull(),
+                F.col("p.shingle"),
+            ).alias("shingle"),
+        )
+    )
+
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.pid") < F.col("b.pid")))
+        .filter(
+            F.least("a.sz", "b.sz") * F.lit(den)
+            >= F.greatest("a.sz", "b.sz") * F.lit(num)
+        )
+        .select(
+            F.col("a.pid").alias("id_a"),
+            F.col("b.pid").alias("id_b"),
+        )
+        .distinct()
+    )
+
+    sa = arr.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = arr.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    # Threshold test in exact integer arithmetic (inter/union >= num/den
+    # <=> inter*den >= union*num) — no float boundary ambiguity.
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(inter * F.lit(den) >= union * F.lit(num))
+        .select("id_a", "id_b", F.round(inter / union, 5).alias("jaccard"))
+    )

@@ -41,14 +41,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 from .queries_impl import (  # noqa: E402,F401
     analytics_extra,
     analytics_graph2,
+    analytics_scale,
     corpus_pipeline,
     file_formats,
     grouped_pandas,
     llm_corpus_ops,
     llm_dedup,
+    llm_dedup2,
     llm_multimodal,
     llm_pipeline2,
     llm_pipeline3,
+    llm_pipeline4,
     llm_similarity,
     llm_text,
     reference_parity,
@@ -72,10 +75,12 @@ _ALL_IMPL = [
     temporal,
     llm_text,
     llm_dedup,
+    llm_dedup2,
     llm_similarity,
     llm_multimodal,
     llm_pipeline2,
     llm_pipeline3,
+    llm_pipeline4,
     llm_corpus_ops,
     corpus_pipeline,
     grouped_pandas,

@@ -1,0 +1,156 @@
+"""Scale-planning analytics: the queries an operator of a 1000-executor
+cluster runs BEFORE launching a big job.
+
+- ``join_key_skew_profile``: per-join-key distribution profile (cardinality,
+  max/avg/p99 per-key row counts, skew ratio) over the keys the TPC-H
+  workload actually joins on. This is the input to the salting / AQE
+  skew-join decisions the engine's join operators document — measured, not
+  guessed.
+- ``cms_join_cardinality``: equi-join output-size estimation from Count-Min
+  sketch inner products (AMS/CM F2 estimation): |A join B on k| is
+  upper-bounded by min_j sum_b a_j[b]*b_j[b]. Sketches are O(d*w) counters
+  per relation, mergeable across shards — at 100 TB the planner reads two
+  tiny sketches instead of scanning either input. Portable md5 bucketing
+  (the repo convention) makes the ESTIMATE bit-identical across engines, so
+  the oracle checks the estimate's value and the one-sided guarantee, not
+  just a bound.
+
+Both are single-scan aggregations: groupBy(key) / groupBy(j, bucket) with
+map-side partial aggregation; nothing wide beyond the keyed shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..queries import query
+from ..sources.batch import load_table
+
+# --- join-key skew profile ------------------------------------------------
+
+_SKEW_KEYS = [
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("lineitem", "l_orderkey"),
+    ("orders", "o_custkey"),
+]
+
+_SKEW_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{tbl}.{key}' AS join_key,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(c) AS BIGINT) AS total_rows,
+       CAST(max(c) AS BIGINT) AS max_per_key,
+       round(avg(c), 4) AS avg_per_key,
+       round(quantile_cont(c, 0.99), 4) AS p99_per_key,
+       round(max(c) / avg(c), 4) AS skew_ratio
+FROM (SELECT count(*) AS c FROM {tbl} GROUP BY {key})
+"""
+    for tbl, key in _SKEW_KEYS
+) + "\nORDER BY join_key"
+
+
+@query("join_key_skew_profile", oracle=_SKEW_ORACLE)
+def q_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution profile of every join key in the workload: key count,
+    per-key row stats, and the max/avg skew ratio that decides whether a
+    shuffle join needs salting (salted_skew_join_revenue) or AQE skew
+    splitting. One groupBy per key column, partials map-side; the union
+    branches are independent scans of single columns (pruned projections)."""
+    out = None
+    for tbl, key in _SKEW_KEYS:
+        counts = (
+            load_table(spark, sf_dir, tbl)
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        prof = counts.agg(
+            F.lit(f"{tbl}.{key}").alias("join_key"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("c").cast("bigint").alias("total_rows"),
+            F.max("c").cast("bigint").alias("max_per_key"),
+            F.round(F.avg("c"), 4).alias("avg_per_key"),
+            F.round(F.percentile("c", F.lit(0.99)), 4).alias("p99_per_key"),
+            F.round(F.max("c") / F.avg("c"), 4).alias("skew_ratio"),
+        )
+        out = prof if out is None else out.unionAll(prof)
+    return out.orderBy("join_key")
+
+
+# --- CMS join-cardinality estimation --------------------------------------
+
+_CJC_D = 4
+_CJC_W = 256
+
+_CJC_ORACLE = f"""
+WITH k AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS key FROM lineitem
+), truth AS (
+  SELECT CAST(sum(c * c) AS BIGINT) AS exact_pairs
+  FROM (SELECT count(*) AS c FROM k GROUP BY key)
+), cells AS (
+  SELECT j.j,
+         ('0x' || substr(md5(key || ':' || CAST(j.j AS VARCHAR)), 1, 8))::BIGINT % {_CJC_W}
+           AS bucket,
+         count(*) AS c
+  FROM k, (SELECT unnest(generate_series(0, {_CJC_D - 1})) AS j) j
+  GROUP BY j.j, bucket
+), est AS (
+  SELECT CAST(min(e) AS BIGINT) AS cms_estimate
+  FROM (SELECT j, sum(c * c) AS e FROM cells GROUP BY j)
+)
+SELECT exact_pairs,
+       cms_estimate,
+       round(cms_estimate * 1.0 / exact_pairs, 6) AS overestimate_ratio,
+       cms_estimate >= exact_pairs AS never_underestimates
+FROM truth, est
+"""
+
+
+@query("cms_join_cardinality", oracle=_CJC_ORACLE)
+def q_cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimate for the lineitem self-equi-join on l_partkey
+    (output rows = sum over keys of count²) from a d={d} x w={w} Count-Min
+    sketch: estimate = min over rows of the sketch's self-inner-product.
+    The sketch never underestimates (collisions only ADD cross terms), and
+    md5 bucketing makes the estimate engine-exact. At 100 TB the two
+    sketches are built in one pass each (map-side-combined (j, bucket)
+    counts, {d}x{w} cells total) and the estimate is O(d*w) work — the
+    planner decides salting / broadcast / bucketing without scanning
+    either join input.""".format(d=_CJC_D, w=_CJC_W)
+    keys = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("key")
+    )
+    truth = (
+        keys.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("exact_pairs"))
+    )
+    rows_j = F.explode(F.sequence(F.lit(0), F.lit(_CJC_D - 1))).alias("j")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", "key", "j")), 1, 8), 16, 10)
+        .cast("long") % _CJC_W
+    ).alias("bucket")
+    est = (
+        keys.select("key", rows_j)
+        .select("j", bucket)
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("j")
+        .agg(F.sum(F.col("c") * F.col("c")).alias("e"))
+        .agg(F.min("e").cast("bigint").alias("cms_estimate"))
+    )
+    return (
+        truth.crossJoin(F.broadcast(est))
+        .select(
+            "exact_pairs",
+            "cms_estimate",
+            F.round(F.col("cms_estimate") / F.col("exact_pairs"), 6).alias(
+                "overestimate_ratio"
+            ),
+            (F.col("cms_estimate") >= F.col("exact_pairs")).alias(
+                "never_underestimates"
+            ),
+        )
+    )

@@ -73,6 +73,14 @@ def q_orc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_agg(_events_in_format(spark, sf_dir, "orc"))
 
 
+@query("xml_source_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def q_xml_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 NATIVE XML source/sink (built-in since 4.0 — no external
+    spark-xml package): same round-trip gate as csv/json/orc, with an
+    explicit schema (rowTag rows; no inference pass at 100 TB)."""
+    return _roundtrip_agg(_events_in_format(spark, sf_dir, "xml"))
+
+
 # Oracle = the batch datasource oracle (same Lehmer synthesis, full range).
 _PYDS_STREAM_ORACLE = """
 WITH g AS (

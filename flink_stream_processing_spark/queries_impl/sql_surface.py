@@ -223,3 +223,37 @@ def q_udtf_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL token_windows(d.text, {_WIN_WIDTH}) t
         ORDER BY d.doc_id, t.win_idx
     """)
+
+
+# --- SQL pipe syntax (Spark 4) -------------------------------------------
+
+_PIPE_ORACLE = """
+SELECT c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY c.c_mktsegment
+ORDER BY segment
+"""
+
+
+@query("sql_surface_pipe_syntax", oracle=_PIPE_ORACLE)
+def q_sql_surface_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL PIPE syntax (SPARK-49555, `|>` operators): the same
+    join+filter+aggregate expressed as a linear pipeline — third query
+    front-end after the DataFrame DSL and ANSI SQL text. Lowers to the
+    identical Catalyst plan as the ANSI form (the oracle), so this entry
+    pins both the parser surface and plan equivalence."""
+    v = _register_views(spark, sf_dir)
+    return spark.sql(f"""
+        FROM {v['orders']} AS o
+        |> JOIN {v['customer']} AS c ON o.o_custkey = c.c_custkey
+        |> WHERE o.o_orderstatus = 'F'
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS cnt,
+                     round(sum(o.o_totalprice), 2) AS total_price
+           GROUP BY c.c_mktsegment AS segment
+        |> SELECT segment, cnt, total_price
+        |> ORDER BY segment
+    """)

@@ -78,6 +78,9 @@ def export_table(
         w = w.option("header", "true").option("timestampFormat", _TS_FMT)
     if fmt == "json":
         w = w.option("timestampFormat", _TS_FMT)
+    if fmt == "xml":
+        # Spark 4 native XML (built-in since 4.0; no spark-xml package).
+        w = w.option("rowTag", "row").option("timestampFormat", _TS_FMT)
     w.save(out_dir)
 
 
@@ -87,8 +90,10 @@ def load_table_fmt(spark: SparkSession, path: str, schema, fmt: str) -> DataFram
     canonical table's own schema (``load_table(...).schema``), i.e. the
     catalog supplies types, the file supplies bytes."""
     r = spark.read.format(fmt)
-    if fmt in ("csv", "json"):
+    if fmt in ("csv", "json", "xml"):
         r = r.schema(schema).option("timestampFormat", _TS_FMT)
         if fmt == "csv":
             r = r.option("header", "true")
+        if fmt == "xml":
+            r = r.option("rowTag", "row")
     return r.load(path)

@@ -1,0 +1,61 @@
+"""Exact set-similarity join (prefix filtering): planted-pair recall,
+exactness against a brute-force recompute, and the loud hot-shingle guard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_stream_processing_spark.operators.setsim import allpairs_jaccard_join
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_planted_near_dup_found_and_disjoint_pair_excluded(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    other = "one two three four five six seven eight nine ten"
+    out = allpairs_jaccard_join(
+        _docs(spark, [(1, base), (2, near), (3, other)]), threshold=0.6
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+    # 8 shingles each, 7 shared: J = 7/9
+    assert out[0].jaccard == pytest.approx(7 / 9, abs=1e-5)
+
+
+def test_exactness_vs_bruteforce(spark):
+    """Prefix filter must lose nothing: compare with the O(n²) recompute."""
+    words = "a b c d e f g h i j k l m n o p".split()
+    rows = []
+    for i in range(30):
+        # overlapping sliding vocab windows -> a range of true Jaccards
+        toks = words[i % 6 : i % 6 + 8]
+        rows.append((i, " ".join(toks)))
+    df = _docs(spark, rows)
+    got = {
+        (r.id_a, r.id_b)
+        for r in allpairs_jaccard_join(df, threshold=0.5).collect()
+    }
+
+    import itertools
+
+    def sh(text):
+        t = text.split()
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    want = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        sa, sb = sh(ta), sh(tb)
+        inter = len(sa & sb)
+        if inter * 2 >= (len(sa) + len(sb) - inter):  # J >= 1/2, integer form
+            want.add((min(ia, ib), max(ia, ib)))
+    assert got == want and want  # non-trivial: some pairs must exist
+
+
+def test_hot_shingle_guard_fails_loudly(spark):
+    # every doc identical -> the (unique) prefix shingle has df == n_docs
+    rows = [(i, "x y z w v u t s") for i in range(12)]
+    with pytest.raises(Exception, match="max_df"):
+        allpairs_jaccard_join(_docs(spark, rows), threshold=0.9, max_df=4).collect()
