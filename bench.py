@@ -168,6 +168,17 @@ HEADLINE = [
     "count_min_sketch_tokens",
     "bloom_filter_membership",
     "max_concurrent_sessions",
+    "allpairs_jaccard_join",
+    "greedy_pack_bins",
+    "pq_adc_topk",
+    "join_key_skew_profile",
+    "cms_join_cardinality",
+    "xml_source_roundtrip",
+    "sql_surface_pipe_syntax",
+    "shard_manifest_integrity",
+    "k_anonymity_audit",
+    "dp_noisy_counts",
+    "schema_evolution_merge",
 ]
 
 

@@ -44,6 +44,7 @@ from .queries_impl import (  # noqa: E402,F401
     analytics_scale,
     corpus_pipeline,
     file_formats,
+    governance,
     grouped_pandas,
     llm_corpus_ops,
     llm_dedup,
@@ -53,6 +54,7 @@ from .queries_impl import (  # noqa: E402,F401
     llm_pipeline3,
     llm_pipeline4,
     llm_similarity,
+    llm_similarity2,
     llm_text,
     reference_parity,
     relational_core,
@@ -77,6 +79,7 @@ _ALL_IMPL = [
     llm_dedup,
     llm_dedup2,
     llm_similarity,
+    llm_similarity2,
     llm_multimodal,
     llm_pipeline2,
     llm_pipeline3,
@@ -85,6 +88,7 @@ _ALL_IMPL = [
     corpus_pipeline,
     grouped_pandas,
     file_formats,
+    governance,
     retrieval,
     analytics_extra,
     analytics_graph2,

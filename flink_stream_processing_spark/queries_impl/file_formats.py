@@ -186,3 +186,51 @@ def q_jdbc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_events", "sum_value")
         .orderBy("event_type")
     )
+
+
+# --- schema evolution (mergeSchema across parquet generations) ------------
+
+_EVOLVE_DIRS: dict[str, str] = {}
+
+_EVOLVE_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(count(CASE WHEN event_id % 2 = 1 THEN props END) AS BIGINT)
+         AS props_present
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("schema_evolution_merge", oracle=_EVOLVE_ORACLE)
+def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet generations: an old generation
+    written WITHOUT the ``props`` column (even event_ids) and a new
+    generation with it (odd event_ids), read back as ONE dataset via
+    ``mergeSchema`` — missing columns surface as NULLs. This is how a
+    100 TB table ingests years of files as its schema grows, without
+    rewriting history; the footer-merge costs one metadata pass, so
+    production pins the merged schema in a catalog and reads with it
+    explicitly (the shape this query verifies)."""
+    base = _EVOLVE_DIRS.get(sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    if base is None or not os.path.isdir(base):
+        base = tempfile.mkdtemp(prefix="events_evolve_")
+        old_gen = ev.filter(F.col("event_id") % 2 == 0).drop("props")
+        new_gen = ev.filter(F.col("event_id") % 2 == 1)
+        old_gen.write.mode("overwrite").parquet(os.path.join(base, "gen=0"))
+        new_gen.write.mode("overwrite").parquet(os.path.join(base, "gen=1"))
+        _EVOLVE_DIRS[sf_dir] = base
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(base)
+    )
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.count("props").cast("bigint").alias("props_present"),
+        )
+        .orderBy("event_type")
+    )

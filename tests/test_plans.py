@@ -225,3 +225,44 @@ def test_mmr_prefilter_broadcasts_queries(spark):
     assert has_broadcast_join(df)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan, plan
+
+
+def test_allpairs_join_no_cartesian_and_prunes_docs(spark):
+    """The prefix-filtered set-similarity join must stay an equi-join on
+    prefix shingles (never a cartesian pair expansion), and the documents
+    scan must read only (doc_id, text)."""
+    from flink_stream_processing_spark.plans import formatted_plan
+
+    df = QUERIES["allpairs_jaccard_join"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    cols = read_schema_columns(df)
+    assert "lang" not in cols and "source" not in cols
+
+
+def test_pq_codebook_and_lut_broadcast(spark):
+    """PQ encode/search must broadcast the tiny codebook + lookup table —
+    the corpus side is never reshuffled for the join."""
+    df = QUERIES["pq_adc_topk"](spark, SF_DIR)
+    assert has_broadcast_join(df)
+    assert has_take_ordered(df)
+
+
+def test_cms_join_cardinality_partial_aggregation(spark):
+    """The sketch build must partial-aggregate map-side (HashAggregate
+    before the exchange), not ship raw keys."""
+    from flink_stream_processing_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["cms_join_cardinality"](spark, SF_DIR))
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_greedy_pack_bins_single_shard_shuffle(spark):
+    """Per-shard packing is one hash exchange on shard + the Arrow grouped
+    map — no extra wide ops."""
+    from flink_stream_processing_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["greedy_pack_bins"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "FlatMapGroupsInArrow" in plan or "FlatMapGroupsInPandas" in plan
