@@ -573,14 +573,22 @@ def connected_components(
     one representative per transitive group.
 
     Scale design: each round is one keyed join + one min-aggregate —
-    O(edges) shuffle rows; rounds needed = component diameter (near-dup
-    clusters are dense, so diameters are small; max_iter bounds
-    pathological chains). ``localCheckpoint`` after every round cuts the
-    iterative lineage (20 chained joins would otherwise blow plan
-    compilation), and the convergence check moves a single scalar count to
-    the driver — the data never leaves the executors. This loop shape is
-    deliberately the GraphX/GraphFrames propagation pattern expressed in
-    plain DataFrame ops, so it needs no extra library at 100 TB.
+    O(edges) shuffle rows — followed by a PATH-HALVING hop (lbl <- lbl of
+    lbl, one O(nodes) self-join), which turns convergence from O(diameter)
+    rounds into O(log diameter): a chain that plain propagation crosses one
+    hop per round collapses geometrically once labels start pointing at
+    labels. ``localCheckpoint`` after every round cuts the iterative
+    lineage (20 chained joins would otherwise blow plan compilation), and
+    the convergence check moves a single scalar count to the driver — the
+    data never leaves the executors. Loop shuffle partitions are sized to
+    the MATERIALIZED state volume (edge count / ~500k per partition), not
+    the session default: iteration state is a fixed small relation, and
+    paying 32 tasks x stages x rounds of scheduling for kilobyte
+    partitions dominates small-graph runtime (the same size-to-state rule
+    the streaming state stores apply). At 100 TB the same formula yields
+    hundreds of partitions. This loop shape is deliberately the
+    GraphX/GraphFrames propagation pattern expressed in plain DataFrame
+    ops, so it needs no extra library at 100 TB.
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     # Materialize the symmetrized edge set ONCE: without this, every
@@ -593,6 +601,11 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    spark = edges.sparkSession
+    sp_key = "spark.sql.shuffle.partitions"
+    old_sp = spark.conf.get(sp_key)
+    n_edges = edges.count()  # scalar off the materialized relation
+    loop_parts = max(8, min(int(old_sp), n_edges // 500_000 + 1))
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -603,27 +616,42 @@ def connected_components(
     # doc ids, strings for entity-resolution names — so the null `own`
     # carrier is cast to the label's OWN dtype, not a hardcoded long.
     lbl_type = labels.schema["lbl"].dataType
-    for _ in range(max_iter):
-        neigh = edges.join(labels, edges["src"] == labels["node"]).select(
-            F.col("dst").alias("node"),
-            "lbl",
-            F.lit(None).cast(lbl_type).alias("own"),
-        )
-        # The node's previous label rides through the aggregate as `own`
-        # (exactly one non-null per node, from the self row), so convergence
-        # is a narrow filter-count over the materialized result — not a
-        # second O(nodes) shuffle join against the old labels per round.
-        new = (
-            labels.select("node", "lbl", F.col("lbl").alias("own"))
-            .unionByName(neigh)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"), F.max("own").alias("own"))
-            .localCheckpoint(eager=True)
-        )
-        changed = new.filter(F.col("lbl") != F.col("own")).count()
-        labels = new.select("node", "lbl")
-        if changed == 0:
-            break
+    spark.conf.set(sp_key, str(loop_parts))
+    try:
+        for _ in range(max_iter):
+            neigh = edges.join(labels, edges["src"] == labels["node"]).select(
+                F.col("dst").alias("node"),
+                "lbl",
+                F.lit(None).cast(lbl_type).alias("own"),
+            )
+            # The node's previous label rides through the aggregate as
+            # `own` (exactly one non-null per node, from the self row), so
+            # convergence is a narrow filter-count over the materialized
+            # result — not a second O(nodes) shuffle join per round.
+            new = (
+                labels.select("node", "lbl", F.col("lbl").alias("own"))
+                .unionByName(neigh)
+                .groupBy("node")
+                .agg(F.min("lbl").alias("lbl"), F.max("own").alias("own"))
+            )
+            # Path halving: follow the label one more hop (min is safe —
+            # labels only ever decrease toward the component minimum).
+            hop = new.select(F.col("node").alias("hn"), F.col("lbl").alias("hl"))
+            new = (
+                new.join(hop, new["lbl"] == hop["hn"], "left")
+                .select(
+                    "node",
+                    F.least("lbl", "hl").alias("lbl"),
+                    "own",
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = new.filter(F.col("lbl") != F.col("own")).count()
+            labels = new.select("node", "lbl")
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set(sp_key, old_sp)
     return labels
 
 

@@ -48,7 +48,24 @@ def pagerank(
     # makes the node set exactly distinct(src), so nodes/N/initial ranks
     # all derive from this relation instead of separate passes over the
     # upstream edge plan.
-    contrib_base = e.join(F.broadcast(deg), "src").localCheckpoint(eager=True)
+    staged = e.join(F.broadcast(deg), "src").localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    sp_key = "spark.sql.shuffle.partitions"
+    old_sp = spark.conf.get(sp_key)
+    # Loop shuffle partitions sized to the materialized edge volume (same
+    # size-to-state rule as connected_components): iteration shuffles move
+    # exactly O(edges) rows, so the session default (sized for the whole
+    # workload) wastes scheduling overhead on small graphs and is restored
+    # afterwards. At 100 TB the formula yields hundreds of partitions.
+    n_edges = staged.count()
+    loop_parts = max(8, min(int(old_sp), n_edges // 500_000 + 1))
+    spark.conf.set(sp_key, str(loop_parts))
+    # Re-stage partitioned BY THE JOIN KEY: localCheckpoint preserves
+    # output partitioning, so every iteration's rank join sees its big side
+    # already distributed on `src` and only exchanges the O(nodes) rank
+    # vector — per iteration the single wide op on edge-scale data is the
+    # unavoidable contribution aggregate (the Pregel shuffle).
+    contrib_base = staged.repartition("src").localCheckpoint(eager=True)
     # nodes and the 1-row node count are ALSO checkpointed: both appear in
     # every iteration's plan (initial ranks / the teleport term), and
     # without materialization each iteration would re-run the distinct +
@@ -64,20 +81,28 @@ def pagerank(
     ranks = nodes.join(F.broadcast(n_row)).select(
         "node", (F.lit(1.0) / F.col("nn")).alias("pr")
     )
-    for _ in range(iters):
-        ranks = (
-            contrib_base.join(ranks, contrib_base.src == ranks.node)
-            .select(F.col("dst").alias("node"), (F.col("pr") / F.col("outdeg")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("s"))
-            .join(F.broadcast(n_row))
-            .select(
-                "node",
-                F.round(
-                    F.lit(1.0 - damping) / F.col("nn") + F.lit(damping) * F.col("s"), 6
-                ).alias("pr"),
+    try:
+        for _ in range(iters):
+            ranks = (
+                contrib_base.join(ranks, contrib_base.src == ranks.node)
+                .select(F.col("dst").alias("node"), (F.col("pr") / F.col("outdeg")).alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("s"))
+                .join(F.broadcast(n_row))
+                .select(
+                    "node",
+                    F.round(
+                        F.lit(1.0 - damping) / F.col("nn") + F.lit(damping) * F.col("s"), 6
+                    ).alias("pr"),
+                )
+                # Eager per-iteration materialization: the rank vector is
+                # O(nodes); this keeps execution inside the sized-partition
+                # window and stops iteration i's plan from re-running
+                # iterations 1..i-1 at final collect.
+                .localCheckpoint(eager=True)
             )
-        )
+    finally:
+        spark.conf.set(sp_key, old_sp)
     return ranks
 
 
