@@ -179,6 +179,7 @@ HEADLINE = [
     "k_anonymity_audit",
     "dp_noisy_counts",
     "schema_evolution_merge",
+    "mp4_decode_duration",
 ]
 
 

@@ -296,3 +296,114 @@ def synthesize_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             F.create_map(F.lit("origin"), F.lit("synthesized")).alias("meta"),
         ),
     )
+
+
+# ------------------------------------------------------- MP4 (ISO-BMFF) walk
+
+MP4_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("brand", StringType()),
+        StructField("timescale", LongType()),
+        StructField("duration", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def synthesize_mp4(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic minimal ISO-BMFF (MP4) files from the doc id: an
+    ``ftyp`` box with a VARIABLE number of compatible brands (doc_id % 3 —
+    so the ``moov`` offset differs per file and only a real box walk finds
+    it) followed by ``moov`` containing a version-0 ``mvhd`` with
+    timescale/duration derived from the id. Same JVM-hex construction as
+    the other synthesizers — the oracle rebuilds identical bytes in
+    DuckDB."""
+    doc = F.col(id_col)
+    k = (doc % 3).cast("int")
+    timescale = F.element_at(
+        F.array(F.lit(600), F.lit(1000), F.lit(90000), F.lit(48000)),
+        (doc % 4 + 1).cast("int"),
+    )
+    duration = (doc % 5000 + 100).cast("int")
+    ftyp = F.concat(
+        _be32(F.lit(16) + k * 4),
+        F.lit("66747970"),            # 'ftyp'
+        F.lit("69736f6d"),            # major brand 'isom'
+        F.lit("00000200"),            # minor version
+        F.expr(f"repeat('69736f6d', cast({id_col} % 3 as int))"),
+    )
+    mvhd = F.concat(
+        F.lit("0000006c"),            # mvhd box size = 108
+        F.lit("6d766864"),            # 'mvhd'
+        F.lit("00000000"),            # version 0 + flags
+        F.lit("00000000"), F.lit("00000000"),  # ctime, mtime
+        _be32(timescale),
+        _be32(duration),
+        F.lit("00" * 80),             # rate/volume/reserved/matrix/next_track
+    )
+    moov = F.concat(_be32(F.lit(8 + 108)), F.lit("6d6f6f76"), mvhd)
+    return df.withColumn(
+        "media",
+        F.struct(
+            F.unhex(F.concat(ftyp, moov)).alias("data"),
+            F.lit("video/mp4").alias("mime"),
+            F.create_map(F.lit("origin"), F.lit("synthesized")).alias("meta"),
+        ),
+    )
+
+
+def _walk_mp4(data: bytes) -> tuple:
+    """Top-level box walk: each box is [u32 size][4-byte type][payload].
+    Finds ftyp's major brand positionally and mvhd inside moov by walking
+    children — the same traversal any real demuxer front-end performs."""
+    import struct
+
+    brand, timescale, duration = None, None, None
+    off = 0
+    while off + 8 <= len(data):
+        size, btype = struct.unpack_from(">I4s", data, off)
+        if size < 8:
+            break
+        if btype == b"ftyp":
+            brand = data[off + 8 : off + 12].decode("ascii", "replace")
+        elif btype == b"moov":
+            c = off + 8
+            while c + 8 <= off + size:
+                csize, ctype = struct.unpack_from(">I4s", data, c)
+                if csize < 8:
+                    break
+                if ctype == b"mvhd":
+                    ver = data[c + 8]
+                    if ver == 0:
+                        timescale, duration = struct.unpack_from(">II", data, c + 20)
+                c += csize
+        off += size
+    dur_ms = (duration * 1000) // timescale if timescale else None
+    return brand, timescale, duration, dur_ms
+
+
+def decode_mp4(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "media"
+) -> DataFrame:
+    """MP4 container metadata via the box walk, Arrow-batched mapInPandas;
+    only (id, data) is shipped to Python (same pruning discipline as
+    decode_media)."""
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [_walk_mp4(bytes(b)) for b in pdf["data"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].to_numpy(),
+                    "brand": [r[0] for r in rows],
+                    "timescale": [r[1] for r in rows],
+                    "duration": [r[2] for r in rows],
+                    "duration_ms": [r[3] for r in rows],
+                }
+            )
+
+    flat = df.select(F.col(id_col), F.col(f"{media_col}.data").alias("data"))
+    return flat.mapInPandas(extract, MP4_SCHEMA)

@@ -209,3 +209,52 @@ def q_jpeg_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = synthesize_jpeg(load_table(spark, sf_dir, "documents").select("doc_id"))
     return decode_media(docs).orderBy("doc_id")
+
+
+# --- MP4 (ISO-BMFF) box walk ---------------------------------------------
+
+_MP4_ORACLE = """
+WITH p AS (
+  SELECT doc_id,
+         CAST(doc_id % 3 AS INT) AS k,
+         CAST([600,1000,90000,48000][CAST(doc_id % 4 AS INTEGER) + 1] AS BIGINT)
+           AS ts,
+         CAST(doc_id % 5000 + 100 AS BIGINT) AS dur
+  FROM documents
+), synth AS (
+  SELECT doc_id,
+    printf('%08x', 16 + 4*k) || '66747970' || '69736f6d' || '00000200'
+      || repeat('69736f6d', k)
+      || printf('%08x', 116) || '6d6f6f76'
+      || '0000006c' || '6d766864' || '00000000' || '00000000' || '00000000'
+      || printf('%08x', ts) || printf('%08x', dur) || repeat('00', 80) AS hx
+  FROM p
+), blob AS (
+  SELECT doc_id, hex(unhex(hx)) AS hs FROM synth
+), m AS (
+  SELECT doc_id, hs, position('6D766864' IN hs) AS mp FROM blob
+)
+SELECT doc_id,
+       decode(unhex(substr(hs, position('66747970' IN hs) + 8, 8))) AS brand,
+       ('0x' || substr(hs, mp + 32, 8))::BIGINT AS timescale,
+       ('0x' || substr(hs, mp + 40, 8))::BIGINT AS duration,
+       (('0x' || substr(hs, mp + 40, 8))::BIGINT * 1000)
+         // ('0x' || substr(hs, mp + 32, 8))::BIGINT AS duration_ms
+FROM m ORDER BY doc_id
+"""
+
+
+@query("mp4_decode_duration", oracle=_MP4_ORACLE)
+def q_mp4_decode_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4/ISO-BMFF container decode via a REAL box walk: each synthesized
+    file's ftyp box carries a variable brand list (doc_id % 3 entries), so
+    moov sits at a different offset per file and only a walker that
+    advances by each box's own size field finds the mvhd timescale +
+    duration. Completes the multimodal container set (PNG/BMP/WAV/JPEG +
+    video). The oracle rebuilds identical bytes in DuckDB and re-parses
+    the fields from the mvhd byte positions. Same Arrow-batched
+    mapInPandas lane; only (id, data) reaches Python."""
+    from ..operators.multimodal import decode_mp4, synthesize_mp4
+
+    docs = synthesize_mp4(load_table(spark, sf_dir, "documents").select("doc_id"))
+    return decode_mp4(docs).orderBy("doc_id")

@@ -596,3 +596,65 @@ def q_streaming_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = events_file_stream(spark, _events_stream_dir(sf_dir))
     out = _run_stream_to_table(spark, zscore_anomaly_stream(events), "append")
     return out.select("event_id", "user_id", "value", "zscore").orderBy("event_id")
+
+
+# --- stream-stream LEFT SEMI join ----------------------------------------
+
+_SEMI_JOIN_ORACLE = """
+SELECT c.event_id AS click_id, c.user_id,
+       epoch_ms(c.ts)::BIGINT AS click_ms
+FROM events c
+WHERE c.event_type = 'click' AND EXISTS (
+  SELECT 1 FROM events e
+  WHERE e.event_type = 'error' AND e.user_id = c.user_id
+    AND e.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts + INTERVAL 1 HOUR)
+ORDER BY click_id
+"""
+
+
+@query("streaming_semi_join", oracle=_SEMI_JOIN_ORACLE)
+def q_streaming_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join (supported since Spark 3.1):
+    clicks that had SOME error from the same user within ±1 hour — the
+    existence filter emitted without duplicating per-error rows (the inner
+    interval join's fan-out) and without carrying error columns. Same
+    watermark + range state-expiry mechanics as the inner join; the oracle
+    is the batch EXISTS subquery, so the semi semantics (at-most-once per
+    click) are hash-gated."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.pipeline import events_file_stream
+
+    d = _events_stream_dir(sf_dir)
+    clicks = (
+        events_file_stream(spark, d)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    errors = (
+        events_file_stream(spark, d)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "2 hours")
+    )
+    joined = clicks.join(
+        errors,
+        F.expr(
+            "c_user = e_user AND e_ts >= c_ts - INTERVAL 1 HOUR"
+            " AND e_ts <= c_ts + INTERVAL 1 HOUR"
+        ),
+        "left_semi",
+    ).select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        F.unix_millis("c_ts").alias("click_ms"),
+    )
+    return _run_stream_to_table(spark, joined, "append").orderBy("click_id")

@@ -107,3 +107,25 @@ def test_jpeg_progressive_sof2_also_parsed():
 
     b = bytes.fromhex("ffd8" "ffc2001108" "0040" "0080" "03012200021101031101" "ffd9")
     assert _decode_header(b) == ("jpeg", 0x80, 0x40, None, None, 8)
+
+
+def test_mp4_box_walk_variable_ftyp(spark):
+    """The walker must find moov regardless of ftyp length, and ignore
+    truncated/garbage payloads without raising."""
+    from flink_stream_processing_spark.operators.multimodal import (
+        _walk_mp4,
+        decode_mp4,
+        synthesize_mp4,
+    )
+
+    df = spark.range(0, 9).withColumnRenamed("id", "doc_id")
+    out = {r.doc_id: r for r in decode_mp4(synthesize_mp4(df)).collect()}
+    assert len(out) == 9
+    for i, r in out.items():
+        assert r.brand == "isom"
+        assert r.timescale == [600, 1000, 90000, 48000][i % 4]
+        assert r.duration == i % 5000 + 100
+        assert r.duration_ms == (r.duration * 1000) // r.timescale
+
+    assert _walk_mp4(b"") == (None, None, None, None)
+    assert _walk_mp4(b"\x00\x00\x00\x01xxxx") == (None, None, None, None)
