@@ -180,6 +180,8 @@ HEADLINE = [
     "dp_noisy_counts",
     "schema_evolution_merge",
     "mp4_decode_duration",
+    "containment_join",
+    "metadata_only_stats",
 ]
 
 

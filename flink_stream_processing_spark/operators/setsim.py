@@ -35,10 +35,10 @@ Scale design (100 TB):
   not a groupBy + re-join (two).
 - The verify stage touches only candidate pairs; arrays travel once.
 - Skew guard: a shingle whose df exceeds ``max_df`` would generate df²
-  candidates; such shingles are TRUNCATED from prefixes only when a doc
-  has rarer alternatives is unsound, so instead the guard fails loudly
-  (same contract as dedup._guard_bucket_size) letting the operator be
-  re-run with a higher threshold or stopword pre-filter.
+  candidates; silently truncating it from prefixes would be unsound
+  (it can be some doc's only prefix shingle), so the guard fails loudly
+  (same contract as dedup._guard_bucket_size) and the operator is re-run
+  with a higher threshold or a stopword pre-filter.
 
 Reference tie-in: the reference pipeline (StreamJob.java:36-51) has no
 relational dedup at all; this extends the LLM-pipeline dedup family that
@@ -150,4 +150,101 @@ def allpairs_jaccard_join(
         .join(sb, "id_b")
         .filter(inter * F.lit(den) >= union * F.lit(num))
         .select("id_a", "id_b", F.round(inter / union, 5).alias("jaccard"))
+    )
+
+
+def containment_join(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 100_000,
+) -> DataFrame:
+    """Exact CONTAINMENT join: pairs (id_sub, id_super) where
+    |sub ∩ super| / |sub| >= threshold — the asymmetric near-dup relation
+    (a document quoted/embedded inside a larger one) that symmetric
+    Jaccard misses when the host document is much bigger.
+
+    Same prefix-filter guarantee as :func:`allpairs_jaccard_join`, applied
+    one-sided: only the CANDIDATE-SUB side's prefix generates join keys
+    (C(a->b) >= t bounds the overlap against |a| alone), joined against the
+    other documents' FULL postings — candidate volume is
+    sum(prefix-shingle df), still governed by rare-first ordering. The
+    length filter |super| >= t*|sub| is the only necessary size condition.
+    Verification computes the true intersection on the full shingle
+    arrays; threshold math is integer-exact throughout."""
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    num, den = frac.numerator, frac.denominator
+
+    arr = shingle_array(docs, text=text, id_col=id_col, n=n).select(
+        id_col, F.array_distinct("sh_arr").alias("sh")
+    )
+    postings = arr.select(id_col, F.explode("sh").alias("shingle"))
+    wdf = Window.partitionBy("shingle")
+    with_df = postings.withColumn("df", F.count(F.lit(1)).over(wdf))
+    ordered = (
+        with_df.groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("ord"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+        .withColumn(
+            "prefix_len",
+            F.col("sz")
+            - ((F.lit(num) * F.col("sz") + F.lit(den - 1)) / F.lit(den)).cast("long")
+            + F.lit(1),
+        )
+    )
+    prefix = (
+        ordered.select(
+            F.col(id_col).alias("id_sub"),
+            F.col("sz").alias("sz_sub"),
+            F.explode(
+                F.slice(F.col("ord"), 1, F.col("prefix_len").cast("int"))
+            ).alias("p"),
+        )
+        .select(
+            "id_sub",
+            "sz_sub",
+            F.when(
+                F.assert_true(
+                    F.col("p.df") <= max_df,
+                    F.concat(
+                        F.lit(f"prefix shingle over max_df={max_df}: df="),
+                        F.col("p.df").cast("string"),
+                        F.lit(" — raise the threshold or pre-filter stopword shingles"),
+                    ),
+                ).isNull(),
+                F.col("p.shingle"),
+            ).alias("shingle"),
+        )
+    )
+    full = postings.select(
+        F.col(id_col).alias("id_super"), F.col("shingle").alias("shingle")
+    )
+    sz_super = arr.select(
+        F.col(id_col).alias("id_super"), F.size("sh").alias("sz_super")
+    )
+    cand = (
+        prefix.join(full, "shingle")
+        .filter(F.col("id_sub") != F.col("id_super"))
+        .select("id_sub", "id_super", "sz_sub")
+        .distinct()
+        .join(F.broadcast(sz_super), "id_super")
+        .filter(F.col("sz_super") * F.lit(den) >= F.col("sz_sub") * F.lit(num))
+        .select("id_sub", "id_super")
+    )
+    sa = arr.select(F.col(id_col).alias("id_sub"), F.col("sh").alias("sh_sub"))
+    sb = arr.select(F.col(id_col).alias("id_super"), F.col("sh").alias("sh_sup"))
+    inter = F.size(F.array_intersect("sh_sub", "sh_sup"))
+    return (
+        cand.join(sa, "id_sub")
+        .join(sb, "id_super")
+        .filter(inter * F.lit(den) >= F.size("sh_sub") * F.lit(num))
+        .select(
+            "id_sub",
+            "id_super",
+            F.round(inter / F.size("sh_sub"), 5).alias("containment"),
+        )
     )

@@ -154,3 +154,52 @@ def q_cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- metadata-only aggregates (parquet footer statistics) -----------------
+
+_META_ONLY_ORACLE = """
+SELECT 'lineitem' AS tbl, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(min(l_orderkey) AS BIGINT) AS min_key,
+       CAST(max(l_orderkey) AS BIGINT) AS max_key
+FROM lineitem
+UNION ALL
+SELECT 'orders', CAST(count(*) AS BIGINT),
+       CAST(min(o_orderkey) AS BIGINT), CAST(max(o_orderkey) AS BIGINT)
+FROM orders
+ORDER BY tbl
+"""
+
+
+@query("metadata_only_stats", oracle=_META_ONLY_ORACLE)
+def q_metadata_only_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT/MIN/MAX answered from parquet FOOTER STATISTICS, not data:
+    the reads route through DataSource v2 (``useV1SourceList`` cleared for
+    the resolution window, then restored) so Spark's parquet aggregate
+    pushdown (``spark.sql.parquet.aggregatePushdown``, on in the session)
+    replaces the scan with row-group metadata — the plan shows
+    ``PushedAggregation`` and touches no data pages. At 100 TB this is the
+    difference between a sub-second stats probe and a full-table scan;
+    the same footer statistics drive row-group pruning for filters.
+    Correctness is the interesting part: footer stats must agree with the
+    data, which is exactly what the DuckDB oracle (a real scan) checks."""
+    key = "spark.sql.sources.useV1SourceList"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "")
+    try:
+        out = None
+        for tbl, k in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+            stats = (
+                spark.read.parquet(f"{sf_dir}/{tbl}.parquet")
+                .agg(
+                    F.lit(tbl).alias("tbl"),
+                    F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                    F.min(k).cast("bigint").alias("min_key"),
+                    F.max(k).cast("bigint").alias("max_key"),
+                )
+                .select("tbl", "cnt", "min_key", "max_key")
+            )
+            out = stats if out is None else out.unionAll(stats)
+    finally:
+        spark.conf.set(key, old)
+    return out.orderBy("tbl")

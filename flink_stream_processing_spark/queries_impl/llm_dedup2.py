@@ -42,3 +42,38 @@ def q_allpairs_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles, so the self-join volume is sum(prefix-df²), not n²."""
     docs = load_table(spark, sf_dir, "documents")
     return allpairs_jaccard_join(docs, threshold=0.6).orderBy("id_a", "id_b")
+
+
+_CONTAINMENT_ORACLE = (
+    _JACCARD_CTES
+    + """
+, dirs AS (
+  SELECT doc_a AS id_sub, doc_b AS id_super,
+         round(c * 1.0 / sa.n, 5) AS containment,
+         c * 5 >= sa.n * 4 AS keep
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  UNION ALL
+  SELECT doc_b, doc_a, round(c * 1.0 / sb.n, 5), c * 5 >= sb.n * 4
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT id_sub, id_super, containment FROM dirs WHERE keep
+ORDER BY id_sub, id_super
+"""
+)
+
+
+@query("containment_join", oracle=_CONTAINMENT_ORACLE)
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact containment >= 0.8 (4/5) pairs: sub-documents whose shingle
+    set is mostly inside another document — the asymmetric inclusion
+    relation (quotes, boilerplate embedding) Jaccard under-scores when the
+    host is large. Oracle = brute-force containment in both directions at
+    the same integer-exact threshold."""
+    from ..operators.setsim import containment_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_join(docs, threshold=0.8).orderBy("id_sub", "id_super")

@@ -266,3 +266,12 @@ def test_greedy_pack_bins_single_shard_shuffle(spark):
     plan = formatted_plan(QUERIES["greedy_pack_bins"](spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "FlatMapGroupsInArrow" in plan or "FlatMapGroupsInPandas" in plan
+
+
+def test_metadata_only_stats_pushes_aggregation_to_footer(spark):
+    """count/min/max must be answered by parquet footer statistics — the
+    physical plan carries PushedAggregation and scans no data columns."""
+    from flink_stream_processing_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["metadata_only_stats"](spark, SF_DIR))
+    assert "PushedAggregation" in plan

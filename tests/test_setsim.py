@@ -59,3 +59,18 @@ def test_hot_shingle_guard_fails_loudly(spark):
     rows = [(i, "x y z w v u t s") for i in range(12)]
     with pytest.raises(Exception, match="max_df"):
         allpairs_jaccard_join(_docs(spark, rows), threshold=0.9, max_df=4).collect()
+
+
+def test_containment_finds_planted_subset(spark):
+    """A short doc fully quoted inside a long one: containment ~1.0 even
+    though Jaccard is far below any sane threshold."""
+    from flink_stream_processing_spark.operators.setsim import containment_join
+
+    sub = "alpha beta gamma delta epsilon zeta"
+    host = sub + " " + " ".join(f"w{i}" for i in range(40))
+    other = "one two three four five six seven eight"
+    out = containment_join(
+        _docs(spark, [(1, sub), (2, host), (3, other)]), threshold=0.8
+    ).collect()
+    assert [(r.id_sub, r.id_super) for r in out] == [(1, 2)]
+    assert out[0].containment == 1.0
