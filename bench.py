@@ -182,6 +182,8 @@ HEADLINE = [
     "mp4_decode_duration",
     "containment_join",
     "metadata_only_stats",
+    "jl_random_projection",
+    "sql_surface_lateral_topk",
 ]
 
 

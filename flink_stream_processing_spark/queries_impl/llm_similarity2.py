@@ -12,6 +12,7 @@ row counts. Distance math is arranged identically on both engines
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.pq import pq_adc_topk
 from ..queries import query
@@ -68,3 +69,81 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds.""".format(m=_M, k=_K)
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_adc_topk(emb, query_id=0, m=_M, k=_K, topk=10)
+
+
+# --- Johnson-Lindenstrauss random projection ------------------------------
+
+_JL_K = 8
+
+_JL_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (SELECT unnest(generate_series(0, 63)) AS i),
+ks AS (SELECT unnest(generate_series(0, {_JL_K - 1})) AS j),
+r AS (
+  SELECT i, j,
+         CASE WHEN ('0x' || substr(md5('jl:' || CAST(i AS VARCHAR) || ':'
+                    || CAST(j AS VARCHAR)), 1, 2))::INT % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS sgn
+  FROM dims, ks
+), comp AS (
+  SELECT vec_id, i.i AS i, v[i.i + 1] AS x FROM e, dims i
+)
+SELECT vec_id, j,
+       round(sum(x * sgn) / sqrt({_JL_K}.0), 6) AS y
+FROM comp JOIN r ON comp.i = r.i
+GROUP BY vec_id, j
+ORDER BY vec_id, j
+"""
+
+
+@query("jl_random_projection", oracle=_JL_ORACLE)
+def q_jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction 64 -> {k}: a ±1
+    projection matrix derived IN-ENGINE from md5 (the repo's rand()-free
+    convention — the same matrix regenerates on any engine/cluster, no
+    state to ship), applied as posexplode + broadcast matrix join + one
+    (vec, j) aggregate. The matrix is O(d*k) and broadcast; the corpus
+    shuffles once on (vec_id, j) for the sum — at 100 TB the projection is
+    a single map-side-combined pass producing k floats/vector, the
+    pre-step that makes downstream LSH/clustering cheap. Output in long
+    form (vec_id, j, y).""".format(k=_JL_K)
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = 64
+    dims = spark.range(d).select(F.col("id").cast("int").alias("i"))
+    ks = spark.range(_JL_K).select(F.col("id").cast("int").alias("j"))
+    sgn = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit("jl"), F.col("i").cast("string"), F.col("j").cast("string")
+                    )
+                ),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 2
+        == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    # NB: the md5 input must be 'jl:i:j' — concat_ws(":", lit("jl"), i, j)
+    # produces exactly that, matching the oracle's 'jl:' || i || ':' || j.
+    r = dims.crossJoin(ks).select("i", "j", sgn.alias("sgn"))
+    comp = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x")
+    )
+    return (
+        comp.join(F.broadcast(r), "i")
+        .groupBy("vec_id", "j")
+        .agg(
+            F.round(
+                # sqrt on BOTH engines (pow(k, 0.5) can differ from sqrt(k)
+                # in the last ulp across libm implementations)
+                F.sum(F.col("x") * F.col("sgn")) / F.sqrt(F.lit(float(_JL_K))), 6
+            ).alias("y")
+        )
+        .orderBy("vec_id", "j")
+    )

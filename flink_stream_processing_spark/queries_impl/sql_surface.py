@@ -257,3 +257,36 @@ def q_sql_surface_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT segment, cnt, total_price
         |> ORDER BY segment
     """)
+
+
+# --- correlated LATERAL subquery -----------------------------------------
+
+_LATERAL_ORACLE = """
+SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS o_totalprice
+FROM customer c,
+     LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+WHERE c.c_custkey % 100 = 0
+ORDER BY c.c_custkey, o_totalprice DESC, t.o_orderkey
+"""
+
+
+@query("sql_surface_lateral_topk", oracle=_LATERAL_ORACLE)
+def q_sql_surface_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT (top-2
+    orders per sampled customer) — the SQL-standard form of per-group
+    top-k. Spark decorrelates it into a ranked window join (the same plan
+    the DSL twin ranking_top3_per_segment builds by hand), so this entry
+    pins the decorrelation machinery against the identical DuckDB text."""
+    v = _register_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT c.c_custkey, t.o_orderkey,
+               round(t.o_totalprice, 2) AS o_totalprice
+        FROM {v['customer']} c,
+             LATERAL (SELECT o_orderkey, o_totalprice FROM {v['orders']} o
+                      WHERE o.o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey % 100 = 0
+        ORDER BY c.c_custkey, o_totalprice DESC, t.o_orderkey
+    """)

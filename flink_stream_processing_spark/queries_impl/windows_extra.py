@@ -658,3 +658,68 @@ def q_streaming_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("c_ts").alias("click_ms"),
     )
     return _run_stream_to_table(spark, joined, "append").orderBy("click_id")
+
+
+# --- streaming shard manifest (incremental integrity fingerprint) ---------
+
+_STREAM_MANIFEST_ORACLE = """
+WITH t AS (
+  SELECT ('0x' || substr(md5('mf:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+           % 8 AS shard,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' || event_type), 1, 15))::BIGINT
+           AS row_hash,
+         value
+  FROM events
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(value), 2) AS total_value,
+       CAST(bit_xor(row_hash) AS BIGINT) AS content_xor
+FROM t GROUP BY shard ORDER BY shard
+"""
+
+
+@query("streaming_shard_manifest", oracle=_STREAM_MANIFEST_ORACLE)
+def q_streaming_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The content-addressed shard manifest (shard_manifest_integrity)
+    maintained INCREMENTALLY by the streaming engine: bit_xor and count are
+    both mergeable, so the running manifest of an ingest stream updates
+    per micro-batch in O(shards) state — continuous integrity accounting
+    for an ingest pipeline, no post-hoc full scan. The finite availableNow
+    run must produce the same cells as the batch manifest (the oracle):
+    commutativity of xor across arbitrary micro-batch splits is exactly
+    the property being gated."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.pipeline import events_file_stream
+
+    ev = events_file_stream(spark, _events_stream_dir(sf_dir))
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mf:"), F.col("event_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 8
+    )
+    row_hash = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("event_id").cast("string"), "event_type")),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    agg = (
+        ev.select(shard.alias("shard"), row_hash.alias("row_hash"), "value")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.bit_xor("row_hash").cast("bigint").alias("content_xor"),
+        )
+    )
+    return _run_stream_to_table(spark, agg, "complete").orderBy("shard")
