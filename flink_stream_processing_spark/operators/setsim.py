@@ -70,8 +70,14 @@ def allpairs_jaccard_join(
     frac = Fraction(threshold).limit_denominator(1_000_000)
     num, den = frac.numerator, frac.denominator
 
-    arr = shingle_array(docs, text=text, id_col=id_col, n=n).select(
-        id_col, F.array_distinct("sh_arr").alias("sh")
+    # The shingle-set relation feeds THREE plan branches (prefix build +
+    # both verify sides); materialize it once so the text scan + shingle
+    # construction doesn't re-execute per branch (measured 3x the whole
+    # operator's cost without this).
+    arr = (
+        shingle_array(docs, text=text, id_col=id_col, n=n)
+        .select(id_col, F.array_distinct("sh_arr").alias("sh"))
+        .localCheckpoint(eager=True)
     )
 
     postings = arr.select(id_col, F.explode("sh").alias("shingle"))
@@ -144,10 +150,13 @@ def allpairs_jaccard_join(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     # Threshold test in exact integer arithmetic (inter/union >= num/den
-    # <=> inter*den >= union*num) — no float boundary ambiguity.
+    # <=> inter*den >= union*num) — no float boundary ambiguity. The
+    # shingle-set sides are broadcast: O(docs) rows of arrays vs O(cands)
+    # pair rows (at true scale, swap to a shuffle join keyed on id — the
+    # candidate relation stays the big side either way).
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
         .filter(inter * F.lit(den) >= union * F.lit(num))
         .select("id_a", "id_b", F.round(inter / union, 5).alias("jaccard"))
     )
@@ -177,8 +186,12 @@ def containment_join(
     frac = Fraction(threshold).limit_denominator(1_000_000)
     num, den = frac.numerator, frac.denominator
 
-    arr = shingle_array(docs, text=text, id_col=id_col, n=n).select(
-        id_col, F.array_distinct("sh_arr").alias("sh")
+    # Materialized once — feeds the prefix build, the full-postings side,
+    # the size table, and both verify sides (see allpairs_jaccard_join).
+    arr = (
+        shingle_array(docs, text=text, id_col=id_col, n=n)
+        .select(id_col, F.array_distinct("sh_arr").alias("sh"))
+        .localCheckpoint(eager=True)
     )
     postings = arr.select(id_col, F.explode("sh").alias("shingle"))
     wdf = Window.partitionBy("shingle")
@@ -239,8 +252,8 @@ def containment_join(
     sb = arr.select(F.col(id_col).alias("id_super"), F.col("sh").alias("sh_sup"))
     inter = F.size(F.array_intersect("sh_sub", "sh_sup"))
     return (
-        cand.join(sa, "id_sub")
-        .join(sb, "id_super")
+        cand.join(F.broadcast(sa), "id_sub")
+        .join(F.broadcast(sb), "id_super")
         .filter(inter * F.lit(den) >= F.size("sh_sub") * F.lit(num))
         .select(
             "id_sub",
