@@ -306,6 +306,21 @@ def main() -> None:
         except Exception as e:  # a missing/odd table must not kill the bench
             print(f"  warmup skip {t}: {e}", file=sys.stderr)
 
+    def release_checkpoints() -> None:
+        """Unpersist RDD blocks left by eager localCheckpoint operators
+        (iterative graph loops, set-similarity staging, sketch
+        histograms). Those blocks are per-QUERY state; without this they
+        accumulate in the single-JVM block manager across the whole
+        159-query session, shrinking execution memory and degrading late
+        queries (measured: unrelated queries 3-10x slower near the end of
+        a run before this cleanup)."""
+        try:
+            it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+            while it.hasNext():
+                it.next()._2().unpersist(False)
+        except Exception as e:  # cleanup must never kill the bench
+            print(f"  checkpoint release skipped: {e}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
@@ -315,6 +330,7 @@ def main() -> None:
         fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+        release_checkpoints()
 
     verif: dict[str, float] = {}
     for name in VERIFICATION_PATHS:

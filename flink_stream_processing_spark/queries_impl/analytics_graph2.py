@@ -433,17 +433,28 @@ def q_count_min_sketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t"))
     )
-    truth = toks.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+    # Histogram-first sketch build: aggregate the token stream to its
+    # O(vocab) histogram ONCE (map-side-combined, the only pass over the
+    # corpus), then hash each DISTINCT token d times and weight cells by
+    # the histogram count — mathematically identical (CMS cells add
+    # counts) but md5 runs per distinct key, not per occurrence, and the
+    # materialized histogram feeds the cells AND probe branches without
+    # re-running the corpus explode.
+    truth = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+        .localCheckpoint(eager=True)
+    )
     rows_j = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("j")
     bucket = (
         F.conv(F.substring(F.md5(F.concat_ws(":", "t", "j")), 1, 8), 16, 10)
         .cast("long") % _CMS_W
     ).alias("bucket")
     cells = (
-        toks.select("t", rows_j)
-        .select("j", bucket)
+        truth.select("t", "true_count", rows_j)
+        .select("j", bucket, "true_count")
         .groupBy("j", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("true_count").alias("c"))
     )
     probes = truth.orderBy(F.col("true_count").desc(), "t").limit(20)
     probe_cells = probes.select("t", "true_count", rows_j).select(

@@ -122,23 +122,29 @@ def q_cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").cast("string").alias("key")
     )
-    truth = (
+    # Histogram-first (see count_min_sketch_tokens): one corpus pass to
+    # the O(keys) histogram, then hash per DISTINCT key and weight cells
+    # by the count — identical cells, ~rows/keys fewer md5 evaluations,
+    # and the materialized histogram serves both the exact and sketch
+    # branches.
+    hist = (
         keys.groupBy("key")
         .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("exact_pairs"))
+        .localCheckpoint(eager=True)
     )
+    truth = hist.agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("exact_pairs"))
     rows_j = F.explode(F.sequence(F.lit(0), F.lit(_CJC_D - 1))).alias("j")
     bucket = (
         F.conv(F.substring(F.md5(F.concat_ws(":", "key", "j")), 1, 8), 16, 10)
         .cast("long") % _CJC_W
     ).alias("bucket")
     est = (
-        keys.select("key", rows_j)
-        .select("j", bucket)
+        hist.select("key", "c", rows_j)
+        .select("j", bucket, "c")
         .groupBy("j", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("c").alias("cb"))
         .groupBy("j")
-        .agg(F.sum(F.col("c") * F.col("c")).alias("e"))
+        .agg(F.sum(F.col("cb") * F.col("cb")).alias("e"))
         .agg(F.min("e").cast("bigint").alias("cms_estimate"))
     )
     return (
