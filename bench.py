@@ -184,6 +184,8 @@ HEADLINE = [
     "metadata_only_stats",
     "jl_random_projection",
     "sql_surface_lateral_topk",
+    "theta_sketch_set_ops",
+    "sql_surface_listagg",
 ]
 
 

@@ -209,3 +209,89 @@ def q_metadata_only_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set(key, old)
     return out.orderBy("tbl")
+
+
+# --- Theta sketches: distinct counting with SET ALGEBRA -------------------
+
+_THETA_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS in_f,
+         max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS in_u
+  FROM orders GROUP BY o_custkey
+)
+SELECT CAST(sum(in_f) AS BIGINT) AS n_f,
+       CAST(sum(in_u) AS BIGINT) AS n_urgent,
+       CAST(sum(in_f * in_u) AS BIGINT) AS n_both,
+       CAST(sum(CASE WHEN in_f = 1 OR in_u = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_either,
+       CAST(sum(CASE WHEN in_f = 1 AND in_u = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_f_only,
+       TRUE AS est_inter_ok, TRUE AS est_union_ok, TRUE AS est_diff_ok
+FROM per_cust
+"""
+
+
+@query("theta_sketch_set_ops", oracle=_THETA_ORACLE)
+def q_theta_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches (Spark 4 DataSketches integration): DISTINCT-count
+    set ALGEBRA — intersection/union/difference of customer segments
+    estimated from two O(k) sketches, the capability HLL lacks (HLL
+    merges by union only). Segments: customers with finished orders vs
+    customers with urgent orders. Exact counts come from one per-customer
+    flag aggregate; the sketch estimates must land within 10% of exact
+    (booleans hash-gated against the oracle's TRUE — the same
+    bound-inside-the-oracle pattern as the HLL entry). At 100 TB each
+    segment's sketch is a mergeable O(k) summary built map-side; set
+    arithmetic on sketches is O(k) regardless of input size."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("in_f"),
+        F.max(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias(
+            "in_u"
+        ),
+    )
+    exact = per_cust.agg(
+        F.sum("in_f").cast("bigint").alias("n_f"),
+        F.sum("in_u").cast("bigint").alias("n_urgent"),
+        F.sum(F.col("in_f") * F.col("in_u")).cast("bigint").alias("n_both"),
+        F.sum(F.when((F.col("in_f") == 1) | (F.col("in_u") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_either"),
+        F.sum(F.when((F.col("in_f") == 1) & (F.col("in_u") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_f_only"),
+    )
+    sk = orders.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_custkey"))
+        ).alias("sk_f"),
+        F.theta_sketch_agg(
+            F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_custkey"))
+        ).alias("sk_u"),
+    )
+    est = sk.select(
+        F.theta_sketch_estimate(F.theta_intersection("sk_f", "sk_u")).alias("e_inter"),
+        F.theta_sketch_estimate(F.theta_union("sk_f", "sk_u")).alias("e_union"),
+        F.theta_sketch_estimate(F.theta_difference("sk_f", "sk_u")).alias("e_diff"),
+    )
+
+    def ok(est_col: str, exact_col: str):
+        return (
+            F.abs(F.col(est_col) - F.col(exact_col))
+            <= 0.1 * F.col(exact_col)
+        )
+
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .select(
+            "n_f",
+            "n_urgent",
+            "n_both",
+            "n_either",
+            "n_f_only",
+            ok("e_inter", "n_both").alias("est_inter_ok"),
+            ok("e_union", "n_either").alias("est_union_ok"),
+            ok("e_diff", "n_f_only").alias("est_diff_ok"),
+        )
+    )

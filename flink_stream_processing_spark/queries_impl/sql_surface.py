@@ -290,3 +290,38 @@ def q_sql_surface_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c.c_custkey % 100 = 0
         ORDER BY c.c_custkey, o_totalprice DESC, t.o_orderkey
     """)
+
+
+# --- SQL:2023 LISTAGG ----------------------------------------------------
+
+_LISTAGG_ORACLE = """
+SELECT o_orderstatus,
+       string_agg(o_orderpriority, ',' ORDER BY o_orderpriority)
+         AS priorities,
+       CAST(count(*) AS BIGINT) AS n_priorities
+FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query("sql_surface_listagg", oracle=_LISTAGG_ORACLE)
+def q_sql_surface_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2023 LISTAGG with WITHIN GROUP ordering (new in Spark 4) —
+    ordered string aggregation without the collect_list + array_sort +
+    array_join workaround; dedup happens in a DISTINCT subquery (Spark
+    4.1's LISTAGG(DISTINCT..) WITHIN GROUP trips an internal SortOrder
+    cast, so the standard pre-aggregation form is used). DuckDB's
+    string_agg with ORDER BY is the dialect twin; identical output gates
+    ordering semantics."""
+    v = _register_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT o_orderstatus,
+               listagg(o_orderpriority, ',')
+                 WITHIN GROUP (ORDER BY o_orderpriority) AS priorities,
+               CAST(count(*) AS BIGINT) AS n_priorities
+        FROM (SELECT DISTINCT o_orderstatus, o_orderpriority
+              FROM {v['orders']})
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """)
