@@ -74,3 +74,26 @@ def test_containment_finds_planted_subset(spark):
     ).collect()
     assert [(r.id_sub, r.id_super) for r in out] == [(1, 2)]
     assert out[0].containment == 1.0
+
+
+def test_allpairs_candidate_volume_scales_linearly(spark):
+    """Deterministic scale-slope gate (no timing): disjoint sub-corpora
+    must not interact — doubling the corpus with a vocabulary-disjoint
+    replica must exactly double the exact pair output. A super-linear
+    candidate interaction (e.g. a broken canonical ordering making
+    replicas share prefix shingles) would change the pair set, not just
+    slow things down."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    rows = []
+    for rep in range(2):
+        off = rep * 1000
+        # per-replica token prefix -> disjoint shingle vocabularies
+        rows.append((off + 1, " ".join(f"r{rep}{t}" for t in base.split())))
+        rows.append((off + 2, " ".join(f"r{rep}{t}" for t in near.split())))
+        rows.append((off + 3, " ".join(f"r{rep}x{i}" for i in range(10))))
+    one = allpairs_jaccard_join(_docs(spark, rows[:3]), threshold=0.6).collect()
+    two = allpairs_jaccard_join(_docs(spark, rows), threshold=0.6).collect()
+    assert len(one) == 1
+    assert len(two) == 2 * len(one)
+    assert {(r.id_a, r.id_b) for r in two} == {(1, 2), (1001, 1002)}
