@@ -723,3 +723,49 @@ def q_streaming_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_stream_to_table(spark, agg, "complete").orderBy("shard")
+
+
+# --- streaming mergeable distinct-count sketch ----------------------------
+
+_STREAM_THETA_ORACLE = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       TRUE AS est_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("streaming_theta_distinct", oracle=_STREAM_THETA_ORACLE)
+def q_streaming_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distinct users via a THETA SKETCH maintained by the
+    streaming engine: the sketch is the mergeable-aggregate answer to
+    streaming COUNT(DISTINCT) — O(k) state per group regardless of
+    cardinality, unioned associatively across micro-batches (exact
+    distinct in a stream would need unbounded state). The finite
+    availableNow run's estimate must land within 3% of the batch exact
+    count (bound-in-oracle pattern); at the sketch's exact-mode
+    cardinalities the estimate is literally exact, so the gate is really
+    testing cross-batch union associativity."""
+    from pyspark.sql import functions as F
+
+    from ..sources.batch import load_table
+    from ..streaming.pipeline import events_file_stream
+
+    ev = events_file_stream(spark, _events_stream_dir(sf_dir))
+    agg = ev.groupBy("event_type").agg(F.theta_sketch_agg("user_id").alias("sk"))
+    tbl = _run_stream_to_table(spark, agg, "complete")
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    )
+    est = F.theta_sketch_estimate("sk")
+    return (
+        tbl.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_users",
+            (F.abs(est - F.col("n_users")) <= 0.03 * F.col("n_users")).alias("est_ok"),
+        )
+        .orderBy("event_type")
+    )
