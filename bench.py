@@ -186,7 +186,6 @@ HEADLINE = [
     "sql_surface_lateral_topk",
     "theta_sketch_set_ops",
     "sql_surface_listagg",
-    "streaming_theta_distinct",
 ]
 
 
