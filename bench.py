@@ -308,18 +308,34 @@ def main() -> None:
         except Exception as e:  # a missing/odd table must not kill the bench
             print(f"  warmup skip {t}: {e}", file=sys.stderr)
 
-    def release_checkpoints() -> None:
+    def persistent_rdd_ids() -> set[int]:
+        try:
+            ids = set()
+            it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+            while it.hasNext():
+                ids.add(int(it.next()._1()))
+            return ids
+        except Exception:  # snapshot failure degrades to releasing nothing
+            return set()
+
+    def release_checkpoints(before: set[int]) -> None:
         """Unpersist RDD blocks left by eager localCheckpoint operators
         (iterative graph loops, set-similarity staging, sketch
         histograms). Those blocks are per-QUERY state; without this they
         accumulate in the single-JVM block manager across the whole
-        159-query session, shrinking execution memory and degrading late
+        headline session, shrinking execution memory and degrading late
         queries (measured: unrelated queries 3-10x slower near the end of
-        a run before this cleanup)."""
+        a run before this cleanup). Scoped to the ids CREATED by the query
+        just timed (diff vs the pre-query snapshot): localCheckpointed
+        RDDs have truncated lineage, so blindly unpersisting everything
+        would turn any DataFrame a future query held across iterations
+        into an unrecoverable 'checkpoint block not found'."""
         try:
             it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
             while it.hasNext():
-                it.next()._2().unpersist(False)
+                e = it.next()
+                if int(e._1()) not in before:
+                    e._2().unpersist(False)
         except Exception as e:  # cleanup must never kill the bench
             print(f"  checkpoint release skipped: {e}", file=sys.stderr)
 
@@ -328,11 +344,12 @@ def main() -> None:
         fn = QUERIES.get(name)
         if fn is None:
             continue
+        pre = persistent_rdd_ids()
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
-        release_checkpoints()
+        release_checkpoints(pre)
 
     verif: dict[str, float] = {}
     for name in VERIFICATION_PATHS:
@@ -376,6 +393,42 @@ def main() -> None:
     except OSError as e:
         print(f"  could not write {out_path}: {e}", file=sys.stderr)
     spark.stop()
+
+    # Per-query regression gate: a cold-cache-style blow-up (r3's 3-5x
+    # "regressions" of unchanged code) must fail HERE, at build time, not
+    # surface first in the driver's recorded bench. Budgets are the last
+    # intentionally-recorded warm run (BENCH_BUDGET.json); the ceiling
+    # factor absorbs machine noise and driver cold-start. The JSON line and
+    # BENCH_LOCAL.json are already emitted above, so a non-zero exit never
+    # loses the measurement.
+    if os.environ.get("SPARK_GRAFT_BENCH_ENFORCE", "1") != "0":
+        budget_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_BUDGET.json"
+        )
+        try:
+            with open(budget_path) as f:
+                budget = json.load(f)
+        except (OSError, ValueError):
+            budget = None
+        if budget and abs(float(budget.get("sf", -1)) - sf) < 1e-9:
+            factor = float(
+                os.environ.get("SPARK_GRAFT_BENCH_FACTOR", budget.get("factor", 3.0))
+            )
+            floor = 1.0  # sub-second entries jitter multiplicatively; skip
+            offenders = [
+                (name, t, budget["queries"][name])
+                for name, t in timings.items()
+                if name in budget["queries"]
+                and budget["queries"][name] >= floor
+                and t > factor * budget["queries"][name]
+            ]
+            if offenders:
+                for name, t, b in offenders:
+                    print(
+                        f"  BUDGET EXCEEDED {name}: {t:.3f}s > {factor}x budget {b:.3f}s",
+                        file=sys.stderr,
+                    )
+                sys.exit(1)
 
 
 if __name__ == "__main__":

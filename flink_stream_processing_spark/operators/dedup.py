@@ -603,9 +603,20 @@ def connected_components(
     )
     spark = edges.sparkSession
     sp_key = "spark.sql.shuffle.partitions"
+    # INVARIANT: the conf swap below is session-global, so this loop
+    # assumes no CONCURRENT queries share the SparkSession while it runs
+    # (true for the bench/driver/test harnesses, which execute queries
+    # serially; every loop output is eagerly localCheckpoint'ed before the
+    # conf is restored, so nothing lazy escapes the window). A
+    # multi-tenant session would instead pass numPartitions explicitly to
+    # per-op repartitions and drop the swap.
     old_sp = spark.conf.get(sp_key)
+    try:
+        session_parts = int(old_sp)
+    except (TypeError, ValueError):  # e.g. "auto" on some platforms
+        session_parts = 32
     n_edges = edges.count()  # scalar off the materialized relation
-    loop_parts = max(8, min(int(old_sp), n_edges // 500_000 + 1))
+    loop_parts = max(8, min(session_parts, n_edges // 500_000 + 1))
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

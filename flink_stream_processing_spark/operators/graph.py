@@ -57,8 +57,15 @@ def pagerank(
     # exactly O(edges) rows, so the session default (sized for the whole
     # workload) wastes scheduling overhead on small graphs and is restored
     # afterwards. At 100 TB the formula yields hundreds of partitions.
+    # INVARIANT: session-global swap => no concurrent queries may share the
+    # session during the loop (the harnesses run serially; all loop output
+    # is eagerly checkpointed before restore — see connected_components).
+    try:
+        session_parts = int(old_sp)
+    except (TypeError, ValueError):  # e.g. "auto" on some platforms
+        session_parts = 32
     n_edges = staged.count()
-    loop_parts = max(8, min(int(old_sp), n_edges // 500_000 + 1))
+    loop_parts = max(8, min(session_parts, n_edges // 500_000 + 1))
     spark.conf.set(sp_key, str(loop_parts))
     # Re-stage partitioned BY THE JOIN KEY: localCheckpoint preserves
     # output partitioning, so every iteration's rank join sees its big side

@@ -360,25 +360,56 @@ def _walk_mp4(data: bytes) -> tuple:
     import struct
 
     brand, timescale, duration = None, None, None
+
+    def _box(buf: bytes, off: int, end: int):
+        """ISO-BMFF box header incl. the two special sizes: size==0 means
+        "extends to the end of the enclosing scope" and size==1 means a
+        64-bit largesize follows the type (both per ISO/IEC 14496-12
+        §4.2). Returns (payload_start, box_end) or None if malformed."""
+        size, _btype = struct.unpack_from(">I4s", buf, off)
+        payload = off + 8
+        if size == 0:
+            return payload, end
+        if size == 1:
+            if off + 16 > end:
+                return None
+            (large,) = struct.unpack_from(">Q", buf, off + 8)
+            if large < 16:
+                return None
+            return off + 16, off + large
+        if size < 8:
+            return None
+        return payload, off + size
+
     off = 0
     while off + 8 <= len(data):
-        size, btype = struct.unpack_from(">I4s", data, off)
-        if size < 8:
+        hdr = _box(data, off, len(data))
+        if hdr is None:
             break
+        payload, box_end = hdr
+        btype = data[off + 4 : off + 8]
         if btype == b"ftyp":
-            brand = data[off + 8 : off + 12].decode("ascii", "replace")
+            brand = data[payload : payload + 4].decode("ascii", "replace")
         elif btype == b"moov":
-            c = off + 8
-            while c + 8 <= off + size:
-                csize, ctype = struct.unpack_from(">I4s", data, c)
-                if csize < 8:
+            c = payload
+            while c + 8 <= box_end:
+                chdr = _box(data, c, box_end)
+                if chdr is None:
                     break
-                if ctype == b"mvhd":
-                    ver = data[c + 8]
+                cpayload, cend = chdr
+                if data[c + 4 : c + 8] == b"mvhd":
+                    ver = data[cpayload]
                     if ver == 0:
-                        timescale, duration = struct.unpack_from(">II", data, c + 20)
-                c += csize
-        off += size
+                        timescale, duration = struct.unpack_from(
+                            ">II", data, cpayload + 12
+                        )
+                    elif ver == 1:
+                        timescale, dur64 = struct.unpack_from(
+                            ">IQ", data, cpayload + 20
+                        )
+                        duration = dur64
+                c = cend
+        off = box_end
     dur_ms = (duration * 1000) // timescale if timescale else None
     return brand, timescale, duration, dur_ms
 

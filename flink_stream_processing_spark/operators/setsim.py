@@ -26,14 +26,25 @@ threshold (Fraction), so no float rounding can shorten a prefix and
 silently lose recall.
 
 Scale design (100 TB):
-- The only wide exchanges are (a) one shuffle on shingle for document
-  frequency, and (b) the candidate self-join keyed on PREFIX shingles
-  only. Rare-first ordering means frequent shingles never reach the join:
-  candidate volume is sum over prefix shingles of df², with df small by
-  construction of the prefix.
+- The only wide exchanges are (a) one shuffle on the shingle key for
+  document frequency, and (b) the candidate self-join keyed on PREFIX
+  shingles only. Rare-first ordering means frequent shingles never reach
+  the join: candidate volume is sum over prefix shingles of df², with df
+  small by construction of the prefix.
+- Both exchanges are keyed on ``xxhash64(shingle)`` — 8-byte longs — not
+  the shingle STRINGS (a 3-word shingle averages ~20 bytes and the
+  candidate join materializes it df times per side). A hash collision can
+  only merge two shingles' df counts and candidate buckets, i.e. WIDEN the
+  candidate set; completeness is untouched (shared shingle => shared hash)
+  and precision is restored by the exact-Jaccard verify on the full string
+  arrays, which never enter the wide exchanges.
 - Document frequency uses a window count over the postings (one shuffle),
   not a groupBy + re-join (two).
-- The verify stage touches only candidate pairs; arrays travel once.
+- The verify stage touches only candidate pairs; arrays travel once, via
+  id-keyed joins with NO broadcast hint — AQE picks broadcast while the
+  doc relation is small and falls back to a shuffle join on id when it
+  is not (an explicit hint would never be demoted and becomes a
+  broadcast-OOM at corpus scale).
 - Skew guard: a shingle whose df exceeds ``max_df`` would generate df²
   candidates; silently truncating it from prefixes would be unsound
   (it can be some doc's only prefix shingle), so the guard fails loudly
@@ -80,23 +91,31 @@ def allpairs_jaccard_join(
         .localCheckpoint(eager=True)
     )
 
-    postings = arr.select(id_col, F.explode("sh").alias("shingle"))
-    wdf = Window.partitionBy("shingle")
+    # Shingle strings are reduced to xxhash64 longs BEFORE any wide
+    # exchange: the df window and the candidate self-join both shuffle
+    # (id, hash) pairs only. Collisions merge keys, which can only add
+    # candidates (verified exactly downstream), never lose them.
+    postings = arr.select(id_col, F.explode("sh").alias("shingle")).select(
+        id_col, F.xxhash64("shingle").alias("sh_h")
+    )
+    wdf = Window.partitionBy("sh_h")
     with_df = postings.withColumn("df", F.count(F.lit(1)).over(wdf))
 
-    # Canonical rare-first order; prefix length in exact integer arithmetic:
-    # ceil(num*s/den) = (num*s + den - 1) div den.
+    # Canonical rare-first order over (df, hash) — a global total order on
+    # shingle KEYS (colliding shingles share one key, so their relative
+    # order is vacuous). Prefix length in exact INTEGER arithmetic:
+    # ceil(num*s/den) = (num*s + den - 1) div den — `div` is Spark's
+    # integral division, so the completeness bound cannot be nudged by a
+    # double-rounding boundary (sz is a bigint count).
     ordered = (
         with_df.groupBy(id_col)
         .agg(
-            F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("ord"),
+            F.sort_array(F.collect_list(F.struct("df", "sh_h"))).alias("ord"),
             F.count(F.lit(1)).alias("sz"),
         )
         .withColumn(
             "prefix_len",
-            F.col("sz")
-            - ((F.lit(num) * F.col("sz") + F.lit(den - 1)) / F.lit(den)).cast("long")
-            + F.lit(1),
+            F.expr(f"sz - (({num}L * sz + {den - 1}L) div {den}L) + 1L"),
         )
     )
 
@@ -125,15 +144,15 @@ def allpairs_jaccard_join(
                         F.lit(" — raise the threshold or pre-filter stopword shingles"),
                     ),
                 ).isNull(),
-                F.col("p.shingle"),
-            ).alias("shingle"),
+                F.col("p.sh_h"),
+            ).alias("sh_h"),
         )
     )
 
     a = prefix.alias("a")
     b = prefix.alias("b")
     cand = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.pid") < F.col("b.pid")))
+        a.join(b, (F.col("a.sh_h") == F.col("b.sh_h")) & (F.col("a.pid") < F.col("b.pid")))
         .filter(
             F.least("a.sz", "b.sz") * F.lit(den)
             >= F.greatest("a.sz", "b.sz") * F.lit(num)
@@ -151,12 +170,13 @@ def allpairs_jaccard_join(
     union = F.size("sh_a") + F.size("sh_b") - inter
     # Threshold test in exact integer arithmetic (inter/union >= num/den
     # <=> inter*den >= union*num) — no float boundary ambiguity. The
-    # shingle-set sides are broadcast: O(docs) rows of arrays vs O(cands)
-    # pair rows (at true scale, swap to a shuffle join keyed on id — the
-    # candidate relation stays the big side either way).
+    # shingle-set sides join on id with NO broadcast hint: AQE broadcasts
+    # them while small and demotes to a shuffle join on id at scale (a
+    # hard hint is never demoted — guaranteed OOM at 100x corpus size).
+    # The candidate relation stays the big side either way.
     return (
-        cand.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
         .filter(inter * F.lit(den) >= union * F.lit(num))
         .select("id_a", "id_b", F.round(inter / union, 5).alias("jaccard"))
     )
@@ -193,20 +213,22 @@ def containment_join(
         .select(id_col, F.array_distinct("sh_arr").alias("sh"))
         .localCheckpoint(eager=True)
     )
-    postings = arr.select(id_col, F.explode("sh").alias("shingle"))
-    wdf = Window.partitionBy("shingle")
+    # Hashed shingle keys for every wide exchange (see allpairs_jaccard_join
+    # — collisions only widen candidates; exact verify restores precision).
+    postings = arr.select(id_col, F.explode("sh").alias("shingle")).select(
+        id_col, F.xxhash64("shingle").alias("sh_h")
+    )
+    wdf = Window.partitionBy("sh_h")
     with_df = postings.withColumn("df", F.count(F.lit(1)).over(wdf))
     ordered = (
         with_df.groupBy(id_col)
         .agg(
-            F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("ord"),
+            F.sort_array(F.collect_list(F.struct("df", "sh_h"))).alias("ord"),
             F.count(F.lit(1)).alias("sz"),
         )
         .withColumn(
             "prefix_len",
-            F.col("sz")
-            - ((F.lit(num) * F.col("sz") + F.lit(den - 1)) / F.lit(den)).cast("long")
-            + F.lit(1),
+            F.expr(f"sz - (({num}L * sz + {den - 1}L) div {den}L) + 1L"),
         )
     )
     prefix = (
@@ -229,22 +251,23 @@ def containment_join(
                         F.lit(" — raise the threshold or pre-filter stopword shingles"),
                     ),
                 ).isNull(),
-                F.col("p.shingle"),
-            ).alias("shingle"),
+                F.col("p.sh_h"),
+            ).alias("sh_h"),
         )
     )
-    full = postings.select(
-        F.col(id_col).alias("id_super"), F.col("shingle").alias("shingle")
-    )
+    full = postings.select(F.col(id_col).alias("id_super"), "sh_h")
     sz_super = arr.select(
         F.col(id_col).alias("id_super"), F.size("sh").alias("sz_super")
     )
+    # No broadcast hints anywhere below: sz_super and the shingle-array
+    # sides are O(docs) relations — AQE broadcasts them while they fit and
+    # falls back to id-keyed shuffle joins at corpus scale.
     cand = (
-        prefix.join(full, "shingle")
+        prefix.join(full, "sh_h")
         .filter(F.col("id_sub") != F.col("id_super"))
         .select("id_sub", "id_super", "sz_sub")
         .distinct()
-        .join(F.broadcast(sz_super), "id_super")
+        .join(sz_super, "id_super")
         .filter(F.col("sz_super") * F.lit(den) >= F.col("sz_sub") * F.lit(num))
         .select("id_sub", "id_super")
     )
@@ -252,8 +275,8 @@ def containment_join(
     sb = arr.select(F.col(id_col).alias("id_super"), F.col("sh").alias("sh_sup"))
     inter = F.size(F.array_intersect("sh_sub", "sh_sup"))
     return (
-        cand.join(F.broadcast(sa), "id_sub")
-        .join(F.broadcast(sb), "id_super")
+        cand.join(sa, "id_sub")
+        .join(sb, "id_super")
         .filter(inter * F.lit(den) >= F.size("sh_sub") * F.lit(num))
         .select(
             "id_sub",

@@ -129,3 +129,38 @@ def test_mp4_box_walk_variable_ftyp(spark):
 
     assert _walk_mp4(b"") == (None, None, None, None)
     assert _walk_mp4(b"\x00\x00\x00\x01xxxx") == (None, None, None, None)
+
+
+def test_mp4_special_box_sizes_and_v1_mvhd():
+    """ISO-BMFF size==1 (64-bit largesize), size==0 (box to EOF), and a
+    version-1 mvhd (64-bit times) — the real-world encodings a demuxer
+    meets that the synthesized corpus never uses."""
+    import struct
+
+    from flink_stream_processing_spark.operators.multimodal import _walk_mp4
+
+    # ftyp with largesize: [size=1]['ftyp'][u64 largesize][brand][minor]
+    ftyp_payload = b"avc1" + b"\x00\x00\x02\x00"
+    ftyp = (
+        struct.pack(">I4s", 1, b"ftyp")
+        + struct.pack(">Q", 16 + len(ftyp_payload))
+        + ftyp_payload
+    )
+    # v1 mvhd: ver=1+flags, ctime u64, mtime u64, timescale u32, dur u64
+    mvhd_payload = (
+        b"\x01\x00\x00\x00"
+        + struct.pack(">QQ", 0, 0)
+        + struct.pack(">IQ", 90000, 123456)
+        + b"\x00" * 80
+    )
+    mvhd = struct.pack(">I4s", 8 + len(mvhd_payload), b"mvhd") + mvhd_payload
+    # moov with size==0: extends to EOF (must be last top-level box)
+    moov = struct.pack(">I4s", 0, b"moov") + mvhd
+    brand, timescale, duration, dur_ms = _walk_mp4(ftyp + moov)
+    assert brand == "avc1"
+    assert timescale == 90000
+    assert duration == 123456
+    assert dur_ms == (123456 * 1000) // 90000
+    # malformed largesize < 16 must stop cleanly, not loop or raise
+    bad = struct.pack(">I4s", 1, b"ftyp") + struct.pack(">Q", 8)
+    assert _walk_mp4(bad) == (None, None, None, None)

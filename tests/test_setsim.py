@@ -97,3 +97,32 @@ def test_allpairs_candidate_volume_scales_linearly(spark):
     assert len(one) == 1
     assert len(two) == 2 * len(one)
     assert {(r.id_a, r.id_b) for r in two} == {(1, 2), (1001, 1002)}
+
+
+def test_verify_stage_broadcast_is_demotable(spark):
+    """The verify-stage joins must carry NO hard broadcast hint: with the
+    planner's broadcast threshold disabled, the physical plan has to fall
+    back to shuffle joins keyed on id (a hard ``F.broadcast`` hint is never
+    demoted and would broadcast the full shingle-array relation at any
+    corpus size — the 100 TB failure mode this test pins shut)."""
+    from flink_stream_processing_spark.operators.setsim import containment_join
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    docs = _docs(spark, [(1, base), (2, near)])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        for op, want_rows in ((allpairs_jaccard_join, 1), (containment_join, 2)):
+            df = op(docs, threshold=0.6)
+            from flink_stream_processing_spark.plans import formatted_plan
+
+            plan = formatted_plan(df)
+            assert "BroadcastHashJoin" not in plan, plan
+            # and the result itself is still correct under shuffle joins
+            rows = df.collect()
+            assert len(rows) == want_rows
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
