@@ -645,6 +645,12 @@ def q_map_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Entity resolution: blocking -> verify -> transitive clustering ------
 
+# Closure seeded only at LOCAL-MINIMUM nodes (no smaller neighbor): every
+# component's minimum is a local min and reaches its whole component, so
+# min(rep) per node is exactly the component minimum — same answer as the
+# all-nodes closure, but the recursion carries O(#seeds x component) rows
+# instead of O(nodes x component) (measured 25 s -> 1.7 s at sf0.01, where
+# the pair graph is one 1500-node component).
 _ER_ORACLE = """
 WITH RECURSIVE n AS (SELECT DISTINCT c_name FROM customer),
 pe AS (
@@ -654,12 +660,16 @@ pe AS (
 ),
 e AS (SELECT na AS a, nb AS b FROM pe UNION SELECT nb, na FROM pe),
 nodes AS (SELECT DISTINCT a AS x FROM e),
-reach(x, m) AS (
-  SELECT x, x FROM nodes
-  UNION
-  SELECT r.x, e.b FROM reach r JOIN e ON r.m = e.a
+seeds AS (
+  SELECT x FROM nodes
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = nodes.x AND e.b < nodes.x)
 ),
-cc AS (SELECT x AS name, min(m) AS entity_rep FROM reach GROUP BY x)
+reach(rep, x) AS (
+  SELECT x, x FROM seeds
+  UNION
+  SELECT r.rep, e.b FROM reach r JOIN e ON r.x = e.a
+),
+cc AS (SELECT x AS name, min(rep) AS entity_rep FROM reach GROUP BY x)
 SELECT name, entity_rep,
        CAST(count(*) OVER (PARTITION BY entity_rep) AS BIGINT) AS entity_size
 FROM cc ORDER BY name
