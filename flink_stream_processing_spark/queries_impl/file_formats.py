@@ -188,6 +188,80 @@ def q_jdbc_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UPSERT_DIRS: dict[str, str] = {}
+
+
+@query("jdbc_upsert_convergence", oracle=_JDBC_ORACLE)
+def q_jdbc_upsert_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 replay-safety as a hard driver row: an update-mode keyed
+    aggregate streams into a live embedded-Derby table through the
+    DELETE+INSERT upsert sink (``write_jdbc_upsert``) TWICE — the second
+    run starts from a FRESH checkpoint, i.e. a full replay of every
+    micro-batch from offset zero onto the already-populated table — then
+    the table is read back via the JDBC source. Convergence to the plain
+    batch aggregate (the oracle) is exactly the sink's replay-safe claim:
+    a non-idempotent sink would double every count on the replay, and a
+    broken partial-window overwrite would leave a stale mid-stream value.
+    The stream runs in >=2 micro-batches (maxFilesPerTrigger over a
+    multi-file copy), so intermediate upserts of PARTIAL aggregates are
+    genuinely exercised and then replaced. Derby here, PostgreSQL in
+    production via url/properties (the DML is ANSI either way).
+    Reference scope: StreamJob.java:176-215 (append-only JDBC sink)."""
+    from ..streaming.pipeline import events_file_stream, write_jdbc_upsert
+
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    d = _UPSERT_DIRS.get(sf_dir)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="jdbc_upsert_")
+        src = os.path.join(d, "src")
+        load_table(spark, sf_dir, "events").repartition(4).write.parquet(src)
+        url = f"jdbc:derby:{d}/upsertdb;create=true"
+        # State partitions sized to state volume (5 keys), the same
+        # single-session conf swap as _run_stream_to_table documents.
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            for run in range(2):  # run 0 populates; run 1 replays from zero
+                agg = (
+                    events_file_stream(spark, src, max_files_per_trigger=2)
+                    .groupBy("event_type")
+                    .agg(
+                        F.count(F.lit(1)).alias("n_events"),
+                        F.round(F.sum("value"), 2).alias("sum_value"),
+                    )
+                )
+                q = (
+                    write_jdbc_upsert(
+                        agg,
+                        url,
+                        "event_upserts",
+                        keys=["event_type"],
+                        properties=props,
+                        create_column_types="event_type VARCHAR(32)",
+                        checkpoint=os.path.join(d, f"ckpt{run}"),
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                try:
+                    if not q.awaitTermination(300):
+                        raise TimeoutError(
+                            "jdbc upsert stream did not finish within 300 s"
+                        )
+                finally:
+                    if q.isActive:
+                        q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        _UPSERT_DIRS[sf_dir] = d
+    url = f"jdbc:derby:{_UPSERT_DIRS[sf_dir]}/upsertdb"
+    return (
+        spark.read.jdbc(url, "event_upserts", properties=props)
+        .select("event_type", "n_events", "sum_value")
+        .orderBy("event_type")
+    )
+
+
 # --- schema evolution (mergeSchema across parquet generations) ------------
 
 _EVOLVE_DIRS: dict[str, str] = {}

@@ -263,6 +263,7 @@ def write_jdbc_upsert(
     properties: dict[str, str] | None = None,
     checkpoint: str = "/tmp/ckpt-remittance-upsert",
     output_mode: str = "update",
+    create_column_types: str | None = None,
 ) -> DataStreamWriter:
     """K3 extension: REPLAY-SAFE keyed JDBC upsert. The plain append sink
     (write_jdbc_metrics) is exactly-once only for closed windows; under
@@ -304,9 +305,18 @@ def write_jdbc_upsert(
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
         cols = batch_df.columns
         # creates the target on first batch (JDBC append creates missing
-        # tables); limit(0) ships no rows.
-        batch_df.limit(0).write.mode("append").jdbc(url, table, properties=props)
-        batch_df.write.mode("overwrite").jdbc(url, staging, properties=props)
+        # tables); limit(0) ships no rows. ``create_column_types`` (Spark's
+        # createTableColumnTypes DDL fragment) overrides the dialect's
+        # default type mapping — required for STRING key columns on
+        # dialects that map them to CLOB/TEXT types the merge DML cannot
+        # compare (Derby: GROUP BY/EXISTS on CLOB is an error).
+        creator = batch_df.limit(0).write.mode("append")
+        stager = batch_df.write.mode("overwrite")
+        if create_column_types:
+            creator = creator.option("createTableColumnTypes", create_column_types)
+            stager = stager.option("createTableColumnTypes", create_column_types)
+        creator.jdbc(url, table, properties=props)
+        stager.jdbc(url, staging, properties=props)
         # table-name-qualified correlation (not an alias): the one DELETE
         # spelling both Derby and PostgreSQL accept. Columns must be
         # double-quoted — Spark's JDBC writer creates them as quoted

@@ -11,11 +11,20 @@ destination), and receives each payload as a STOMP MESSAGE frame carrying
 ``destination``/``subscription``/``message-id`` headers — the same
 subscribe/publish contract as the reference's SimpleBroker. Clients that
 skip the STOMP handshake (the bundled dashboard) receive the raw JSON text
-frames instead, so both client styles share one server. (The reference
-additionally wraps STOMP in a SockJS fallback transport; native WebSocket
-is the primary SockJS transport and the only one a non-browser-legacy
-client needs, so the fallback long-polling shims are intentionally out of
-scope.) Where the reference POLLS Prometheus every 5 s and re-pushes (O2),
+frames instead, so both client styles share one server.
+
+The reference additionally wraps STOMP in SockJS
+(WebSocketConfig.java:30-33: ``/metrics-feed`` endpoint, ``.withSockJS()``),
+so a STOCK SockJS client is also served: ``GET /metrics-feed/info`` answers
+the transport-probe JSON, and a WebSocket upgrade at the SockJS session URL
+(``/metrics-feed/<server-id>/<session-id>/websocket``) speaks the SockJS
+websocket sub-transport framing — ``o`` open frame on connect, client
+messages arriving as JSON-encoded strings/arrays, server messages pushed as
+``a["..."]`` array frames, ``h`` heart-beats tolerated (sockjs-protocol
+spec). The STOMP broker above runs unchanged beneath that framing — exactly
+Spring's layering. The xhr/xhr-streaming fallback transports remain out of
+scope (the info response advertises websocket, which every stock client then
+prefers). Where the reference POLLS Prometheus every 5 s and re-pushes (O2),
 Spark delivers progress events push-style, so the listener broadcasts each
 micro-batch's metrics with no scrape gap.
 
@@ -30,6 +39,7 @@ from __future__ import annotations
 import base64
 import hashlib
 import json
+import os
 import socket
 import threading
 from typing import Any
@@ -167,11 +177,18 @@ class MetricsPushServer:
     the raw JSON text frames. Dead clients are dropped on the first failed
     send or closed read."""
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0) -> None:
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        sockjs_prefix: str = "/metrics-feed",
+    ) -> None:
         self._srv = socket.create_server((host, port))
         self._srv.settimeout(0.2)
         self.host, self.port = self._srv.getsockname()[:2]
-        # conn -> {"stomp": bool, "subs": {destination: subscription-id}}
+        self.sockjs_prefix = sockjs_prefix.rstrip("/")
+        # conn -> {"stomp": bool, "sockjs": bool,
+        #          "subs": {destination: subscription-id}}
         self._state: dict[socket.socket, dict[str, Any]] = {}
         self._lock = threading.Lock()
         self._closing = threading.Event()
@@ -188,12 +205,27 @@ class MetricsPushServer:
             except OSError:
                 return
             try:
-                self._handshake(conn)
+                kind = self._handshake(conn)
             except (OSError, ValueError):
                 conn.close()
                 continue
+            if kind == "info":  # plain-HTTP probe answered; not a client
+                conn.close()
+                continue
             with self._lock:
-                self._state[conn] = {"stomp": False, "subs": {}}
+                self._state[conn] = {
+                    "stomp": False,
+                    "sockjs": kind == "sockjs",
+                    "subs": {},
+                }
+            if kind == "sockjs":
+                # SockJS open frame: the sub-transport is not usable until
+                # the server says 'o' (sockjs-protocol §Protocol and framing).
+                try:
+                    conn.sendall(encode_text_frame("o"))
+                except OSError:
+                    self._drop(conn)
+                    continue
             threading.Thread(
                 target=self._client_loop, args=(conn,), daemon=True
             ).start()
@@ -228,7 +260,27 @@ class MetricsPushServer:
                         return
                     continue
                 if opcode == 0x1:
-                    self._on_text(conn, payload.decode("utf-8", "replace"))
+                    text = payload.decode("utf-8", "replace")
+                    with self._lock:
+                        st = self._state.get(conn)
+                    if st is not None and st["sockjs"]:
+                        # SockJS websocket sub-transport: client messages
+                        # are JSON-encoded strings or arrays of strings;
+                        # bare 'h' heart-beats and malformed JSON are
+                        # dropped (spec: close on broken JSON — a metrics
+                        # feed tolerates instead).
+                        if text == "h" or not text:
+                            continue
+                        try:
+                            decoded = json.loads(text)
+                        except ValueError:
+                            continue
+                        msgs = decoded if isinstance(decoded, list) else [decoded]
+                        for m in msgs:
+                            if isinstance(m, str):
+                                self._on_text(conn, m)
+                    else:
+                        self._on_text(conn, text)
         self._drop(conn)
 
     def _on_text(self, conn: socket.socket, text: str) -> None:
@@ -263,6 +315,10 @@ class MetricsPushServer:
                 )
 
     def _send_frame(self, conn: socket.socket, stomp_payload: str) -> None:
+        with self._lock:
+            st = self._state.get(conn)
+        if st is not None and st["sockjs"]:
+            stomp_payload = "a" + json.dumps([stomp_payload])
         try:
             conn.sendall(encode_text_frame(stomp_payload))
         except OSError:
@@ -276,8 +332,13 @@ class MetricsPushServer:
         except OSError:
             pass
 
-    @staticmethod
-    def _handshake(conn: socket.socket) -> None:
+    def _handshake(self, conn: socket.socket) -> str:
+        """Route one incoming HTTP request: a WebSocket upgrade at the
+        SockJS session URL (``<prefix>/<server>/<session>/websocket``)
+        becomes a ``"sockjs"`` connection, any other upgrade a plain
+        ``"ws"`` one, and a non-upgrade ``GET <prefix>/info`` is answered
+        with the SockJS transport-probe JSON (``"info"``; the caller
+        closes). Anything else is rejected."""
         conn.settimeout(5.0)
         request = b""
         while b"\r\n\r\n" not in request:
@@ -285,12 +346,39 @@ class MetricsPushServer:
             if not chunk:
                 raise ValueError("client closed before handshake completed")
             request += chunk
+        lines = request.split(b"\r\n")
+        parts = lines[0].split()
+        path = parts[1].decode("latin-1", "replace") if len(parts) >= 2 else "/"
+        path = path.split("?", 1)[0]
         key = None
-        for line in request.split(b"\r\n"):
+        for line in lines[1:]:
             name, _, value = line.partition(b":")
             if name.strip().lower() == b"sec-websocket-key":
                 key = value.strip().decode("ascii")
         if key is None:
+            if path == f"{self.sockjs_prefix}/info":
+                body = json.dumps(
+                    {
+                        "websocket": True,
+                        "origins": ["*:*"],
+                        "cookie_needed": False,
+                        "entropy": int.from_bytes(os.urandom(4), "big"),
+                    }
+                ).encode("utf-8")
+                conn.sendall(
+                    (
+                        "HTTP/1.1 200 OK\r\n"
+                        "Content-Type: application/json;charset=UTF-8\r\n"
+                        "Access-Control-Allow-Origin: *\r\n"
+                        "Cache-Control: no-store, no-cache, must-revalidate, "
+                        "max-age=0\r\n"
+                        f"Content-Length: {len(body)}\r\n"
+                        "Connection: close\r\n"
+                        "\r\n"
+                    ).encode("ascii")
+                    + body
+                )
+                return "info"
             raise ValueError("not a WebSocket upgrade request")
         conn.sendall(
             (
@@ -301,6 +389,13 @@ class MetricsPushServer:
                 "\r\n"
             ).encode("ascii")
         )
+        seg = path[len(self.sockjs_prefix) :] if path.startswith(
+            self.sockjs_prefix
+        ) else ""
+        # session URL: /<server-id>/<session-id>/websocket
+        if seg.endswith("/websocket") and len([s for s in seg.split("/") if s]) == 3:
+            return "sockjs"
+        return "ws"
 
     def broadcast(self, payload: str, destination: str = "/topic/metrics") -> int:
         """Fan one payload out to every client; returns clients reached.
@@ -321,19 +416,22 @@ class MetricsPushServer:
                 with self._lock:
                     self._msg_seq += 1
                     mid = self._msg_seq
-                data = encode_text_frame(
-                    encode_stomp_frame(
-                        "MESSAGE",
-                        {
-                            "destination": destination,
-                            "subscription": sub_id,
-                            "message-id": f"m-{mid}",
-                            "content-type": "application/json",
-                            "content-length": str(len(payload.encode("utf-8"))),
-                        },
-                        payload,
-                    )
+                text = encode_stomp_frame(
+                    "MESSAGE",
+                    {
+                        "destination": destination,
+                        "subscription": sub_id,
+                        "message-id": f"m-{mid}",
+                        "content-type": "application/json",
+                        "content-length": str(len(payload.encode("utf-8"))),
+                    },
+                    payload,
                 )
+                if st["sockjs"]:
+                    text = "a" + json.dumps([text])
+                data = encode_text_frame(text)
+            elif st["sockjs"]:
+                data = encode_text_frame("a" + json.dumps([payload]))
             else:
                 data = raw
             try:

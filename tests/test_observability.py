@@ -446,3 +446,126 @@ def test_observed_metrics_in_streaming_progress(spark, tmp_path):
         if "batch_qa" in om:
             seen += om["batch_qa"]["n_rows"]
     assert seen == 1000
+
+
+def _ws_connect_path(host, port, path):
+    """Raw-socket WebSocket client to an explicit path (SockJS session URL)."""
+    import base64
+    import os
+    import socket
+
+    key = base64.b64encode(os.urandom(16)).decode("ascii")
+    s = socket.create_connection((host, port), timeout=10)
+    s.sendall(
+        (
+            f"GET {path} HTTP/1.1\r\nHost: {host}:{port}\r\n"
+            "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\nSec-WebSocket-Version: 13\r\n\r\n"
+        ).encode("ascii")
+    )
+    # read the HTTP response byte-exact: the server may push a WebSocket
+    # frame (SockJS 'o') immediately after the 101, and a block recv would
+    # swallow it into the discarded header buffer.
+    resp = b""
+    while not resp.endswith(b"\r\n\r\n"):
+        b = s.recv(1)
+        assert b, "server closed during handshake"
+        resp += b
+    return s, key, resp
+
+
+def test_sockjs_info_probe():
+    """GET /metrics-feed/info answers the SockJS transport probe: JSON with
+    websocket advertised, CORS open — what a stock sockjs-client checks
+    before picking the websocket sub-transport."""
+    import json as _json
+    import socket
+
+    from flink_stream_processing_spark.streaming.push import MetricsPushServer
+
+    srv = MetricsPushServer()
+    try:
+        s = socket.create_connection((srv.host, srv.port), timeout=10)
+        s.sendall(
+            (
+                f"GET /metrics-feed/info HTTP/1.1\r\nHost: {srv.host}\r\n\r\n"
+            ).encode("ascii")
+        )
+        resp = b""
+        while True:
+            chunk = s.recv(4096)
+            if not chunk:
+                break
+            resp += chunk
+        head, _, body = resp.partition(b"\r\n\r\n")
+        assert b"200 OK" in head
+        assert b"Access-Control-Allow-Origin: *" in head
+        info = _json.loads(body)
+        assert info["websocket"] is True
+        assert info["origins"] == ["*:*"]
+        assert "entropy" in info
+        s.close()
+    finally:
+        srv.close()
+
+
+def test_sockjs_websocket_subtransport_stomp_end_to_end():
+    """A stock-SockJS-shaped session: upgrade at the session URL, receive
+    the 'o' open frame, then STOMP CONNECT/SUBSCRIBE wrapped in SockJS
+    JSON framing; a broadcast arrives as a["MESSAGE..."] — the full
+    reference client path (WebSocketConfig.java:30-33 withSockJS)."""
+    import json as _json
+    import time
+
+    from flink_stream_processing_spark.streaming.push import (
+        MetricsPushServer,
+        parse_stomp_frame,
+    )
+
+    srv = MetricsPushServer()
+    try:
+        s, _, _ = _ws_connect_path(
+            srv.host, srv.port, "/metrics-feed/042/sess_abc/websocket"
+        )
+        s.settimeout(10)
+        assert _ws_read_text_frame(s) == "o"  # SockJS open frame
+        _ws_send_text(
+            s,
+            _json.dumps(["CONNECT\naccept-version:1.2\nhost:localhost\n\n\x00"]),
+        )
+        frame = _ws_read_text_frame(s)
+        assert frame.startswith("a")
+        (connected,) = _json.loads(frame[1:])
+        cmd, headers, _ = parse_stomp_frame(connected)
+        assert cmd == "CONNECTED" and headers["version"] == "1.2"
+        _ws_send_text(
+            s,
+            _json.dumps(
+                ["SUBSCRIBE\nid:sub-0\ndestination:/topic/metrics\n\n\x00"]
+            ),
+        )
+        deadline = time.time() + 10
+        sent = 0
+        while time.time() < deadline:
+            sent = srv.broadcast('{"batch_id": 7}')
+            if sent:
+                break
+            time.sleep(0.05)
+        assert sent == 1
+        frame = _ws_read_text_frame(s)
+        assert frame.startswith("a")
+        (msg,) = _json.loads(frame[1:])
+        cmd, headers, body = parse_stomp_frame(msg)
+        assert cmd == "MESSAGE"
+        assert headers["destination"] == "/topic/metrics"
+        assert headers["subscription"] == "sub-0"
+        assert _json.loads(body) == {"batch_id": 7}
+        # heart-beat from the client must be tolerated, not fatal
+        _ws_send_text(s, "h")
+        assert srv.broadcast('{"batch_id": 8}') == 1
+        frame = _ws_read_text_frame(s)
+        (msg,) = _json.loads(frame[1:])
+        assert parse_stomp_frame(msg)[0] == "MESSAGE"
+        s.close()
+    finally:
+        srv.close()
