@@ -42,7 +42,19 @@ def _sweep_order(names: list[str]) -> list[str]:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            if isinstance(row, dict) and not row.get("err"):
+            # Only GREEN rows count as "checked": a failed row (hash/rows/
+            # schema mismatch) means the query still needs a verifying
+            # sweep after its fix lands — it must queue with the
+            # never-checked queries, not behind every once-green one
+            # (sequence_packing's r03 FAIL + r04 oracle fix would otherwise
+            # sit unverified at sweep position ~64, past a 50-row budget).
+            if (
+                isinstance(row, dict)
+                and not row.get("err")
+                and row.get("rows_match") is not False
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            ):
                 checked[name] = checked.get(name, 0) + 1
     # Tie-break zero/equal-count queries by SENIORITY (QUERY_LEDGER.json:
     # first-registered first), not registry order: a wave of brand-new

@@ -22,7 +22,15 @@ def _checked_counts() -> dict[str, int]:
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         with open(path) as f:
             for name, row in json.load(f).items():
-                if isinstance(row, dict) and not row.get("err"):
+                # green rows only — a failed row queues the query for a
+                # re-verifying sweep (mirrors _sweep_order)
+                if (
+                    isinstance(row, dict)
+                    and not row.get("err")
+                    and row.get("rows_match") is not False
+                    and row.get("schema_match") is not False
+                    and row.get("hash_match") is not False
+                ):
                     counts[name] = counts.get(name, 0) + 1
     return counts
 
