@@ -186,6 +186,8 @@ HEADLINE = [
     "sql_surface_lateral_topk",
     "theta_sketch_set_ops",
     "sql_surface_listagg",
+    "sql_surface_set_ops",
+    "sql_surface_group_by_all",
 ]
 
 

@@ -325,3 +325,79 @@ def q_sql_surface_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus
     """)
+
+
+# --- Bag-semantics set operators (r5) --------------------------------------
+# INTERSECT ALL / EXCEPT ALL keep multiplicities (min / difference of
+# duplicate counts) and compare rows with null-safe equality — both corners
+# where naive JOIN/WHERE rewrites go wrong (a NULL-keyed row never
+# equi-joins but IS a set-op match). The identical text runs on both
+# engines; props IS NULL rows in events make the null-equality path
+# non-vacuous.
+
+_SET_OPS_SQL = """
+WITH views AS (
+  SELECT user_id, CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END
+           AS et
+  FROM {events} WHERE event_id % 2 = 0
+),
+clicks AS (
+  SELECT user_id, CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END
+           AS et
+  FROM {events} WHERE event_id % 3 = 0
+),
+i AS (SELECT * FROM views INTERSECT ALL SELECT * FROM clicks),
+x AS (SELECT * FROM views EXCEPT ALL SELECT * FROM clicks),
+u AS (SELECT * FROM views UNION SELECT * FROM clicks)
+SELECT 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(et) AS BIGINT) AS n_nonnull
+FROM i
+UNION ALL
+SELECT 'except_all', CAST(count(*) AS BIGINT), CAST(count(et) AS BIGINT)
+FROM x
+UNION ALL
+SELECT 'union_distinct', CAST(count(*) AS BIGINT), CAST(count(et) AS BIGINT)
+FROM u
+ORDER BY op
+"""
+
+_SET_OPS_ORACLE = _SET_OPS_SQL.format(events="events")
+
+
+@query("sql_surface_set_ops", oracle=_SET_OPS_ORACLE)
+def q_sql_surface_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operators as SQL TEXT: INTERSECT ALL / EXCEPT ALL
+    (multiplicity-preserving) and UNION DISTINCT, each over a derived
+    relation with planted NULL keys — gating the null-safe row equality
+    and duplicate-count semantics the ANSI set ops require (Spark lowers
+    these to aggregated/generated count joins; the plan stays a couple of
+    hash aggregates, no sort). The reduction to per-op counts keeps the
+    gate order-independent while still pinning exact multiplicities."""
+    v = _register_views(spark, sf_dir)
+    return spark.sql(_SET_OPS_SQL.format(**v))
+
+
+# --- GROUP BY ALL / ORDER BY ALL (r5) --------------------------------------
+
+_GROUP_BY_ALL_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM {orders}
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+_GROUP_BY_ALL_ORACLE = _GROUP_BY_ALL_SQL.format(orders="orders")
+
+
+@query("sql_surface_group_by_all", oracle=_GROUP_BY_ALL_ORACLE)
+def q_sql_surface_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (the SQL:2023-era shorthand both Spark 4
+    and DuckDB ship): grouping keys are inferred as every non-aggregate
+    select item, ordering as the full select list. The identical text runs
+    on both engines, pinning that the inference resolves to the same
+    column sets — a pure front-end feature lowering to the ordinary
+    hash-aggregate plan."""
+    v = _register_views(spark, sf_dir)
+    return spark.sql(_GROUP_BY_ALL_SQL.format(**v))
