@@ -200,6 +200,23 @@ VERIFICATION_PATHS = [
 ]
 
 
+def budget_offenders(
+    timings: dict[str, float],
+    budget: dict,
+    factor: float,
+    floor: float = 1.0,
+) -> list[tuple[str, float, float]]:
+    """(name, measured, budgeted) for every query over ``factor`` x its
+    recorded budget. Entries budgeted under ``floor`` seconds are exempt —
+    sub-second timings jitter multiplicatively with scheduler noise."""
+    q = budget.get("queries", {})
+    return [
+        (name, t, q[name])
+        for name, t in timings.items()
+        if name in q and q[name] >= floor and t > factor * q[name]
+    ]
+
+
 def bench_scale_variants(spark, sf_dir: str) -> dict[str, float]:
     """Production-hash twins of oracle-compat queries. The benched
     ``simhash_near_dups`` query hashes tokens with md5 (so DuckDB can
@@ -416,14 +433,7 @@ def main() -> None:
             factor = float(
                 os.environ.get("SPARK_GRAFT_BENCH_FACTOR", budget.get("factor", 3.0))
             )
-            floor = 1.0  # sub-second entries jitter multiplicatively; skip
-            offenders = [
-                (name, t, budget["queries"][name])
-                for name, t in timings.items()
-                if name in budget["queries"]
-                and budget["queries"][name] >= floor
-                and t > factor * budget["queries"][name]
-            ]
+            offenders = budget_offenders(timings, budget, factor)
             if offenders:
                 for name, t, b in offenders:
                     print(

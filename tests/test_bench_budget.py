@@ -1,0 +1,41 @@
+"""The bench regression gate (bench.py:budget_offenders): catches multi-x
+per-query blow-ups, exempts sub-second jitter, ignores unknown names."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from bench import HEADLINE, budget_offenders  # noqa: E402
+
+
+def test_flags_only_real_blowups():
+    budget = {"queries": {"a": 2.0, "b": 5.0, "c": 0.4}}
+    timings = {
+        "a": 6.5,   # 3.25x  -> offender
+        "b": 14.9,  # 2.98x  -> fine
+        "c": 9.0,   # sub-second budget -> exempt by floor
+        "d": 99.0,  # not budgeted -> ignored
+    }
+    out = budget_offenders(timings, budget, factor=3.0)
+    assert out == [("a", 6.5, 2.0)]
+
+
+def test_empty_when_within_budget():
+    budget = {"queries": {"a": 2.0}}
+    assert budget_offenders({"a": 5.9}, budget, factor=3.0) == []
+
+
+def test_committed_budget_file_covers_headline():
+    """BENCH_BUDGET.json must keep covering the (growing) headline set —
+    a new headline entry with no budget would silently escape the gate.
+    New entries get a budget on the next intentional refresh; allow a
+    small lag but not drift."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "BENCH_BUDGET.json")) as f:
+        budget = json.load(f)
+    missing = [n for n in HEADLINE if n not in budget["queries"]]
+    assert len(missing) <= 5, f"refresh BENCH_BUDGET.json; unbudgeted: {missing}"
+    assert budget["factor"] >= 1.5
