@@ -188,6 +188,7 @@ HEADLINE = [
     "sql_surface_listagg",
     "sql_surface_set_ops",
     "sql_surface_group_by_all",
+    "domain_frequency_cap",
 ]
 
 

@@ -106,3 +106,74 @@ def q_greedy_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pack_shard, "doc_id long, shard long, bin_idx long, fill_after long"
     )
     return out.orderBy("shard", "doc_id")
+
+
+# --- Domain frequency capping (r5) -----------------------------------------
+# The C4/CCNet/Dolma-style mix-balancing op: no source (domain) may
+# contribute more than CAP documents; when over cap, keep the BEST ones
+# (quality proxy, deterministic tie-break), never a random subset — this is
+# capping, not sampling (fixed_quota_sample is the seeded-random cousin).
+
+_DOMAIN_CAP = 20
+
+_DOMAIN_CAP_ORACLE = f"""
+WITH ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN rk <= {_DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN rk <= {_DOMAIN_CAP} THEN n_chars ELSE 0 END)
+         AS BIGINT) AS chars_kept
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("domain_frequency_cap", oracle=_DOMAIN_CAP_ORACLE)
+def q_domain_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency capping: each source keeps at most
+    {cap} documents, chosen by quality proxy (n_chars desc, doc_id
+    tie-break). The implementation is the SKEW-AWARE split a 100 TB corpus
+    needs: one map-combined count finds which domains are over cap, docs
+    in under-cap domains PASS THROUGH with no sort at all, and only the
+    over-cap domains' partitions pay the rank window — so a web crawl
+    where 95% of domains are tiny and a handful are million-doc
+    heavy-hitters sorts only the heavy hitters (and those can be salted
+    into a two-phase per-domain top-K if a single domain outgrows a
+    partition). The oracle ranks everything — same answer, the split is
+    invisible.""".format(cap=_DOMAIN_CAP)
+    from pyspark.sql.window import Window as _W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    docs_c = docs.join(counts, "source")
+    under = docs_c.filter(F.col("n_docs") <= _DOMAIN_CAP).withColumn(
+        "kept", F.lit(True)
+    )
+    wq = _W.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    over = (
+        docs_c.filter(F.col("n_docs") > _DOMAIN_CAP)
+        .withColumn("rk", F.row_number().over(wq))
+        .withColumn("kept", F.col("rk") <= _DOMAIN_CAP)
+        .drop("rk")
+    )
+    return (
+        under.unionByName(over)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_chars")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("chars_kept"),
+        )
+        .orderBy("source")
+    )

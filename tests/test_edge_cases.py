@@ -121,3 +121,28 @@ def test_sequence_packing_spans_partition_token_stream(spark):
     assert rows[-1].last_chunk == (total - 1) // 256
     for r in rows:
         assert r.n_chunks == r.last_chunk - r.first_chunk + 1 >= 1
+
+
+def test_domain_frequency_cap_passthrough_and_ranked_branches(spark):
+    """Both plan branches must agree with plain ranking: an under-cap
+    domain passes through entirely (no sort), an over-cap domain keeps
+    exactly the cap, chosen by (n_chars desc, doc_id)."""
+    import flink_stream_processing_spark.queries_impl.llm_pipeline4 as m
+
+    rows = []
+    for i in range(3):          # small domain: 3 docs, under cap
+        rows.append((i, "small", 100 + i))
+    for i in range(30):         # big domain: 30 docs, over cap of 20
+        rows.append((100 + i, "big", 1000 - i))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="domcap_")
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r.source: r for r in m.q_domain_frequency_cap(spark, d).collect()}
+    assert out["small"].n_docs == 3 and out["small"].n_kept == 3
+    assert out["small"].chars_kept == 100 + 101 + 102
+    assert out["big"].n_docs == 30 and out["big"].n_kept == 20
+    # top 20 by n_chars desc: 1000..981
+    assert out["big"].chars_kept == sum(range(981, 1001))
