@@ -189,6 +189,8 @@ HEADLINE = [
     "sql_surface_set_ops",
     "sql_surface_group_by_all",
     "domain_frequency_cap",
+    "dynamic_partition_overwrite",
+    "sql_surface_ordered_set_aggs",
 ]
 
 

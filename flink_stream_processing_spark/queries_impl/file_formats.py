@@ -308,3 +308,61 @@ def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- Dynamic partition overwrite (r5) --------------------------------------
+
+_DPO_DIRS: dict[str, str] = {}
+
+# Final state: every event, except purchases carry doubled values (the
+# restated partition). Counts prove no other partition was touched.
+_DPO_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value * 2
+                      ELSE value END), 2) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("dynamic_partition_overwrite", oracle=_DPO_ORACLE)
+def q_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned table + DYNAMIC partition overwrite — the daily
+    incremental-write pattern of a 100 TB table: the full events table is
+    written partitioned by event_type, then a restatement batch containing
+    ONLY the purchase partition (values doubled) is written with
+    ``partitionOverwriteMode=dynamic`` — replacing exactly the partitions
+    present in the batch and leaving every other partition's files
+    untouched (STATIC mode would truncate the whole table first; the
+    difference is the entire point). The read-back aggregate must equal
+    the restated oracle, and partition pruning on the directory layout is
+    what makes the per-partition replacement O(changed partition) at any
+    table size."""
+    d = _DPO_DIRS.get(sf_dir)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="events_dpo_")
+        tbl = os.path.join(d, "events_by_type")
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(tbl)
+        restated = ev.filter(F.col("event_type") == "purchase").withColumn(
+            "value", F.col("value") * 2
+        )
+        old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            restated.write.mode("overwrite").partitionBy("event_type").parquet(tbl)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+        _DPO_DIRS[sf_dir] = d
+    tbl = os.path.join(_DPO_DIRS[sf_dir], "events_by_type")
+    return (
+        spark.read.parquet(tbl)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -401,3 +401,37 @@ def q_sql_surface_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-aggregate plan."""
     v = _register_views(spark, sf_dir)
     return spark.sql(_GROUP_BY_ALL_SQL.format(**v))
+
+
+# --- Ordered-set aggregates (r5) -------------------------------------------
+
+_ORDERED_SET_SQL = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(median(o_totalprice), 2) AS median_price,
+       round(percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice), 2)
+         AS p25_cont,
+       round(percentile_cont(0.90) WITHIN GROUP (ORDER BY o_totalprice), 2)
+         AS p90_cont,
+       round(percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice), 2)
+         AS p50_disc
+FROM {orders}
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+_ORDERED_SET_ORACLE = _ORDERED_SET_SQL.format(orders="orders")
+
+
+@query("sql_surface_ordered_set_aggs", oracle=_ORDERED_SET_ORACLE)
+def q_sql_surface_ordered_set_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2023 ordered-set aggregates as TEXT: ``median``,
+    ``percentile_cont`` (linear interpolation) and ``percentile_disc``
+    (existing-value pick) WITHIN GROUP — the exact-percentile family
+    beside the approx_percentile sketches. The identical string runs on
+    DuckDB, pinning interpolation arithmetic across engines. Exact
+    percentiles need the group sorted — fine per group here; at 100 TB the
+    approx sketch (mergeable, one pass) is the default and this surface is
+    for final reporting over already-reduced relations."""
+    v = _register_views(spark, sf_dir)
+    return spark.sql(_ORDERED_SET_SQL.format(**v))
