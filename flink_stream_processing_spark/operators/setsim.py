@@ -117,7 +117,19 @@ def allpairs_jaccard_join(
         .localCheckpoint(eager=True)
     )
 
-    postings = arr.select(id_col, F.explode("shh").alias("sh_h"))
+    # Explicit partition counts on the CPU-dense exchanges: hashed postings
+    # and candidate pairs are tiny in BYTES (a few longs/row), so AQE's
+    # size-based coalescing collapses them to 1-2 partitions and serializes
+    # the window/sort/intersect CPU behind them (measured: the same query
+    # bimodally 3 s or 17 s at sf0.1 depending on the coalesce decision).
+    # An explicit repartition count is never coalesced below, making the
+    # parallelism deterministic; at cluster scale defaultParallelism is the
+    # core count, exactly the right size for compute-bound stages.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+
+    postings = arr.select(id_col, F.explode("shh").alias("sh_h")).repartition(
+        par, "sh_h"
+    )
     wdf = Window.partitionBy("sh_h")
     with_df = postings.withColumn("df", F.count(F.lit(1)).over(wdf))
 
@@ -201,7 +213,8 @@ def allpairs_jaccard_join(
     hinter = F.size(F.array_intersect("h_a", "h_b"))
     hunion = F.size("h_a") + F.size("h_b") - hinter
     survivors = (
-        cand.join(ha, "id_a")
+        cand.repartition(par, "id_a")
+        .join(ha, "id_a")
         .join(hb, "id_b")
         .filter(hinter * F.lit(den) >= hunion * F.lit(num))
         .select("id_a", "id_b")
@@ -265,7 +278,13 @@ def containment_join(
         )
         .localCheckpoint(eager=True)
     )
-    postings = arr.select(id_col, F.explode("shh").alias("sh_h"))
+    # Deterministic parallelism on the CPU-dense exchanges (see
+    # allpairs_jaccard_join — AQE byte-based coalescing vs compute-bound
+    # stages).
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    postings = arr.select(id_col, F.explode("shh").alias("sh_h")).repartition(
+        par, "sh_h"
+    )
     wdf = Window.partitionBy("sh_h")
     with_df = postings.withColumn("df", F.count(F.lit(1)).over(wdf))
     ordered = (
@@ -327,7 +346,8 @@ def containment_join(
     hb = arr.select(F.col(id_col).alias("id_super"), F.col("shh").alias("h_sup"))
     hinter = F.size(F.array_intersect("h_sub", "h_sup"))
     survivors = (
-        cand.join(ha, "id_sub")
+        cand.repartition(par, "id_sub")
+        .join(ha, "id_sub")
         .join(hb, "id_super")
         .filter(hinter * F.lit(den) >= F.size("h_sub") * F.lit(num))
         .select("id_sub", "id_super")
