@@ -330,17 +330,20 @@ def main() -> None:
         except Exception as e:  # a missing/odd table must not kill the bench
             print(f"  warmup skip {t}: {e}", file=sys.stderr)
 
-    def persistent_rdd_ids() -> set[int]:
+    def persistent_rdd_ids() -> set[int] | None:
         try:
             ids = set()
             it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
             while it.hasNext():
                 ids.add(int(it.next()._1()))
             return ids
-        except Exception:  # snapshot failure degrades to releasing nothing
-            return set()
+        except Exception:
+            # None (not an empty set) so release_checkpoints skips: an
+            # empty snapshot would read as "everything is new" and blanket-
+            # unpersist — the exact failure mode the scoping prevents.
+            return None
 
-    def release_checkpoints(before: set[int]) -> None:
+    def release_checkpoints(before: set[int] | None) -> None:
         """Unpersist RDD blocks left by eager localCheckpoint operators
         (iterative graph loops, set-similarity staging, sketch
         histograms). Those blocks are per-QUERY state; without this they
@@ -352,6 +355,8 @@ def main() -> None:
         RDDs have truncated lineage, so blindly unpersisting everything
         would turn any DataFrame a future query held across iterations
         into an unrecoverable 'checkpoint block not found'."""
+        if before is None:  # snapshot failed: release nothing this round
+            return
         try:
             it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
             while it.hasNext():

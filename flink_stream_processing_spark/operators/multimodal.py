@@ -365,7 +365,10 @@ def _walk_mp4(data: bytes) -> tuple:
         """ISO-BMFF box header incl. the two special sizes: size==0 means
         "extends to the end of the enclosing scope" and size==1 means a
         64-bit largesize follows the type (both per ISO/IEC 14496-12
-        §4.2). Returns (payload_start, box_end) or None if malformed."""
+        §4.2). Returns (payload_start, box_end) or None if malformed.
+        box_end is CLAMPED to the enclosing scope, so a truncated file
+        whose box declares more bytes than exist never drives a read past
+        the buffer — the walk parses what is there and stops."""
         size, _btype = struct.unpack_from(">I4s", buf, off)
         payload = off + 8
         if size == 0:
@@ -376,10 +379,10 @@ def _walk_mp4(data: bytes) -> tuple:
             (large,) = struct.unpack_from(">Q", buf, off + 8)
             if large < 16:
                 return None
-            return off + 16, off + large
+            return off + 16, min(off + large, end)
         if size < 8:
             return None
-        return payload, off + size
+        return payload, min(off + size, end)
 
     off = 0
     while off + 8 <= len(data):
@@ -397,13 +400,13 @@ def _walk_mp4(data: bytes) -> tuple:
                 if chdr is None:
                     break
                 cpayload, cend = chdr
-                if data[c + 4 : c + 8] == b"mvhd":
+                if data[c + 4 : c + 8] == b"mvhd" and cpayload < len(data):
                     ver = data[cpayload]
-                    if ver == 0:
+                    if ver == 0 and cpayload + 20 <= len(data):
                         timescale, duration = struct.unpack_from(
                             ">II", data, cpayload + 12
                         )
-                    elif ver == 1:
+                    elif ver == 1 and cpayload + 32 <= len(data):
                         timescale, dur64 = struct.unpack_from(
                             ">IQ", data, cpayload + 20
                         )

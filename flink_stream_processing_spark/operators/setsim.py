@@ -19,7 +19,8 @@ Construction:
     ceil(t*s) - 1 < t*s would contradict that.
  4. candidates sharing a prefix shingle pass a length filter
     (min(sa,sb) >= t*max(sa,sb), another necessary condition) and are then
-    verified with the EXACT Jaccard on the full shingle arrays.
+    verified in two stages, ending in the EXACT Jaccard on the full
+    shingle string arrays.
 
 ``ceil(t*s)`` is computed in integer arithmetic from a rational form of the
 threshold (Fraction), so no float rounding can shorten a prefix and
@@ -36,15 +37,22 @@ Scale design (100 TB):
   candidate join materializes it df times per side). A hash collision can
   only merge two shingles' df counts and candidate buckets, i.e. WIDEN the
   candidate set; completeness is untouched (shared shingle => shared hash)
-  and precision is restored by the exact-Jaccard verify on the full string
-  arrays, which never enter the wide exchanges.
+  and precision is restored by the exact string verify, which never enters
+  the wide exchanges.
 - Document frequency uses a window count over the postings (one shuffle),
   not a groupBy + re-join (two).
-- The verify stage touches only candidate pairs; arrays travel once, via
-  id-keyed joins with NO broadcast hint — AQE picks broadcast while the
-  doc relation is small and falls back to a shuffle join on id when it
-  is not (an explicit hint would never be demoted and becomes a
-  broadcast-OOM at corpus scale).
+- Verify is TWO-STAGE: a hashed-array prefilter over all candidate pairs
+  (provable superset of the true pairs under the within-doc-collision
+  guard in :func:`_hashed_shingle_arrays`), then the exact string-array
+  recompute on the few survivors. Verify joins key on id with NO
+  broadcast hint — AQE broadcasts the doc relation while small and
+  demotes to a shuffle join at corpus scale (an explicit hint is never
+  demoted and becomes a broadcast-OOM).
+- The CPU-dense exchanges (hashed postings, candidate pairs) carry tiny
+  BYTE volumes, so AQE's size-based coalescing would serialize the
+  window/sort/intersect compute behind them (measured: bimodal 3 s / 17 s
+  at sf0.1). Explicit ``repartition(defaultParallelism, key)`` counts are
+  never coalesced below — deterministic parallelism, sized to cores.
 - Skew guard: a shingle whose df exceeds ``max_df`` would generate df²
   candidates; silently truncating it from prefixes would be unsound
   (it can be some doc's only prefix shingle), so the guard fails loudly
@@ -66,37 +74,27 @@ from pyspark.sql import functions as F
 from .dedup import shingle_array
 
 
-def allpairs_jaccard_join(
-    docs: DataFrame,
-    threshold: float = 0.6,
-    n: int = 3,
-    text: str = "text",
-    id_col: str = "doc_id",
-    max_df: int = 100_000,
+def _hashed_shingle_arrays(
+    docs: DataFrame, text: str, id_col: str, n: int
 ) -> DataFrame:
-    """All pairs with exact shingle-Jaccard >= ``threshold`` as
-    (id_a, id_b, jaccard), id_a < id_b. Exact: recall and precision are 1.0
-    by construction (prefix filter is a proven-complete candidate bound;
-    the two-stage verify ends in a true-Jaccard recompute on the string
-    arrays for every emitted pair)."""
-    frac = Fraction(threshold).limit_denominator(1_000_000)
-    num, den = frac.numerator, frac.denominator
+    """Materialized per-doc shingle relation ``(id_col, sh, shh)``: ``sh``
+    is the distinct shingle STRING array, ``shh`` its xxhash64 image. Every
+    wide exchange and the verify prefilter run on the 8-byte ``shh``; the
+    strings leave the checkpoint only for the final exact recompute.
 
-    # The shingle-set relation feeds every plan branch (prefix build +
-    # verify sides); materialize it once so the text scan + shingle
-    # construction doesn't re-execute per branch (measured 3x the whole
-    # operator's cost without this). ``shh`` is the per-doc xxhash64 image
-    # of the (distinct) shingle set: every wide exchange and the verify
-    # PREFILTER work on these 8-byte longs; the string arrays leave the
-    # checkpoint only for the final exact recompute on surviving pairs.
-    # The assert guards the one case that could make the hashed prefilter
-    # lose a true pair — two DISTINCT shingles of the SAME doc colliding
-    # (then distinct-hash intersection counting could undercount true
-    # matches). With it green, every true string match is a distinct hash
-    # match, so hashed-Jaccard >= true Jaccard: prefilter pass is a
-    # provable SUPERSET and the exactness claim stays unconditional.
-    # (~2^-50 odds corpus-wide; loud failure, same contract as max_df.)
-    arr = (
+    The assert guards the one case that could make the hashed prefilter
+    lose a true pair — two DISTINCT shingles of the SAME doc colliding
+    (distinct-hash intersection counting could then undercount true
+    matches). With it green, every true string match is a distinct hash
+    match, so hashed similarity >= true similarity: the prefilter pass is
+    a provable SUPERSET and exactness stays unconditional. (~2^-50 odds
+    corpus-wide; loud failure, same contract as the max_df guard.)
+
+    Materialized once (localCheckpoint) because it feeds every plan branch
+    — prefix build plus both verify sides; without it the text scan +
+    shingle construction re-executes per branch (measured 3x the whole
+    operator's cost)."""
+    return (
         shingle_array(docs, text=text, id_col=id_col, n=n)
         .select(id_col, F.array_distinct("sh_arr").alias("sh"))
         .withColumn("shh", F.transform("sh", lambda x: F.xxhash64(x)))
@@ -117,28 +115,27 @@ def allpairs_jaccard_join(
         .localCheckpoint(eager=True)
     )
 
-    # Explicit partition counts on the CPU-dense exchanges: hashed postings
-    # and candidate pairs are tiny in BYTES (a few longs/row), so AQE's
-    # size-based coalescing collapses them to 1-2 partitions and serializes
-    # the window/sort/intersect CPU behind them (measured: the same query
-    # bimodally 3 s or 17 s at sf0.1 depending on the coalesce decision).
-    # An explicit repartition count is never coalesced below, making the
-    # parallelism deterministic; at cluster scale defaultParallelism is the
-    # core count, exactly the right size for compute-bound stages.
-    par = docs.sparkSession.sparkContext.defaultParallelism
 
+def _rare_first_prefix(
+    arr: DataFrame, id_col: str, num: int, den: int, max_df: int, par: int
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, prefix) under the global rare-first canonical order.
+
+    ``postings`` = (id_col, sh_h), explicitly partitioned ``par`` ways on
+    sh_h (deterministic parallelism for the df window — see module doc).
+    ``prefix`` = (id_col, sz, sh_h): each doc's first
+    ``sz - ceil(num*sz/den) + 1`` keys under the (df asc, hash asc) order —
+    prefix length in exact INTEGER arithmetic (`div` is Spark's integral
+    division, so the completeness bound cannot be nudged by a double
+    rounding boundary). Colliding shingles share one key, so their
+    relative order is vacuous and the order stays a global total order on
+    KEYS. The per-row assert is the loud df<=max_df skew guard (executor-
+    side, no driver collect)."""
     postings = arr.select(id_col, F.explode("shh").alias("sh_h")).repartition(
         par, "sh_h"
     )
     wdf = Window.partitionBy("sh_h")
     with_df = postings.withColumn("df", F.count(F.lit(1)).over(wdf))
-
-    # Canonical rare-first order over (df, hash) — a global total order on
-    # shingle KEYS (colliding shingles share one key, so their relative
-    # order is vacuous). Prefix length in exact INTEGER arithmetic:
-    # ceil(num*s/den) = (num*s + den - 1) div den — `div` is Spark's
-    # integral division, so the completeness bound cannot be nudged by a
-    # double-rounding boundary (sz is a bigint count).
     ordered = (
         with_df.groupBy(id_col)
         .agg(
@@ -150,22 +147,16 @@ def allpairs_jaccard_join(
             F.expr(f"sz - (({num}L * sz + {den - 1}L) div {den}L) + 1L"),
         )
     )
-
-    # Prefix explode carries each shingle's global df so the skew guard is
-    # a per-row executor-side assert (same loud-failure contract as
-    # dedup._guard_bucket_size — no driver-side collect): a prefix shingle
-    # with df > max_df means df² candidate blowup, so fail with coordinates
-    # instead of OOMing the join.
     prefix = (
         ordered.select(
-            F.col(id_col).alias("pid"),
+            id_col,
             "sz",
             F.explode(
                 F.slice(F.col("ord"), 1, F.col("prefix_len").cast("int"))
             ).alias("p"),
         )
         .select(
-            "pid",
+            id_col,
             "sz",
             F.when(
                 F.assert_true(
@@ -180,34 +171,48 @@ def allpairs_jaccard_join(
             ).alias("sh_h"),
         )
     )
+    return postings, prefix
 
-    a = prefix.alias("a")
-    b = prefix.alias("b")
+
+def allpairs_jaccard_join(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    n: int = 3,
+    text: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 100_000,
+) -> DataFrame:
+    """All pairs with exact shingle-Jaccard >= ``threshold`` as
+    (id_a, id_b, jaccard), id_a < id_b. Exact: recall and precision are 1.0
+    by construction (prefix filter is a proven-complete candidate bound;
+    the two-stage verify ends in a true-Jaccard recompute on the string
+    arrays for every emitted pair)."""
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    num, den = frac.numerator, frac.denominator
+    par = docs.sparkSession.sparkContext.defaultParallelism
+
+    arr = _hashed_shingle_arrays(docs, text, id_col, n)
+    _, prefix = _rare_first_prefix(arr, id_col, num, den, max_df, par)
+
+    a = prefix.select(
+        F.col(id_col).alias("pid_a"), F.col("sz").alias("sz_a"), "sh_h"
+    )
+    b = prefix.select(
+        F.col(id_col).alias("pid_b"), F.col("sz").alias("sz_b"), "sh_h"
+    )
     cand = (
-        a.join(b, (F.col("a.sh_h") == F.col("b.sh_h")) & (F.col("a.pid") < F.col("b.pid")))
+        a.join(b, "sh_h")
+        .filter(F.col("pid_a") < F.col("pid_b"))
         .filter(
-            F.least("a.sz", "b.sz") * F.lit(den)
-            >= F.greatest("a.sz", "b.sz") * F.lit(num)
+            F.least("sz_a", "sz_b") * F.lit(den)
+            >= F.greatest("sz_a", "sz_b") * F.lit(num)
         )
-        .select(
-            F.col("a.pid").alias("id_a"),
-            F.col("b.pid").alias("id_b"),
-        )
+        .select(F.col("pid_a").alias("id_a"), F.col("pid_b").alias("id_b"))
         .distinct()
     )
 
-    # Two-stage verify. Stage 1 (hashed prefilter): intersect the 8-byte
-    # hash arrays over ALL candidates — with the within-doc-collision
-    # guard green this passes a provable superset of the true pairs
-    # (cross-doc collisions only inflate the hashed intersection), at a
-    # fraction of the string-intersect cost (measured 6.5 s -> ~1.5 s on
-    # the sf0.1 candidate set). Stage 2 (exact): recompute true Jaccard on
-    # the STRING arrays for the few survivors; every emitted value is
-    # integer-exact-thresholded string-set Jaccard. All verify joins key
-    # on id with NO broadcast hint: AQE broadcasts the doc relation while
-    # small and demotes to a shuffle join at corpus scale (a hard hint is
-    # never demoted — guaranteed OOM at 100x). The candidate relation
-    # stays the big side either way.
+    # Stage 1: hashed prefilter over ALL candidates (superset; measured
+    # 6.5 s -> ~1.5 s vs string intersects on the sf0.1 candidate set).
     ha = arr.select(F.col(id_col).alias("id_a"), F.col("shh").alias("h_a"))
     hb = arr.select(F.col(id_col).alias("id_b"), F.col("shh").alias("h_b"))
     hinter = F.size(F.array_intersect("h_a", "h_b"))
@@ -219,6 +224,8 @@ def allpairs_jaccard_join(
         .filter(hinter * F.lit(den) >= hunion * F.lit(num))
         .select("id_a", "id_b")
     )
+    # Stage 2: exact string-set Jaccard on survivors; integer-exact
+    # threshold test (inter/union >= num/den <=> inter*den >= union*num).
     sa = arr.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     sb = arr.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -250,77 +257,17 @@ def containment_join(
     other documents' FULL postings — candidate volume is
     sum(prefix-shingle df), still governed by rare-first ordering. The
     length filter |super| >= t*|sub| is the only necessary size condition.
-    Verification computes the true intersection on the full shingle
+    The two-stage verify ends in the true intersection on the full string
     arrays; threshold math is integer-exact throughout."""
     frac = Fraction(threshold).limit_denominator(1_000_000)
     num, den = frac.numerator, frac.denominator
-
-    # Materialized once — feeds the prefix build, the full-postings side,
-    # the size table, and both verify sides. Hashed image + within-doc
-    # collision guard exactly as in allpairs_jaccard_join.
-    arr = (
-        shingle_array(docs, text=text, id_col=id_col, n=n)
-        .select(id_col, F.array_distinct("sh_arr").alias("sh"))
-        .withColumn("shh", F.transform("sh", lambda x: F.xxhash64(x)))
-        .withColumn(
-            "shh",
-            F.when(
-                F.assert_true(
-                    F.size(F.array_distinct("shh")) == F.size("sh"),
-                    F.concat(
-                        F.lit("within-doc xxhash64 shingle collision at "),
-                        F.col(id_col).cast("string"),
-                        F.lit(" — rerun verify on string arrays"),
-                    ),
-                ).isNull(),
-                F.col("shh"),
-            ),
-        )
-        .localCheckpoint(eager=True)
-    )
-    # Deterministic parallelism on the CPU-dense exchanges (see
-    # allpairs_jaccard_join — AQE byte-based coalescing vs compute-bound
-    # stages).
     par = docs.sparkSession.sparkContext.defaultParallelism
-    postings = arr.select(id_col, F.explode("shh").alias("sh_h")).repartition(
-        par, "sh_h"
-    )
-    wdf = Window.partitionBy("sh_h")
-    with_df = postings.withColumn("df", F.count(F.lit(1)).over(wdf))
-    ordered = (
-        with_df.groupBy(id_col)
-        .agg(
-            F.sort_array(F.collect_list(F.struct("df", "sh_h"))).alias("ord"),
-            F.count(F.lit(1)).alias("sz"),
-        )
-        .withColumn(
-            "prefix_len",
-            F.expr(f"sz - (({num}L * sz + {den - 1}L) div {den}L) + 1L"),
-        )
-    )
-    prefix = (
-        ordered.select(
-            F.col(id_col).alias("id_sub"),
-            F.col("sz").alias("sz_sub"),
-            F.explode(
-                F.slice(F.col("ord"), 1, F.col("prefix_len").cast("int"))
-            ).alias("p"),
-        )
-        .select(
-            "id_sub",
-            "sz_sub",
-            F.when(
-                F.assert_true(
-                    F.col("p.df") <= max_df,
-                    F.concat(
-                        F.lit(f"prefix shingle over max_df={max_df}: df="),
-                        F.col("p.df").cast("string"),
-                        F.lit(" — raise the threshold or pre-filter stopword shingles"),
-                    ),
-                ).isNull(),
-                F.col("p.sh_h"),
-            ).alias("sh_h"),
-        )
+
+    arr = _hashed_shingle_arrays(docs, text, id_col, n)
+    postings, prefix = _rare_first_prefix(arr, id_col, num, den, max_df, par)
+
+    sub = prefix.select(
+        F.col(id_col).alias("id_sub"), F.col("sz").alias("sz_sub"), "sh_h"
     )
     full = postings.select(F.col(id_col).alias("id_super"), "sh_h")
     sz_super = arr.select(
@@ -330,7 +277,7 @@ def containment_join(
     # sides are O(docs) relations — AQE broadcasts them while they fit and
     # falls back to id-keyed shuffle joins at corpus scale.
     cand = (
-        prefix.join(full, "sh_h")
+        sub.join(full, "sh_h")
         .filter(F.col("id_sub") != F.col("id_super"))
         .select("id_sub", "id_super", "sz_sub")
         .distinct()
@@ -339,9 +286,8 @@ def containment_join(
         .select("id_sub", "id_super")
     )
     # Two-stage verify (see allpairs_jaccard_join): hashed-containment
-    # prefilter over all candidates (superset under the collision guard:
-    # hashed intersection >= true intersection, |sub| identical), then the
-    # exact string recompute on survivors only.
+    # prefilter (superset: hashed intersection >= true intersection, |sub|
+    # identical), then the exact string recompute on survivors only.
     ha = arr.select(F.col(id_col).alias("id_sub"), F.col("shh").alias("h_sub"))
     hb = arr.select(F.col(id_col).alias("id_super"), F.col("shh").alias("h_sup"))
     hinter = F.size(F.array_intersect("h_sub", "h_sup"))

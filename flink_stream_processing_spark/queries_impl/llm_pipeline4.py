@@ -82,12 +82,11 @@ def _pack_shard(pdf):
 
 @query("greedy_pack_bins", oracle=_GREEDY_PACK_ORACLE)
 def q_greedy_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-shard greedy bin packing (capacity {cap}, {s} md5-hash shards):
-    no document straddles a context window. groupBy(shard).applyInPandas
-    runs the sequential fold where it belongs — inside one task per shard —
-    while the shard split keeps the whole corpus parallel.""".format(
-        cap=_PACK_CAP, s=_N_SHARDS
-    )
+    """Per-shard greedy bin packing (capacity ``_PACK_CAP``, ``_N_SHARDS``
+    md5-hash shards): no document straddles a context window.
+    groupBy(shard).applyInPandas runs the sequential fold where it belongs
+    — inside one task per shard — while the shard split keeps the whole
+    corpus parallel."""
     shard = (
         F.conv(
             F.substring(
@@ -138,8 +137,8 @@ ORDER BY source
 @query("domain_frequency_cap", oracle=_DOMAIN_CAP_ORACLE)
 def q_domain_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain frequency capping: each source keeps at most
-    {cap} documents, chosen by quality proxy (n_chars desc, doc_id
-    tie-break). The implementation is the SKEW-AWARE split a 100 TB corpus
+    ``_DOMAIN_CAP`` (20) documents, chosen by quality proxy (n_chars desc,
+    doc_id tie-break). The implementation is the SKEW-AWARE split a 100 TB corpus
     needs: one map-combined count finds which domains are over cap, docs
     in under-cap domains PASS THROUGH with no sort at all, and only the
     over-cap domains' partitions pay the rank window — so a web crawl
@@ -147,7 +146,7 @@ def q_domain_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy-hitters sorts only the heavy hitters (and those can be salted
     into a two-phase per-domain top-K if a single domain outgrows a
     partition). The oracle ranks everything — same answer, the split is
-    invisible.""".format(cap=_DOMAIN_CAP)
+    invisible."""
     from pyspark.sql.window import Window as _W
 
     docs = load_table(spark, sf_dir, "documents").select(

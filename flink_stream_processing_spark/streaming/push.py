@@ -212,20 +212,23 @@ class MetricsPushServer:
             if kind == "info":  # plain-HTTP probe answered; not a client
                 conn.close()
                 continue
+            if kind == "sockjs":
+                # SockJS open frame BEFORE the connection becomes visible
+                # to broadcast(): registering first would let a concurrent
+                # broadcast interleave an a[...] frame ahead of (or into)
+                # the mandatory 'o' (sockjs-protocol: the sub-transport is
+                # not usable until the server says 'o').
+                try:
+                    conn.sendall(encode_text_frame("o"))
+                except OSError:
+                    conn.close()
+                    continue
             with self._lock:
                 self._state[conn] = {
                     "stomp": False,
                     "sockjs": kind == "sockjs",
                     "subs": {},
                 }
-            if kind == "sockjs":
-                # SockJS open frame: the sub-transport is not usable until
-                # the server says 'o' (sockjs-protocol §Protocol and framing).
-                try:
-                    conn.sendall(encode_text_frame("o"))
-                except OSError:
-                    self._drop(conn)
-                    continue
             threading.Thread(
                 target=self._client_loop, args=(conn,), daemon=True
             ).start()

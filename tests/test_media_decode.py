@@ -164,3 +164,28 @@ def test_mp4_special_box_sizes_and_v1_mvhd():
     # malformed largesize < 16 must stop cleanly, not loop or raise
     bad = struct.pack(">I4s", 1, b"ftyp") + struct.pack(">Q", 8)
     assert _walk_mp4(bad) == (None, None, None, None)
+
+
+def test_mp4_truncated_boxes_stop_cleanly():
+    """Boxes whose declared size exceeds the buffer (truncated downloads)
+    must parse what exists and stop — never read past the end or raise."""
+    import struct
+
+    from flink_stream_processing_spark.operators.multimodal import _walk_mp4
+
+    # moov declares 1000 bytes but the file ends after a cut mvhd header
+    ftyp = struct.pack(">I4s", 16, b"ftyp") + b"isom" + b"\x00\x00\x02\x00"
+    moov = struct.pack(">I4s", 1000, b"moov") + struct.pack(">I4s", 108, b"mvhd") + b"\x00" * 10
+    out = _walk_mp4(ftyp + moov)
+    assert out[0] == "isom" and out[1] is None and out[2] is None
+
+    # v1 mvhd cut before its 64-bit duration
+    mvhd_v1_cut = (
+        struct.pack(">I4s", 120, b"mvhd") + b"\x01\x00\x00\x00" + b"\x00" * 8
+    )
+    moov2 = struct.pack(">I4s", 0, b"moov") + mvhd_v1_cut
+    assert _walk_mp4(moov2) == (None, None, None, None)
+
+    # largesize lying beyond EOF: clamped, not overread
+    big = struct.pack(">I4s", 1, b"ftyp") + struct.pack(">Q", 10_000) + b"avc1"
+    assert _walk_mp4(big)[0] == "avc1"
