@@ -275,3 +275,27 @@ def test_metadata_only_stats_pushes_aggregation_to_footer(spark):
 
     plan = formatted_plan(QUERIES["metadata_only_stats"](spark, SF_DIR))
     assert "PushedAggregation" in plan
+
+
+def test_dynamic_partition_overwrite_layout_prunes(spark):
+    """The hive-partitioned layout the DPO query writes must actually
+    prune: a filter on the partition column appears as a PartitionFilters
+    entry on the scan (planning-time directory pruning — zero I/O for
+    excluded partitions), not as a post-scan Filter over all rows."""
+    from flink_stream_processing_spark.plans import formatted_plan
+    from flink_stream_processing_spark.queries_impl.file_formats import (
+        _DPO_DIRS,
+        q_dynamic_partition_overwrite,
+    )
+    from .conftest import SF_DIR
+    import os
+
+    q_dynamic_partition_overwrite(spark, SF_DIR).collect()  # materialize dirs
+    tbl = os.path.join(_DPO_DIRS[SF_DIR], "events_by_type")
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(tbl).filter(F.col("event_type") == "purchase")
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters", 1
+    )[1].split("]", 1)[0], plan
