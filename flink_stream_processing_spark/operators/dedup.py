@@ -145,7 +145,20 @@ def band_hashes(
 ) -> DataFrame:
     """Stacked (id, band_id, band_hash) rows — the LSH bucket table. This is
     also the persistable *signature store* schema for incremental dedup:
-    O(docs*bands) narrow rows, independent of text size."""
+    O(docs*bands) narrow rows, independent of text size.
+
+    ``bands`` must divide ``num_perm`` exactly: bands > num_perm would give
+    zero rows per band (a CONSTANT band hash putting the whole corpus in
+    one bucket), and a non-divisor would silently drop the leftover
+    permutations — both change the documented (bands, rows) S-curve, so
+    they fail here instead."""
+    if bands <= 0 or num_perm % bands != 0:
+        raise ValueError(
+            f"band_hashes: bands={bands} must be a positive divisor of "
+            f"num_perm={num_perm} (rows per band = num_perm // bands); a "
+            f"remainder would silently discard permutations and change the "
+            f"LSH operating point"
+        )
     rows = num_perm // bands
     band_cols = [
         F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
@@ -347,7 +360,14 @@ def incremental_exact_dedup(
 
 def exact_fingerprint_store(corpus: DataFrame, text: str = "text") -> DataFrame:
     """The persisted side of incremental_exact_dedup: distinct md5
-    fingerprints of the existing corpus."""
+    fingerprints of the existing corpus.
+
+    NORMALIZATION CONTRACT: this family fingerprints ``md5(lower(trim(
+    text)))`` — internal whitespace PRESERVED. ``text.fingerprint``'s
+    ``fp_md5`` additionally collapses whitespace runs; the two are
+    deliberately different keys (byte-exact dup vs whitespace-insensitive
+    dup) and a store built with one must never be probed with the other —
+    pick per pipeline and keep both sides on the same definition."""
     return corpus.select(
         F.md5(F.lower(F.trim(F.col(text)))).alias("fingerprint")
     ).distinct()
@@ -628,6 +648,7 @@ def connected_components(
     # carrier is cast to the label's OWN dtype, not a hardcoded long.
     lbl_type = labels.schema["lbl"].dataType
     spark.conf.set(sp_key, str(loop_parts))
+    converged = False
     try:
         for _ in range(max_iter):
             neigh = edges.join(labels, edges["src"] == labels["node"]).select(
@@ -660,9 +681,22 @@ def connected_components(
             changed = new.filter(F.col("lbl") != F.col("own")).count()
             labels = new.select("node", "lbl")
             if changed == 0:
+                converged = True
                 break
     finally:
         spark.conf.set(sp_key, old_sp)
+    if not converged:
+        # A partially-propagated labeling looks exactly like a final one
+        # (distinct labels inside one true component) and silently breaks
+        # every KEEP/DROP decision built on it — loud failure, same
+        # contract as the bucket/df guards. Path halving converges in
+        # O(log diameter) rounds, so hitting this means max_iter is far
+        # too small for the graph (or the graph is adversarial).
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds; raise max_iter (rounds needed ~ "
+            f"log2(component diameter))"
+        )
     return labels
 
 

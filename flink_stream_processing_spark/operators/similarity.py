@@ -21,6 +21,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _require_integral_ids(df: DataFrame, cols: list[str], where: str) -> None:
+    """The Arrow grouped-map stages in this module emit ids through
+    hardcoded ``long`` schemas; a non-integral id column would corrupt or
+    crash deep inside a pandas worker, far from the call site. Fail HERE,
+    loudly, instead."""
+    for c in cols:
+        dt = df.schema[c].dataType.typeName()
+        if dt not in ("byte", "short", "integer", "long"):
+            raise TypeError(
+                f"{where}: column {c!r} must be an integral id type for the "
+                f"Arrow stages (got {dt}); map your ids to longs first "
+                f"(e.g. xxhash64 or a dense rank)"
+            )
+
+
 def dot(a: str | Column, b: str | Column) -> Column:
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
     return F.aggregate(
@@ -210,6 +225,7 @@ def hyperplane_lsh_tables(
         StructType,
     )
 
+    _require_integral_ids(embeddings, [id_col], "hyperplane_lsh_tables")
     planes = [
         plane_matrix(planes_per_table, dim, seed=1000 + t) for t in range(n_tables)
     ]
@@ -284,13 +300,20 @@ def embedding_near_dup_pairs(
     buckets and silently cuts recall)."""
     from pyspark.sql.types import LongType, StructField, StructType
 
+    _require_integral_ids(embeddings, [id_col], "embedding_near_dup_pairs")
     stacked = hyperplane_lsh_tables(
         embeddings, n_tables, planes_per_table, id_col, vec_col, dim
     )
     pair_schema = StructType(
         [StructField("id_a", LongType()), StructField("id_b", LongType())]
     )
-    eps = 1e-6  # covers numpy-vs-JVM summation-order drift at the boundary
+    # Prefilter epsilon must cover BOTH numpy-vs-JVM summation-order drift
+    # AND the verify stage's round-to-5-decimals half-width (5e-6): the
+    # exact stage accepts round(sim, 5) >= threshold, so a true cosine of
+    # threshold - 4.9e-6 is a positive — the prefilter may only discard
+    # pairs strictly below threshold - 5e-6 - drift. 1e-5 bounds that;
+    # a too-small eps here is a deterministic recall hole at the boundary.
+    eps = 1e-5
 
     def bucket_pairs(pdf):
         import numpy as np
@@ -481,6 +504,9 @@ def mmr_rerank(
     """
     import pandas as pd
 
+    _require_integral_ids(
+        candidates_with_vecs, [query_id_col, id_col], "mmr_rerank"
+    )
     c = candidates_with_vecs.select(
         F.col(query_id_col).alias("qid"),
         F.col(id_col).alias("cid"),
@@ -501,13 +527,30 @@ def mmr_rerank(
                     ).alias("s"),
         )
     )
+    # A query with exactly ONE candidate produces zero pair rows (ia != ib
+    # filters everything), which would make its group vanish from the
+    # grouped-map output entirely — the correct answer is that candidate at
+    # rank 1. Null-partner marker rows keep every candidate (and therefore
+    # every query) present; the greedy ignores them for similarity lookups.
+    markers = c.select(
+        "qid",
+        F.col("cid").alias("ia"),
+        F.col("rel").alias("rel_a"),
+        F.lit(None).cast("long").alias("ib"),
+        F.lit(None).cast("double").alias("s"),
+    )
+    pairs = pairs.unionByName(markers)
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = int(pdf["qid"].iloc[0])
         rel = (
             pdf.drop_duplicates("ia").set_index("ia")["rel_a"].to_dict()
         )
-        sim = {(int(r.ia), int(r.ib)): float(r.s) for r in pdf.itertuples()}
+        sim = {
+            (int(r.ia), int(r.ib)): float(r.s)
+            for r in pdf.itertuples()
+            if pd.notna(r.ib)
+        }
         remaining = sorted(rel)
         picked: list[tuple[int, float]] = []
         while remaining and len(picked) < k:

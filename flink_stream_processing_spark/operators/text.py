@@ -33,6 +33,13 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def tokens_col(text: str = "text") -> Column:
+    """Whitespace tokenization CONVENTION shared by every token surface in
+    the package AND by the DuckDB oracles (string_split on the same
+    regex): note ``split('')`` yields ``['']``, so an empty/whitespace-only
+    document counts as ONE empty token on both engines. Changing this
+    (e.g. filtering the empty token) must be done in lock-step with every
+    oracle; on the driver corpora no document is empty, so the convention
+    is never load-bearing there."""
     return F.split(F.lower(F.trim(F.col(text))), TOKEN_SPLIT_RE)
 
 
@@ -130,50 +137,46 @@ def fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
 def fuzzy_name_pairs(
     df, name_col: str, max_dist: int = 1
 ):
-    """Fuzzy self-join on a string column: pairs of DISTINCT values within
-    ``max_dist`` Levenshtein edits — via WILDCARD-POSITION keys (the
-    SymSpell / symmetric-delete construction), never an all-pairs cross
-    product.
+    """Fuzzy self-join on a string column: ALL pairs of DISTINCT values
+    within ``max_dist`` Levenshtein edits — via SYMMETRIC-DELETE keys
+    (SymSpell), never an all-pairs cross product.
 
-    Each value emits one key per character position with that position
-    wildcarded; two equal-length strings within 1 substitution share the
-    key wildcarding their differing position (and every shared key for
-    identical prefixes is still position-specific, so a constant prefix
-    does NOT create a giant bucket — the failure mode of naive segment
-    banding, where a low-entropy segment collapses one band into an
-    O(n²) clique; this was measured, not hypothesized). Candidates are
-    verified with exact ``levenshtein``: precision 1.0, recall 1.0 in the
-    equal-length substitution regime. Insert/delete edits change length; a
-    length-tolerant variant also emits deletion keys per position (same
-    construction, one more key set) — omitted here because every corpus
-    name is fixed-width.
+    Each value emits its full string plus every single-character deletion
+    as keys: two strings with lev <= 1 always share a key — a
+    substitution at position p makes both deletions at p equal, and for
+    an insert/delete pair the shorter string IS a deletion key of the
+    longer. This covers the full edit alphabet (substitution AND
+    insert/delete, i.e. cross-length pairs), unlike position-wildcard
+    keys, which silently miss length-changing edits. Shared-prefix mass
+    does NOT collapse into one giant bucket (keys stay position-sensitive
+    through the deleted character's absence); the loud bucket guard
+    catches pathological cliques. Candidates are verified with exact
+    ``levenshtein``: precision 1.0, recall 1.0 for max_dist=1 by the
+    construction above.
 
-    Cost: O(n · length) narrow (key, value) rows — linear in data, buckets
-    bounded by alphabet size. Only max_dist=1 is supported (higher radii
-    need multi-position wildcards, combinatorial in length).
+    Cost: O(n · length) narrow (key, value) rows — linear in data. Only
+    max_dist=1 is supported (higher radii need multi-deletion key sets,
+    combinatorial in length).
     """
     if max_dist != 1:
-        raise ValueError("wildcard-position keying supports max_dist=1 only")
-    from pyspark.sql import functions as F
+        raise ValueError("symmetric-delete keying supports max_dist=1 only")
+    from .dedup import MAX_BUCKET_SIZE, _BUCKET_PAIR_EXPR, _guard_bucket_size
 
     names = df.select(F.col(name_col).alias("name")).distinct()
-    stacked = names.select(
-        "name",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(name)), p -> "
-                "concat(CAST(length(name) AS STRING), '|', CAST(p AS STRING), '|', "
-                "substring(name, 1, p - 1), char(1), substring(name, p + 1, length(name) - p)))"
-            )
-        ).alias("wkey"),
+    # p = 0 -> the string itself; p >= 1 -> deletion at position p.
+    stacked = (
+        names.select(
+            "name",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, length(name)), p -> IF(p = 0, name, "
+                    "concat(substring(name, 1, p - 1), "
+                    "substring(name, p + 1, length(name) - p))))"
+                )
+            ).alias("wkey"),
+        )
+        .distinct()  # repeated chars give identical deletion keys
     )
-    pair_expr = """
-    flatten(transform(ds, x ->
-      filter(transform(ds, y -> IF(x < y, struct(x AS name_a, y AS name_b), null)),
-             z -> z IS NOT NULL)))
-    """
-    from .dedup import MAX_BUCKET_SIZE, _guard_bucket_size
-
     buckets = _guard_bucket_size(
         stacked.groupBy("wkey")
         .agg(F.collect_list("name").alias("ds"))
@@ -181,8 +184,8 @@ def fuzzy_name_pairs(
         MAX_BUCKET_SIZE,
     )
     return (
-        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select("p.name_a", "p.name_b")
+        buckets.select(F.explode(F.expr(_BUCKET_PAIR_EXPR)).alias("p"))
+        .select(F.col("p.doc_a").alias("name_a"), F.col("p.doc_b").alias("name_b"))
         .distinct()
         .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
         .filter(F.col("dist") <= max_dist)

@@ -69,3 +69,35 @@ def test_kmeans_objective_decreases_and_is_deterministic(spark):
     a = sorted((r["id"], r["cluster"]) for r in conv.collect())
     b = sorted((r["id"], r["cluster"]) for r in again.collect())
     assert a == b  # bit-deterministic across runs
+
+
+def test_mmr_single_candidate_query_survives(spark):
+    """A query with exactly one candidate must return that candidate at
+    rank 1 (the pair self-join alone would drop the whole group)."""
+    from flink_stream_processing_spark.operators.similarity import mmr_rerank
+
+    rows = [
+        (1, 10, 0.9, [1.0, 0.0]),         # query 1: single candidate
+        (2, 20, 0.8, [1.0, 0.0]),         # query 2: two candidates
+        (2, 21, 0.7, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "query_id long, vec_id long, rel double, embedding array<double>"
+    )
+    out = {(r.query_id, r.rank): r.vec_id for r in mmr_rerank(df, k=2).collect()}
+    assert out[(1, 1)] == 10
+    assert out[(2, 1)] == 20 and out[(2, 2)] == 21
+
+
+def test_similarity_rejects_non_integral_ids(spark):
+    import pytest
+
+    from flink_stream_processing_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0])], "vec_id string, embedding array<double>"
+    )
+    with pytest.raises(TypeError, match="integral id"):
+        embedding_near_dup_pairs(df, dim=2)

@@ -146,3 +146,33 @@ def test_domain_frequency_cap_passthrough_and_ranked_branches(spark):
     assert out["big"].n_docs == 30 and out["big"].n_kept == 20
     # top 20 by n_chars desc: 1000..981
     assert out["big"].chars_kept == sum(range(981, 1001))
+
+
+def test_fuzzy_name_pairs_cross_length_edits(spark):
+    """Symmetric-delete keys must find insert/delete pairs (lengths differ
+    by 1), not just substitutions — the gap position-wildcard keys had."""
+    from flink_stream_processing_spark.operators.text import fuzzy_name_pairs
+
+    df = spark.createDataFrame(
+        [("abc",), ("abcd",), ("abd",), ("xyz",)], "name string"
+    )
+    got = {
+        (r.name_a, r.name_b)
+        for r in fuzzy_name_pairs(df, "name", max_dist=1).collect()
+    }
+    assert ("abc", "abcd") in got   # insertion
+    assert ("abc", "abd") in got    # substitution
+    assert ("abcd", "abd") in got   # deletion (abcd -> abd removes 'c')
+    assert not any("xyz" in p for p in got)
+
+
+def test_band_hashes_rejects_bad_band_count(spark):
+    import pytest
+
+    from flink_stream_processing_spark.operators.dedup import band_hashes
+
+    sigs = spark.createDataFrame([(1, 2, 3)], "doc_id long, mh0 long, mh1 long")
+    with pytest.raises(ValueError, match="divisor"):
+        band_hashes(sigs, num_perm=2, bands=64)
+    with pytest.raises(ValueError, match="divisor"):
+        band_hashes(sigs, num_perm=32, bands=12)
