@@ -217,6 +217,47 @@ def q_streaming_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream_to_table(spark, running_event_counts(events), "append")
 
 
+
+_INTERVAL_JOIN_COND = (
+    "c_user = e_user AND e_ts >= c_ts - INTERVAL 1 HOUR"
+    " AND e_ts <= c_ts + INTERVAL 1 HOUR"
+)
+
+
+def _click_error_streams(spark: SparkSession, d: str, watermark: str):
+    """The clicks/errors halves of the events file stream (one source
+    DataFrame fanned out to both sides, each independently watermarked)
+    plus the shared ±1 h interval-join predicate — the single definition
+    behind the inner / left-outer / left-semi interval-join queries, so the
+    range bound and watermark policy cannot silently diverge between
+    them."""
+    from pyspark.sql import functions as F
+
+    from ..streaming.pipeline import events_file_stream
+
+    s = events_file_stream(spark, d)
+    clicks = (
+        s.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    errors = (
+        s.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+            F.col("value").alias("e_value"),
+        )
+        .withWatermark("e_ts", watermark)
+    )
+    return clicks, errors, F.expr(_INTERVAL_JOIN_COND)
+
+
 @query("streaming_interval_join", oracle=_INTERVAL_ORACLE)
 def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STREAM interval join — Structured Streaming's marquee stateful
@@ -229,37 +270,10 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     `interval_join_click_errors`."""
     from pyspark.sql import functions as F
 
-    from ..streaming.pipeline import events_file_stream
-
-    d = _events_stream_dir(sf_dir)
-    clicks = (
-        events_file_stream(spark, d)
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "2 hours")
+    clicks, errors, cond = _click_error_streams(
+        spark, _events_stream_dir(sf_dir), "2 hours"
     )
-    errors = (
-        events_file_stream(spark, d)
-        .filter(F.col("event_type") == "error")
-        .select(
-            F.col("event_id").alias("error_id"),
-            F.col("user_id").alias("e_user"),
-            F.col("ts").alias("e_ts"),
-            F.col("value").alias("e_value"),
-        )
-        .withWatermark("e_ts", "2 hours")
-    )
-    joined = clicks.join(
-        errors,
-        F.expr(
-            "c_user = e_user AND e_ts >= c_ts - INTERVAL 1 HOUR"
-            " AND e_ts <= c_ts + INTERVAL 1 HOUR"
-        ),
-    ).select(
+    joined = clicks.join(errors, cond).select(
         "click_id",
         "error_id",
         F.col("c_user").alias("user_id"),
@@ -348,37 +362,10 @@ def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFra
     matched rows carry the error, unmatched carry nulls."""
     from pyspark.sql import functions as F
 
-    d = _events_outer_stream_dir(spark, sf_dir)
-    from ..streaming.pipeline import events_file_stream
-
-    s = events_file_stream(spark, d)
-    clicks = (
-        s.filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "10 minutes")
+    clicks, errors, cond = _click_error_streams(
+        spark, _events_outer_stream_dir(spark, sf_dir), "10 minutes"
     )
-    errors = (
-        s.filter(F.col("event_type") == "error")
-        .select(
-            F.col("event_id").alias("error_id"),
-            F.col("user_id").alias("e_user"),
-            F.col("ts").alias("e_ts"),
-            F.col("value").alias("e_value"),
-        )
-        .withWatermark("e_ts", "10 minutes")
-    )
-    joined = clicks.join(
-        errors,
-        F.expr(
-            "c_user = e_user AND e_ts >= c_ts - INTERVAL 1 HOUR"
-            " AND e_ts <= c_ts + INTERVAL 1 HOUR"
-        ),
-        "leftOuter",
-    ).select(
+    joined = clicks.join(errors, cond, "leftOuter").select(
         "click_id",
         "error_id",
         F.col("c_user").alias("user_id"),
@@ -411,7 +398,8 @@ WITH hourly AS (
 SELECT event_type, epoch_ms(date_trunc('day', h))::BIGINT AS day_ms,
        max(n) AS max_hourly, CAST(count(*) AS BIGINT) AS n_hours
 FROM hourly
-WHERE date_trunc('day', h) < (SELECT date_trunc('day', max(ts)) FROM events)
+WHERE date_trunc('day', h) + INTERVAL 1 DAY
+      <= (SELECT max(ts) - INTERVAL 5 SECONDS FROM events)
 GROUP BY 1, 2
 ORDER BY event_type, day_ms
 """
@@ -426,10 +414,13 @@ def q_streaming_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     column). Flink expresses this as window(...).aggregate() feeding a
     second keyed window; here both levels stay declarative and the state
     for each level is bounded by its own watermark horizon. Append mode
-    emits each day's row once its watermark passes. The final (still-open)
-    day never finalizes in append mode — its window end is beyond the last
-    watermark — so the stream emits exactly the fully-closed days and the
-    oracle matches that semantics with ``day < date_trunc('day', max ts)``."""
+    emits each day's row once its watermark passes. A day finalizes iff
+    the FINAL watermark (max event ts minus the 5 s delay) reaches its
+    window END — and the oracle encodes exactly that bound
+    (``day + 1 day <= max(ts) - 5 s``), not the superficially-equivalent
+    "every day before max(ts)'s day": the two disagree precisely when max
+    ts falls within 5 s after midnight, where the last closed day's window
+    is still held open by the watermark delay."""
     from pyspark.sql import functions as F
 
     from ..streaming.pipeline import events_file_stream
@@ -623,36 +614,10 @@ def q_streaming_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     click) are hash-gated."""
     from pyspark.sql import functions as F
 
-    from ..streaming.pipeline import events_file_stream
-
-    d = _events_stream_dir(sf_dir)
-    clicks = (
-        events_file_stream(spark, d)
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-        )
-        .withWatermark("c_ts", "2 hours")
+    clicks, errors, cond = _click_error_streams(
+        spark, _events_stream_dir(sf_dir), "2 hours"
     )
-    errors = (
-        events_file_stream(spark, d)
-        .filter(F.col("event_type") == "error")
-        .select(
-            F.col("user_id").alias("e_user"),
-            F.col("ts").alias("e_ts"),
-        )
-        .withWatermark("e_ts", "2 hours")
-    )
-    joined = clicks.join(
-        errors,
-        F.expr(
-            "c_user = e_user AND e_ts >= c_ts - INTERVAL 1 HOUR"
-            " AND e_ts <= c_ts + INTERVAL 1 HOUR"
-        ),
-        "left_semi",
-    ).select(
+    joined = clicks.join(errors, cond, "left_semi").select(
         "click_id",
         F.col("c_user").alias("user_id"),
         F.unix_millis("c_ts").alias("click_ms"),

@@ -230,20 +230,38 @@ def _jdbc_connection(spark: SparkSession, url: str, props: dict[str, str]):
     return jvm.java.sql.DriverManager.getConnection(url, jprops)
 
 
+def _default_checkpoint(prefix: str) -> str:
+    """Fresh unique checkpoint dir. A FIXED default path would make
+    unrelated runs resume each other's checkpoints — the restarted query
+    then treats the previous run's listed files as already processed
+    (silent data loss) or aborts on metadata mismatch. Production
+    deployments pass an explicit durable location; the unique default is
+    for ad-hoc/test runs, where cross-run resume is never wanted."""
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=prefix)
+
+
 def write_jdbc_metrics(
     df: DataFrame,
     url: str,
     table: str = "remittance_metrics",
     properties: dict[str, str] | None = None,
-    checkpoint: str = "/tmp/ckpt-remittance-metrics",
+    checkpoint: str | None = None,
 ) -> DataStreamWriter:
     """K3: JDBC sink via foreachBatch append (StreamJob.java:176-215). Each
     micro-batch holds the newly-closed windows, so the reference's
-    batch-size-1 cadence is subsumed; exactly-once to the table comes from
-    the checkpoint + idempotent append of closed windows. Exercised
-    end-to-end against a live embedded-Derby JDBC database in
-    tests/test_jdbc_sink.py (PostgreSQL swaps in via url/properties)."""
+    batch-size-1 cadence is subsumed. Delivery is AT-LEAST-ONCE to the
+    table: a crash between the JDBC commit and Spark's micro-batch commit
+    log replays that batch's append on restart (the reference's own JDBC
+    append has the same contract). For exactly-once-converging state use
+    ``write_jdbc_upsert`` — its keyed DELETE+INSERT makes replays
+    idempotent. Exercised end-to-end against a live embedded-Derby JDBC
+    database in tests/test_jdbc_sink.py (PostgreSQL swaps in via
+    url/properties)."""
     props = {"driver": "org.postgresql.Driver", **(properties or {})}
+    if checkpoint is None:
+        checkpoint = _default_checkpoint("ckpt-remittance-metrics-")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").jdbc(url, table, properties=props)
@@ -261,7 +279,7 @@ def write_jdbc_upsert(
     table: str,
     keys: list[str],
     properties: dict[str, str] | None = None,
-    checkpoint: str = "/tmp/ckpt-remittance-upsert",
+    checkpoint: str | None = None,
     output_mode: str = "update",
     create_column_types: str | None = None,
 ) -> DataStreamWriter:
@@ -294,28 +312,70 @@ def write_jdbc_upsert(
     identical table. The DELETE+INSERT pair is ANSI (EXISTS subquery), so
     Derby in tests and PostgreSQL in production run the same statements.
     At scale the per-batch cost is O(changed keys), not O(table): the
-    staging table only ever holds one micro-batch's updated windows.
+    staging table only ever holds one micro-batch's updated windows, and
+    its name is unique per sink INSTANCE (concurrent queries upserting the
+    same target cannot clobber each other's staging data mid-merge; the
+    per-instance staging table is left behind on teardown — drop it with
+    the checkpoint when decommissioning a query).
     Reference scope: StreamJob.java:176-215 writes append-only JDBC; this
     is the upgrade a restartable deployment of that job needs."""
+    import uuid
+
     props = {"driver": "org.postgresql.Driver", **(properties or {})}
     _check_sql_identifier(table)
-    staging = _staging_name(table)
+    # Key names are spliced into the merge DML inside double quotes —
+    # validate at CONSTRUCTION (the docstring's contract) so a bad key
+    # fails here, not as a per-batch SQL syntax error (or, with hostile
+    # names, DML injection into the driver-side transaction).
+    for k in keys:
+        if not _PLAIN_IDENT.match(k) or '"' in k:
+            raise ValueError(
+                f"upsert key {k!r} is not a plain SQL identifier; keys are "
+                f"quoted verbatim into the merge DML"
+            )
+    # Per-sink-instance staging name: a FIXED derivative of the target
+    # would let two concurrent upsert queries on the same table (rolling
+    # restart overlap, twin pipelines) overwrite each other's staging data
+    # between the stage write and the merge txn — one query would then
+    # merge the other's rows and silently lose its own batch.
+    staging = _staging_name(f"{table}_{uuid.uuid4().hex[:8]}")
     key_tuple = ", ".join(f'"{k}"' for k in keys)
+    target_created = False
 
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal target_created
         cols = batch_df.columns
-        # creates the target on first batch (JDBC append creates missing
-        # tables); limit(0) ships no rows. ``create_column_types`` (Spark's
-        # createTableColumnTypes DDL fragment) overrides the dialect's
-        # default type mapping — required for STRING key columns on
-        # dialects that map them to CLOB/TEXT types the merge DML cannot
-        # compare (Derby: GROUP BY/EXISTS on CLOB is an error).
-        creator = batch_df.limit(0).write.mode("append")
+        for c in cols:
+            if '"' in c:
+                raise ValueError(
+                    f"column {c!r} contains a double quote; it cannot be "
+                    f"spliced into the merge DML"
+                )
+        missing = [k for k in keys if k not in cols]
+        if missing:
+            raise ValueError(
+                f"upsert keys {missing} are not columns of the micro-batch "
+                f"({cols})"
+            )
+        # creates the target on the FIRST batch only (JDBC append creates
+        # missing tables; limit(0) ships no rows) — not per batch, which
+        # would add a Spark job + JDBC round-trip to every batch forever.
+        # ``create_column_types`` (Spark's createTableColumnTypes DDL
+        # fragment) overrides the dialect's default type mapping — required
+        # for STRING key columns on dialects that map them to CLOB/TEXT
+        # types the merge DML cannot compare (Derby: GROUP BY/EXISTS on
+        # CLOB is an error).
         stager = batch_df.write.mode("overwrite")
         if create_column_types:
-            creator = creator.option("createTableColumnTypes", create_column_types)
             stager = stager.option("createTableColumnTypes", create_column_types)
-        creator.jdbc(url, table, properties=props)
+        if not target_created:
+            creator = batch_df.limit(0).write.mode("append")
+            if create_column_types:
+                creator = creator.option(
+                    "createTableColumnTypes", create_column_types
+                )
+            creator.jdbc(url, table, properties=props)
+            target_created = True
         stager.jdbc(url, staging, properties=props)
         # table-name-qualified correlation (not an alias): the one DELETE
         # spelling both Derby and PostgreSQL accept. Columns must be
@@ -359,6 +419,8 @@ def write_jdbc_upsert(
         finally:
             conn.close()
 
+    if checkpoint is None:
+        checkpoint = _default_checkpoint("ckpt-remittance-upsert-")
     return (
         df.writeStream.foreachBatch(upsert_batch)
         .outputMode(output_mode)

@@ -417,3 +417,54 @@ def test_transform_with_state_parity(spark, request):
         """,
         SF_DIR,
     )
+
+
+def test_chained_agg_midnight_boundary_withholds_unclosed_day(spark, tmp_path):
+    """When max event ts falls WITHIN the watermark delay after midnight,
+    the final watermark (max_ts - 5 s) has not reached the previous day's
+    window end — that day must NOT be emitted, exactly as the oracle's
+    ``day + 1 day <= max(ts) - 5 s`` bound encodes (the naive
+    "every day before max(ts)'s day" predicate would expect it)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_stream_processing_spark.queries_impl.windows_extra import (
+        q_streaming_chained_agg,
+    )
+
+    def write_events(path, max_ts):
+        # one flat parquet FILE (the file stream does not descend into
+        # subdirectories), timestamps in micros like the driver corpora
+        day1 = dt.datetime(2024, 3, 1, 23, 0, 0)
+        tbl = pa.table(
+            {
+                "event_id": pa.array([1, 2, 3], pa.int64()),
+                "ts": pa.array(
+                    [day1, day1 + dt.timedelta(minutes=30), max_ts],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([10, 11, 12], pa.int64()),
+                "event_type": pa.array(["click"] * 3),
+                "value": pa.array([1.0] * 3, pa.float64()),
+                "props": pa.array([None] * 3, pa.string()),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    d = tmp_path / "events_boundary"
+    d.mkdir()
+    # max ts: 2 s after midnight -> watermark ends at 23:59:57 of day 1
+    write_events(str(d / "events.parquet"), dt.datetime(2024, 3, 2, 0, 0, 2))
+    out = q_streaming_chained_agg(spark, str(d)).collect()
+    assert out == []  # day 1 is NOT closed by the final watermark
+
+    # move max ts past the delay: day 1 closes and must now be emitted
+    d2 = tmp_path / "events_boundary2"
+    d2.mkdir()
+    write_events(str(d2 / "events.parquet"), dt.datetime(2024, 3, 2, 0, 0, 30))
+    out2 = q_streaming_chained_agg(spark, str(d2)).collect()
+    assert len(out2) == 1
+    assert out2[0].event_type == "click" and out2[0].n_hours == 1
+    assert out2[0].max_hourly == 2
