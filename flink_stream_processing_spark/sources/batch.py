@@ -31,8 +31,14 @@ TIMESTAMP_NANOS_COLS: dict[str, tuple[str, ...]] = {
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Runtime-settable; guards sessions built outside session.get_spark
-    # (e.g. the driver's own session).
+    # (e.g. the driver's own session). The timezone pin matters for the
+    # NTZ->TIMESTAMP normalization below: the cast reinterprets wall-clock
+    # values in the SESSION timezone, so a foreign session running in,
+    # say, America/New_York would silently shift every event time by
+    # hours. The whole engine's event-time math (windows, epoch millis,
+    # oracles) is defined in UTC — pin it wherever tables are loaded.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in TIMESTAMP_NANOS_COLS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
@@ -66,6 +72,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
+def _fmt_options(fmt: str) -> dict[str, str]:
+    """The per-format reader/writer options, defined ONCE: the schema-on-
+    read round-trip gates require the writer and reader to use byte-
+    identical option sets, so they must not be maintained as two separate
+    if-chains that can drift."""
+    if fmt == "csv":
+        return {"header": "true", "timestampFormat": _TS_FMT}
+    if fmt == "json":
+        return {"timestampFormat": _TS_FMT}
+    if fmt == "xml":
+        # Spark 4 native XML (built-in since 4.0; no spark-xml package).
+        return {"rowTag": "row", "timestampFormat": _TS_FMT}
+    return {}
+
+
 def export_table(
     spark: SparkSession, sf_dir: str, name: str, fmt: str, out_dir: str
 ) -> None:
@@ -74,26 +95,20 @@ def export_table(
     same formats)."""
     df = load_table(spark, sf_dir, name)
     w = df.write.mode("overwrite").format(fmt)
-    if fmt == "csv":
-        w = w.option("header", "true").option("timestampFormat", _TS_FMT)
-    if fmt == "json":
-        w = w.option("timestampFormat", _TS_FMT)
-    if fmt == "xml":
-        # Spark 4 native XML (built-in since 4.0; no spark-xml package).
-        w = w.option("rowTag", "row").option("timestampFormat", _TS_FMT)
+    for k, v in _fmt_options(fmt).items():
+        w = w.option(k, v)
     w.save(out_dir)
 
 
 def load_table_fmt(spark: SparkSession, path: str, schema, fmt: str) -> DataFrame:
-    """Read a table from csv/json/orc with an EXPLICIT schema (schema-on-
-    read; no inference pass). ``schema`` is a StructType — in practice the
-    canonical table's own schema (``load_table(...).schema``), i.e. the
-    catalog supplies types, the file supplies bytes."""
-    r = spark.read.format(fmt)
-    if fmt in ("csv", "json", "xml"):
-        r = r.schema(schema).option("timestampFormat", _TS_FMT)
-        if fmt == "csv":
-            r = r.option("header", "true")
-        if fmt == "xml":
-            r = r.option("rowTag", "row")
+    """Read a table from csv/json/orc/xml with an EXPLICIT schema (schema-
+    on-read; no inference pass). ``schema`` is a StructType — in practice
+    the canonical table's own schema (``load_table(...).schema``), i.e.
+    the catalog supplies types, the file supplies bytes. The schema is
+    applied for EVERY format including the self-describing ones (orc):
+    the caller's declared types are the contract, not whatever the file
+    happens to embed."""
+    r = spark.read.format(fmt).schema(schema)
+    for k, v in _fmt_options(fmt).items():
+        r = r.option(k, v)
     return r.load(path)

@@ -73,12 +73,27 @@ def streaming_transactions(
     spark: SparkSession, rows_per_second: float = 0.5
 ) -> DataFrame:
     """Streaming generator: rate source -> transaction columns. 0.5 rows/s
-    matches the reference's fixedRate=2000 cadence."""
+    matches the reference's fixedRate=2000 cadence.
+
+    Spark's rate source parses ``rowsPerSecond`` as a LONG (a fractional
+    option string throws NumberFormatException at stream start), so a
+    fractional rate f = p/q is realized as a rate source at p rows/s with
+    every q-th row kept (``value % q == 0``) — exactly p/q rows/s, and the
+    kept ``value`` stream stays deterministic so the synthesis hash chain
+    (and its oracle) is unchanged."""
+    from fractions import Fraction
+
+    frac = Fraction(rows_per_second).limit_denominator(1000)
+    p, q = frac.numerator, frac.denominator
+    if p <= 0:
+        raise ValueError(f"rows_per_second must be positive, got {rows_per_second}")
     rate = (
         spark.readStream.format("rate")
-        .option("rowsPerSecond", rows_per_second)
+        .option("rowsPerSecond", p)
         .load()
     )
+    if q > 1:
+        rate = rate.filter(F.col("value") % q == 0)
     return rate.select(_synthesize(F.col("value"), F.col("timestamp")))
 
 

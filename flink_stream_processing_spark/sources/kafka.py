@@ -19,6 +19,13 @@ from pyspark.sql import functions as F
 from ..schemas import TRANSACTION_SCHEMA
 
 DEFAULT_TOPIC = "remittance-stream"  # StreamJob.java:14
+# ONE default broker address for both directions: a source and sink that
+# default to different listeners would read from one cluster and write to
+# another in any deployment where both happen to resolve. The reference's
+# docker-compose exposes an in-cluster listener (kafka:9093) and a host
+# listener (localhost:29093); callers outside the compose network pass the
+# host listener explicitly.
+DEFAULT_BOOTSTRAP = "kafka:9093"
 
 
 def parse_transaction_wire(values: DataFrame) -> DataFrame:
@@ -50,7 +57,7 @@ def transaction_wire_value(df: DataFrame) -> DataFrame:
 
 def kafka_transaction_source(
     spark: SparkSession,
-    bootstrap_servers: str = "kafka:9093",
+    bootstrap_servers: str = DEFAULT_BOOTSTRAP,
     topic: str = DEFAULT_TOPIC,
     starting_offsets: str = "latest",
 ) -> DataFrame:
@@ -67,11 +74,19 @@ def kafka_transaction_source(
 
 def kafka_transaction_sink(
     df: DataFrame,
-    bootstrap_servers: str = "localhost:29093",
+    bootstrap_servers: str = DEFAULT_BOOTSTRAP,
     topic: str = DEFAULT_TOPIC,
-    checkpoint: str = "/tmp/ckpt-kafka-tx",
+    checkpoint: str | None = None,
 ):
-    """K4: serialize all columns to one JSON value per record."""
+    """K4: serialize all columns to one JSON value per record. The default
+    checkpoint is a fresh unique dir (a fixed shared default would let
+    unrelated runs resume each other's offsets — see
+    streaming/pipeline._default_checkpoint); production passes an explicit
+    durable location."""
+    from ..streaming.pipeline import _default_checkpoint
+
+    if checkpoint is None:
+        checkpoint = _default_checkpoint("ckpt-kafka-tx-")
     return (
         transaction_wire_value(df)
         .writeStream.format("kafka")

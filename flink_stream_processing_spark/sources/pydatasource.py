@@ -29,7 +29,12 @@ from pyspark.sql.datasource import (
 _M = 2147483647  # Lehmer modulus (2^31 - 1)
 _A = 48271  # Lehmer multiplier
 
-CURRENCIES = ["USD", "EUR", "GBP", "JPY", "CNY"]
+# This source's OWN synthetic currency set — intentionally distinct from
+# schemas.CURRENCIES (the reference's remittance table): the list and its
+# order are pinned by the DuckDB oracles that recompute the synthesis
+# formula literally, so editing it means editing those oracle strings in
+# the same change.
+TXN_CURRENCIES = ["USD", "EUR", "GBP", "JPY", "CNY"]
 
 TXN_SCHEMA = (
     "txn_id bigint, amount double, currency string, exchange_rate double"
@@ -41,7 +46,7 @@ def synthesize(i: int) -> tuple:
     oracle recomputes exactly this)."""
     h = (i * _A) % _M
     amount = (h % 1000000) / 100.0
-    cur = CURRENCIES[h % 5]
+    cur = TXN_CURRENCIES[h % len(TXN_CURRENCIES)]
     rate = 0.0 if cur == "CNY" else ((h % 400) + 50) / 100.0
     return (i, amount, cur, rate)
 
@@ -56,8 +61,18 @@ class _TxnReader(DataSourceReader):
     def __init__(self, options):
         self.rows = int(options.get("rows", "1000"))
         self.num_partitions = int(options.get("partitions", "4"))
+        if self.rows < 0:
+            raise ValueError(f"rows must be >= 0, got {self.rows}")
+        if self.num_partitions < 1:
+            raise ValueError(
+                f"partitions must be >= 1, got {self.num_partitions}"
+            )
 
     def partitions(self):
+        if self.rows == 0:
+            # one empty range: returning [] means "unpartitioned" to the
+            # Python datasource API, which then calls read(None)
+            return [_RangePartition(0, 0)]
         per = -(-self.rows // self.num_partitions)  # ceil
         return [
             _RangePartition(lo, min(lo + per, self.rows))
@@ -102,6 +117,12 @@ class _TxnStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options):
         self.total = int(options.get("rows", "1000"))
         self.batch_rows = int(options.get("batch_rows", "250"))
+        if self.total < 0:
+            raise ValueError(f"rows must be >= 0, got {self.total}")
+        if self.batch_rows < 1:
+            # batch_rows <= 0 would return an empty batch with an
+            # unchanged offset forever — a silent stall, not a config error
+            raise ValueError(f"batch_rows must be >= 1, got {self.batch_rows}")
 
     def initialOffset(self) -> dict:  # noqa: N802
         return {"next": 0}

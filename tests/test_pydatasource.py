@@ -39,3 +39,15 @@ def test_read_through_spark(spark):
     assert df.rdd.getNumPartitions() == 3
     got = sorted((r.txn_id, r.currency) for r in df.collect())
     assert got == sorted((i, synthesize(i)[2]) for i in range(100))
+
+
+def test_reader_rejects_bad_options(spark):
+    import pytest
+
+    from flink_stream_processing_spark.sources.pydatasource import register
+
+    register(spark)
+    with pytest.raises(Exception, match="partitions must be"):
+        spark.read.format("txn_gen").option("partitions", 0).load().collect()
+    # rows=0 is a legal EMPTY scan, not a crash
+    assert spark.read.format("txn_gen").option("rows", 0).load().count() == 0
