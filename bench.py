@@ -413,12 +413,20 @@ def main() -> None:
     # The driver keeps only the tail of the run log, which has amputated
     # early per-query timings from the recorded JSON line before (r3); the
     # file copy is the complete record regardless of log truncation.
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
-    try:
-        with open(out_path, "w") as f:
-            f.write(payload + "\n")
-    except OSError as e:
-        print(f"  could not write {out_path}: {e}", file=sys.stderr)
+    # BENCH_LOCAL.json is the committed sf0.1 headline record; a smoke run
+    # at another SF must not clobber it (it has, twice) — those runs print
+    # their JSON line but skip the record file.
+    if abs(sf - 0.1) < 1e-9:
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        )
+        try:
+            with open(out_path, "w") as f:
+                f.write(payload + "\n")
+        except OSError as e:
+            print(f"  could not write {out_path}: {e}", file=sys.stderr)
+    else:
+        print(f"  sf={sf}: BENCH_LOCAL.json (sf0.1 record) left untouched", file=sys.stderr)
     spark.stop()
 
     # Per-query regression gate: a cold-cache-style blow-up (r3's 3-5x
