@@ -10,14 +10,20 @@ sorting columns by name).
 
 from __future__ import annotations
 
+import ast
 import glob
+import hashlib
 import json
 import os
+import subprocess
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_stream_processing_spark import queries as q
+
+_PKG = "flink_stream_processing_spark"
+_HERE = os.path.dirname(os.path.abspath(__file__))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -25,17 +31,201 @@ def entry(spark: SparkSession) -> DataFrame:
     return q.QUERIES["window_metrics"](spark, "/root/testdata/sf0.001")
 
 
+# --------------------------------------------------------------------------
+# Change-aware sweep ordering (round-5 verdict ask #1).
+#
+# The driver checks <=50 queries per round, in the dict order queries()
+# returns — so the ordering IS the verification-coverage policy. Priority:
+#   1. impl-CHANGED since the query's last green driver row (a post-sweep
+#      code fix automatically re-queues its queries for a fresh hard
+#      signal; never-checked queries also land here via count 0 below);
+#      within the changed group, higher targetedness score first (changed
+#      files weighted inversely by how many queries they flag) —
+#      materially-reworked operators beat the tail flagged only through
+#      one shared infrastructure module;
+#   2. least driver-checked (green CORRECTNESS_r*.json rows) first;
+#   3. seniority (QUERY_LEDGER.json registration order), then registry
+#      order — a wave of new queries must not displace an older
+#      never-checked one from the sweep budget.
+#
+# "Changed" is computed from git, not guessed: each CORRECTNESS_r{N}.json
+# was committed by the driver against that round's final tree, so the blob
+# SHAs of the query's implementation modules AT THAT COMMIT (one
+# `git ls-tree -r` per round) vs the working tree (git blob SHA = sha1 of
+# b"blob <len>\\0" + content, computable without git) decide staleness
+# exactly. A query's "implementation modules" are the transitive
+# intra-package imports of its defining module (AST-resolved; queries.py —
+# the registry that imports every query module — is a non-expanding leaf,
+# else every closure would be the whole package).
+# --------------------------------------------------------------------------
+
+
+def _git(*args: str) -> str | None:
+    try:
+        out = subprocess.run(
+            ["git", *args], cwd=_HERE, capture_output=True, text=True, timeout=30
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    return out.stdout if out.returncode == 0 else None
+
+
+def _imported_pkg_files(relpath: str) -> set[str]:
+    """Package-internal .py files (repo-relative) imported by ``relpath``."""
+    try:
+        with open(os.path.join(_HERE, relpath)) as f:
+            tree = ast.parse(f.read())
+    except (OSError, SyntaxError, ValueError):
+        return set()
+    pkg_parts = relpath.split("/")[:-1]
+    out: set[str] = set()
+
+    def add(parts: list[str]) -> bool:
+        if not parts or parts[0] != _PKG:
+            return False
+        as_mod = "/".join(parts) + ".py"
+        as_pkg = "/".join(parts) + "/__init__.py"
+        for p in (as_mod, as_pkg):
+            if os.path.exists(os.path.join(_HERE, p)):
+                out.add(p)
+                return True
+        return False
+
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                add(a.name.split("."))
+        elif isinstance(node, ast.ImportFrom):
+            if node.level == 0:
+                base = node.module.split(".") if node.module else []
+            else:
+                anchor = pkg_parts[: len(pkg_parts) - (node.level - 1)]
+                base = anchor + (node.module.split(".") if node.module else [])
+            for a in node.names:
+                # `from X import name`: name may itself be a module file,
+                # else it's a symbol defined in X.
+                if not add(base + [a.name]):
+                    add(base)
+    return out
+
+
+def _module_closure(relpath: str, cache: dict[str, set[str]]) -> set[str]:
+    """Transitive intra-package import closure of a module file."""
+    if relpath in cache:
+        return cache[relpath]
+    closure: set[str] = set()
+    stack = [relpath]
+    while stack:
+        f = stack.pop()
+        if f in closure:
+            continue
+        # queries.py is EXCLUDED outright, not just unexpanded: it imports
+        # every queries_impl module (expansion would make every closure the
+        # whole package), and it changes on every registration — as a leaf
+        # it would flag every query older than the latest registry edit,
+        # collapsing "changed" back into "stale". The decorator carries no
+        # query semantics; a rare genuine change to it is covered by the
+        # in-repo parity gate.
+        if f == f"{_PKG}/queries.py":
+            continue
+        closure.add(f)
+        stack.extend(_imported_pkg_files(f) - closure)
+    cache[relpath] = closure
+    return closure
+
+
+def _working_tree_blob_shas() -> dict[str, str]:
+    """Git blob SHA of every package .py file in the working tree."""
+    shas: dict[str, str] = {}
+    pat = os.path.join(_HERE, _PKG, "**", "*.py")
+    for path in glob.glob(pat, recursive=True):
+        rel = os.path.relpath(path, _HERE).replace(os.sep, "/")
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+        except OSError:
+            continue
+        h = hashlib.sha1(b"blob %d\0" % len(data))
+        h.update(data)
+        shas[rel] = h.hexdigest()
+    return shas
+
+
+def _blob_shas_at_record_commit(record_basename: str) -> dict[str, str] | None:
+    """Package blob SHAs at the commit that last wrote a CORRECTNESS file
+    (the driver commits it against that round's final tree)."""
+    commit = _git("log", "-1", "--format=%H", "--", record_basename)
+    if not commit or not commit.strip():
+        return None
+    listing = _git("ls-tree", "-r", commit.strip(), "--", _PKG)
+    if listing is None:
+        return None
+    shas: dict[str, str] = {}
+    for line in listing.splitlines():
+        # "<mode> blob <sha>\t<path>"
+        try:
+            meta, path = line.split("\t", 1)
+            sha = meta.split()[2]
+        except (ValueError, IndexError):
+            continue
+        shas[path] = sha
+    return shas
+
+
+def _changed_since_last_green(
+    names: list[str], last_green_file: dict[str, str]
+) -> dict[str, float]:
+    """For each name whose implementation-module closure differs (by git
+    blob SHA) from the tree at its last green driver row's commit: a
+    TARGETEDNESS score = sum over its changed closure files of
+    1 / (how many queries that file flags). A file that moved under six
+    queries (a targeted operator rework) scores those six high; a shared
+    infrastructure module that moved under a hundred queries contributes
+    almost nothing to each — so materially-reworked operators re-sweep
+    first and the broad tail degrades to plain least-checked order."""
+    current = _working_tree_blob_shas()
+    tree_cache: dict[str, dict[str, str] | None] = {}
+    closure_cache: dict[str, set[str]] = {}
+    changed_files: dict[str, list[str]] = {}
+    for name in names:
+        record = last_green_file.get(name)
+        if record is None:
+            continue  # never green: count 0 already sweeps it first
+        if record not in tree_cache:
+            tree_cache[record] = _blob_shas_at_record_commit(record)
+        old = tree_cache[record]
+        if old is None:
+            continue  # git unavailable: fall back to count ordering
+        fn = q.QUERIES.get(name)
+        mod = getattr(fn, "__module__", None)
+        if not mod or not mod.startswith(_PKG):
+            continue
+        rel = mod.replace(".", "/") + ".py"
+        if not os.path.exists(os.path.join(_HERE, rel)):
+            rel = mod.replace(".", "/") + "/__init__.py"
+        diff = [
+            f
+            for f in _module_closure(rel, closure_cache)
+            if current.get(f) != old.get(f)
+        ]
+        if diff:
+            changed_files[name] = diff
+    flag_freq: dict[str, int] = {}
+    for diff in changed_files.values():
+        for f in diff:
+            flag_freq[f] = flag_freq.get(f, 0) + 1
+    return {
+        name: sum(1.0 / flag_freq[f] for f in diff)
+        for name, diff in changed_files.items()
+    }
+
+
 def _sweep_order(names: list[str]) -> list[str]:
-    """Least-driver-checked queries first. The driver sweeps ``queries()``
-    in dict order under a per-round cap/budget (CORRECTNESS_r02 held exactly
-    the first 50 registry entries), so a fixed order would leave the same
-    tail unchecked every round. Ordering by ascending count of past green
-    CORRECTNESS_r*.json rows (ties: registry order) rotates the sweep so
-    every query gets a hard driver row across rounds; new queries (zero
-    prior rows) automatically sweep first."""
+    """Changed-since-last-green first, then least-driver-checked, then
+    seniority (see module-level comment block)."""
     checked: dict[str, int] = {}
-    here = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    last_green_file: dict[str, str] = {}
+    for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -45,9 +235,7 @@ def _sweep_order(names: list[str]) -> list[str]:
             # Only GREEN rows count as "checked": a failed row (hash/rows/
             # schema mismatch) means the query still needs a verifying
             # sweep after its fix lands — it must queue with the
-            # never-checked queries, not behind every once-green one
-            # (sequence_packing's r03 FAIL + r04 oracle fix would otherwise
-            # sit unverified at sweep position ~64, past a 50-row budget).
+            # never-checked queries, not behind every once-green one.
             if (
                 isinstance(row, dict)
                 and not row.get("err")
@@ -56,13 +244,15 @@ def _sweep_order(names: list[str]) -> list[str]:
                 and row.get("hash_match") is not False
             ):
                 checked[name] = checked.get(name, 0) + 1
+                last_green_file[name] = os.path.basename(path)
+    changed = _changed_since_last_green(names, last_green_file)
     # Tie-break zero/equal-count queries by SENIORITY (QUERY_LEDGER.json:
     # first-registered first), not registry order: a wave of brand-new
     # queries must not push an older never-checked query out of the
     # driver's per-round sweep budget. Names missing from the ledger
     # (added after the last ledger refresh) are appended best-effort so
     # the ledger stays the registration history.
-    ledger_path = os.path.join(here, "QUERY_LEDGER.json")
+    ledger_path = os.path.join(_HERE, "QUERY_LEDGER.json")
     try:
         with open(ledger_path) as f:
             ledger = json.load(f)
@@ -80,7 +270,14 @@ def _sweep_order(names: list[str]) -> list[str]:
     seniority = {n: i for i, n in enumerate(ledger)}
     pos = {n: i for i, n in enumerate(names)}
     return sorted(
-        names, key=lambda n: (checked.get(n, 0), seniority.get(n, len(ledger)), pos[n])
+        names,
+        key=lambda n: (
+            n not in changed,
+            -changed.get(n, 0.0),
+            checked.get(n, 0),
+            seniority.get(n, len(ledger)),
+            pos[n],
+        ),
     )
 
 
