@@ -600,12 +600,15 @@ def connected_components(
     labels. ``localCheckpoint`` after every round cuts the iterative
     lineage (20 chained joins would otherwise blow plan compilation), and
     the convergence check moves a single scalar count to the driver — the
-    data never leaves the executors. Loop shuffle partitions are sized to
-    the MATERIALIZED state volume (edge count / ~500k per partition), not
-    the session default: iteration state is a fixed small relation, and
-    paying 32 tasks x stages x rounds of scheduling for kilobyte
-    partitions dominates small-graph runtime (the same size-to-state rule
-    the streaming state stores apply). At 100 TB the same formula yields
+    data never leaves the executors. Loop partitioning is sized to the
+    MATERIALIZED state volume (edge count / ~500k per partition) via
+    EXPLICIT ``repartition(loop_parts, key)`` on the loop relations — no
+    session conf is mutated, so concurrent queries sharing the
+    SparkSession plan with their own settings: the edge relation is staged
+    once hash-partitioned on the join key (iterations never re-exchange
+    it; only the O(nodes) label vector moves per round), and the remaining
+    in-loop aggregates use the session default where AQE's coalescing
+    right-sizes them at runtime. At 100 TB the same formula yields
     hundreds of partitions. This loop shape is deliberately the
     GraphX/GraphFrames propagation pattern expressed in plain DataFrame
     ops, so it needs no extra library at 100 TB.
@@ -616,75 +619,79 @@ def connected_components(
     # (for LSH input, the whole signature+bucket pipeline) — the dominant
     # cost of the loop. After the checkpoint each round touches only the
     # O(edges) materialized relation.
-    edges = (
+    staged = (
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    spark = edges.sparkSession
-    sp_key = "spark.sql.shuffle.partitions"
-    # INVARIANT: the conf swap below is session-global, so this loop
-    # assumes no CONCURRENT queries share the SparkSession while it runs
-    # (true for the bench/driver/test harnesses, which execute queries
-    # serially; every loop output is eagerly localCheckpoint'ed before the
-    # conf is restored, so nothing lazy escapes the window). A
-    # multi-tenant session would instead pass numPartitions explicitly to
-    # per-op repartitions and drop the swap.
-    old_sp = spark.conf.get(sp_key)
+    spark = staged.sparkSession
+    # Loop partition count: sized to the materialized edge volume, capped
+    # at the session's configured parallelism. Applied ONLY through
+    # explicit repartition(numPartitions, key) below — the session conf is
+    # never touched, so a concurrent query on the same SparkSession plans
+    # with its own shuffle settings throughout the loop.
     try:
-        session_parts = int(old_sp)
+        session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):  # e.g. "auto" on some platforms
-        session_parts = 32
-    n_edges = edges.count()  # scalar off the materialized relation
+        session_parts = spark.sparkContext.defaultParallelism
+    n_edges = staged.count()  # scalar off the materialized relation
     loop_parts = max(8, min(session_parts, n_edges // 500_000 + 1))
+    # Re-stage hash-partitioned ON THE JOIN KEY: every propagation round's
+    # join then sees its big side already distributed on `src` and only
+    # exchanges the O(nodes) label vector (same staging rule as pagerank).
+    edges = staged.repartition(loop_parts, "src").localCheckpoint(eager=True)
+    # The label vector is kept explicitly co-partitioned with the staged
+    # edges (loop_parts on the join key) by ending every round with a
+    # repartition BEFORE the checkpoint: each round's propagation join
+    # then needs zero exchanges — the O(edges) side never re-shuffles and
+    # the trailing exchange moves only O(nodes) rows.
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
+        .repartition(loop_parts, "node")
         .localCheckpoint(eager=True)
     )
     # Node ids (and therefore labels) can be any orderable type — longs for
     # doc ids, strings for entity-resolution names — so the null `own`
     # carrier is cast to the label's OWN dtype, not a hardcoded long.
     lbl_type = labels.schema["lbl"].dataType
-    spark.conf.set(sp_key, str(loop_parts))
     converged = False
-    try:
-        for _ in range(max_iter):
-            neigh = edges.join(labels, edges["src"] == labels["node"]).select(
-                F.col("dst").alias("node"),
-                "lbl",
-                F.lit(None).cast(lbl_type).alias("own"),
+    for _ in range(max_iter):
+        neigh = edges.join(labels, edges["src"] == labels["node"]).select(
+            F.col("dst").alias("node"),
+            "lbl",
+            F.lit(None).cast(lbl_type).alias("own"),
+        )
+        # The node's previous label rides through the aggregate as
+        # `own` (exactly one non-null per node, from the self row), so
+        # convergence is a narrow filter-count over the materialized
+        # result — not a second O(nodes) shuffle join per round.
+        new = (
+            labels.select("node", "lbl", F.col("lbl").alias("own"))
+            .unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"), F.max("own").alias("own"))
+        )
+        # Path halving: follow the label one more hop (min is safe —
+        # labels only ever decrease toward the component minimum). Both
+        # sides are O(nodes); AQE right-sizes the exchanges at runtime.
+        hop = new.select(F.col("node").alias("hn"), F.col("lbl").alias("hl"))
+        new = (
+            new.join(hop, new["lbl"] == hop["hn"], "left")
+            .select(
+                "node",
+                F.least("lbl", "hl").alias("lbl"),
+                "own",
             )
-            # The node's previous label rides through the aggregate as
-            # `own` (exactly one non-null per node, from the self row), so
-            # convergence is a narrow filter-count over the materialized
-            # result — not a second O(nodes) shuffle join per round.
-            new = (
-                labels.select("node", "lbl", F.col("lbl").alias("own"))
-                .unionByName(neigh)
-                .groupBy("node")
-                .agg(F.min("lbl").alias("lbl"), F.max("own").alias("own"))
-            )
-            # Path halving: follow the label one more hop (min is safe —
-            # labels only ever decrease toward the component minimum).
-            hop = new.select(F.col("node").alias("hn"), F.col("lbl").alias("hl"))
-            new = (
-                new.join(hop, new["lbl"] == hop["hn"], "left")
-                .select(
-                    "node",
-                    F.least("lbl", "hl").alias("lbl"),
-                    "own",
-                )
-                .localCheckpoint(eager=True)
-            )
-            changed = new.filter(F.col("lbl") != F.col("own")).count()
-            labels = new.select("node", "lbl")
-            if changed == 0:
-                converged = True
-                break
-    finally:
-        spark.conf.set(sp_key, old_sp)
+            .repartition(loop_parts, "node")
+            .localCheckpoint(eager=True)
+        )
+        changed = new.filter(F.col("lbl") != F.col("own")).count()
+        labels = new.select("node", "lbl")
+        if changed == 0:
+            converged = True
+            break
     if not converged:
         # A partially-propagated labeling looks exactly like a final one
         # (distinct labels inside one true component) and silently breaks

@@ -50,29 +50,26 @@ def pagerank(
     # upstream edge plan.
     staged = e.join(F.broadcast(deg), "src").localCheckpoint(eager=True)
     spark = edges.sparkSession
-    sp_key = "spark.sql.shuffle.partitions"
-    old_sp = spark.conf.get(sp_key)
-    # Loop shuffle partitions sized to the materialized edge volume (same
+    # Loop partition count sized to the materialized edge volume (same
     # size-to-state rule as connected_components): iteration shuffles move
     # exactly O(edges) rows, so the session default (sized for the whole
-    # workload) wastes scheduling overhead on small graphs and is restored
-    # afterwards. At 100 TB the formula yields hundreds of partitions.
-    # INVARIANT: session-global swap => no concurrent queries may share the
-    # session during the loop (the harnesses run serially; all loop output
-    # is eagerly checkpointed before restore — see connected_components).
+    # workload) wastes scheduling overhead on small graphs. Applied ONLY
+    # through explicit repartition(numPartitions, key) — the session conf
+    # is never touched, so concurrent queries sharing the SparkSession
+    # plan with their own shuffle settings throughout the loop. At 100 TB
+    # the formula yields hundreds of partitions.
     try:
-        session_parts = int(old_sp)
+        session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):  # e.g. "auto" on some platforms
-        session_parts = 32
+        session_parts = spark.sparkContext.defaultParallelism
     n_edges = staged.count()
     loop_parts = max(8, min(session_parts, n_edges // 500_000 + 1))
-    spark.conf.set(sp_key, str(loop_parts))
     # Re-stage partitioned BY THE JOIN KEY: localCheckpoint preserves
     # output partitioning, so every iteration's rank join sees its big side
     # already distributed on `src` and only exchanges the O(nodes) rank
     # vector — per iteration the single wide op on edge-scale data is the
     # unavoidable contribution aggregate (the Pregel shuffle).
-    contrib_base = staged.repartition("src").localCheckpoint(eager=True)
+    contrib_base = staged.repartition(loop_parts, "src").localCheckpoint(eager=True)
     # nodes and the 1-row node count are ALSO checkpointed: both appear in
     # every iteration's plan (initial ranks / the teleport term), and
     # without materialization each iteration would re-run the distinct +
@@ -85,31 +82,36 @@ def pagerank(
     n_row = nodes.agg(F.count(F.lit(1)).cast("double").alias("nn")).localCheckpoint(
         eager=True
     )
-    ranks = nodes.join(F.broadcast(n_row)).select(
-        "node", (F.lit(1.0) / F.col("nn")).alias("pr")
+    # The rank vector is kept explicitly co-partitioned with the staged
+    # edges (loop_parts on the join key) by ending every iteration with a
+    # repartition BEFORE the checkpoint: each iteration's join then needs
+    # zero exchanges — the O(edges) side never re-shuffles and the
+    # trailing exchange moves only O(nodes) rows.
+    ranks = (
+        nodes.join(F.broadcast(n_row))
+        .select("node", (F.lit(1.0) / F.col("nn")).alias("pr"))
+        .repartition(loop_parts, "node")
+        .localCheckpoint(eager=True)
     )
-    try:
-        for _ in range(iters):
-            ranks = (
-                contrib_base.join(ranks, contrib_base.src == ranks.node)
-                .select(F.col("dst").alias("node"), (F.col("pr") / F.col("outdeg")).alias("c"))
-                .groupBy("node")
-                .agg(F.sum("c").alias("s"))
-                .join(F.broadcast(n_row))
-                .select(
-                    "node",
-                    F.round(
-                        F.lit(1.0 - damping) / F.col("nn") + F.lit(damping) * F.col("s"), 6
-                    ).alias("pr"),
-                )
-                # Eager per-iteration materialization: the rank vector is
-                # O(nodes); this keeps execution inside the sized-partition
-                # window and stops iteration i's plan from re-running
-                # iterations 1..i-1 at final collect.
-                .localCheckpoint(eager=True)
+    for _ in range(iters):
+        ranks = (
+            contrib_base.join(ranks, contrib_base.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("pr") / F.col("outdeg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+            .join(F.broadcast(n_row))
+            .select(
+                "node",
+                F.round(
+                    F.lit(1.0 - damping) / F.col("nn") + F.lit(damping) * F.col("s"), 6
+                ).alias("pr"),
             )
-    finally:
-        spark.conf.set(sp_key, old_sp)
+            .repartition(loop_parts, "node")
+            # Eager per-iteration materialization: the rank vector is
+            # O(nodes); this stops iteration i's plan from re-running
+            # iterations 1..i-1 at final collect.
+            .localCheckpoint(eager=True)
+        )
     return ranks
 
 

@@ -29,3 +29,19 @@ def test_engine_package_has_no_driver_side_or_row_udf_code():
                 if pat in line and not line.lstrip().startswith("#"):
                     offenders.append(f"{path.relative_to(PKG.parent)}:{i}: {pat}")
     assert not offenders, "\n".join(offenders)
+
+
+def test_operators_never_mutate_session_conf():
+    """Operator bodies must not swap session-global SQL conf (e.g.
+    ``spark.sql.shuffle.partitions``): the swap silently re-plans any
+    CONCURRENT query on the shared SparkSession. Iterative loops size
+    their shuffles with explicit ``repartition(numPartitions, key)``
+    instead. (Streaming query wrappers may still pin state-store counts
+    at ``.start()`` time — that conf is read once per query, not shared
+    planning state — so the rule is scoped to operators/.)"""
+    offenders = []
+    for path in sorted((PKG / "operators").rglob("*.py")):
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            if "conf.set(" in line and not line.lstrip().startswith("#"):
+                offenders.append(f"{path.relative_to(PKG.parent)}:{i}")
+    assert not offenders, "\n".join(offenders)
