@@ -74,6 +74,7 @@ HEADLINE = [
     "benchmark_decontamination",
     "dedup_exact_docs",
     "fuzzy_name_matches",
+    "fuzzy_name_matches_d2",
     "incremental_exact_dedup",
     "minhash_lsh_near_dups",
     "incremental_minhash_near_dups",

@@ -134,35 +134,190 @@ def fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
     return df.withColumn("fp_md5", F.md5(norm)).withColumn("fp_rolling", rolling)
 
 
+def _fuzzy_pairs_d2(names: DataFrame, max_name_len: int) -> DataFrame:
+    """(name_a, name_b, dist) for all distinct-value pairs within 2
+    Levenshtein edits, by EDIT-CLASS DECOMPOSITION over positional
+    deletion keys — candidate volume stays proportional to the true pair
+    count, unlike plain SymSpell depth-2 bucketing, whose bucket² x
+    shared-key multiplicity generated ~8 candidate rows per true pair on
+    dense corpora (measured at sf0.1).
+
+    Any pair with lev <= 2 falls in a class by length delta:
+
+    - Δ0 (same length): {sub}, {sub, sub}, or {delete, insert}.
+      1-sub and del+ins pairs share a SINGLE-deletion key (delete the
+      touched position from each side) -> K1 ⋈ K1; any K1 match between
+      distinct same-length strings is lev <= 2 by construction, so the
+      join needs no residual predicate. 2-sub pairs share the
+      DOUBLE-deletion key at exactly their two mismatch positions ->
+      K2 ⋈ K2 restricted to equal positions with both deleted chars
+      differing: multiplicity exactly 1, and matches at other position
+      pairs are not needed (those pairs are 1-sub/del+ins, already
+      covered, or farther than 2 edits).
+    - Δ1: {insert} -> the shorter string IS a single deletion of the
+      longer: K0 ⋈ K1. {insert, sub} -> shorter-minus-1 equals
+      longer-minus-2 somewhere: K1 ⋈ K2 — the one class that also
+      surfaces lev-3 candidates; the closing exact-levenshtein filter
+      removes them.
+    - Δ2: {insert, insert} -> shorter equals longer-minus-2: K0 ⋈ K2.
+
+    Keys join as xxhash64 of the deletion string (8-byte shuffle rows); a
+    hash collision can only ADD a candidate (killed by the levenshtein
+    filter), never lose a pair. Key-length equality makes the classes
+    self-selecting — a K1 key of an L-string never equals a K1 key of an
+    (L+1)-string — so no length predicates are needed.
+
+    Scale: K1 is O(n·L) rows, K2 is O(n·L²) — the L² fan-out is why
+    ``max_name_len`` (default 64) is enforced with an in-plan assert
+    (woven into the used column so the optimizer cannot prune it) rather
+    than a silent explosion. Key relations are materialized once and
+    reused across the class joins.
+    """
+    guarded = F.when(
+        F.assert_true(
+            F.length("name") <= max_name_len,
+            F.concat(
+                F.lit(
+                    "fuzzy_name_pairs(max_dist=2) refuses strings longer "
+                    "than max_name_len="
+                ),
+                F.lit(str(max_name_len)),
+                F.lit(": got length="),
+                F.length("name").cast("string"),
+                F.lit(" — truncate/normalize upstream or raise max_name_len"),
+            ),
+        ).isNull(),
+        F.col("name"),
+    )
+    base = (
+        names.filter(F.col("name").isNotNull())
+        .select(guarded.alias("name"))
+        .localCheckpoint(eager=True)
+    )
+    k0 = base.select(F.xxhash64("name").alias("kh"), "name")
+    # Deduped single-deletion keys: the classes using K1 never need the
+    # deleted position/char (any K1 match between distinct names is
+    # lev <= 2 regardless), and repeated characters give identical
+    # deletion strings from different positions — without the dedup every
+    # such run multiplies the join fan-out. Checkpointed once: it feeds
+    # three joins. sequence(lo, hi) is DESCENDING when hi < lo in Spark,
+    # so ranges are gated on non-emptiness.
+    k1_keys = (
+        "IF(length(name) >= 1, array_distinct(transform(sequence(1, length(name)), "
+        "i -> xxhash64(concat(substring(name, 1, i - 1), "
+        "substring(name, i + 1, length(name) - i))))), "
+        "array())"
+    )
+    k1u = (
+        base.select("name", F.explode(F.expr(k1_keys)).alias("kh"))
+        .select("kh", "name")
+        .localCheckpoint(eager=True)
+    )
+    # K2 carries the deleted positions/chars for the exact 2-sub class.
+    # Deliberately NOT checkpointed: it is O(n·L²) — the biggest relation
+    # here — and both sides of its self-join share one plan, so Spark's
+    # exchange reuse materializes the shuffle once anyway; a checkpoint
+    # would just serialize the same rows a second time.
+    k2_structs = (
+        "IF(length(name) >= 2, flatten(transform(sequence(1, length(name) - 1), "
+        "i -> transform(sequence(i + 1, length(name)), j -> "
+        "struct(xxhash64(concat(substring(name, 1, i - 1), "
+        "substring(name, i + 1, j - i - 1), "
+        "substring(name, j + 1, length(name) - j))) AS kh, "
+        "i AS pi, j AS pj, "
+        "substring(name, i, 1) AS ci, substring(name, j, 1) AS cj)))), "
+        "array())"
+    )
+    k2 = base.select("name", F.explode(F.expr(k2_structs)).alias("s")).select(
+        "name", "s.kh", "s.pi", "s.pj", "s.ci", "s.cj"
+    )
+    k2u = k2.select("kh", "name").distinct()
+
+    def _pair(left_name, right_name):
+        return [
+            F.least(left_name, right_name).alias("name_a"),
+            F.greatest(left_name, right_name).alias("name_b"),
+        ]
+
+    a, b = k1u.alias("a"), k1u.hint("merge").alias("b")
+    c_sub_delins = a.join(
+        b,
+        (F.col("a.kh") == F.col("b.kh")) & (F.col("a.name") < F.col("b.name")),
+    ).select(*_pair(F.col("a.name"), F.col("b.name")))
+    a2, b2 = k2.alias("a2"), k2.hint("merge").alias("b2")
+    c_two_subs = a2.join(
+        b2,
+        (F.col("a2.kh") == F.col("b2.kh"))
+        & (F.col("a2.name") < F.col("b2.name"))
+        & (F.col("a2.pi") == F.col("b2.pi"))
+        & (F.col("a2.pj") == F.col("b2.pj"))
+        & (F.col("a2.ci") != F.col("b2.ci"))
+        & (F.col("a2.cj") != F.col("b2.cj")),
+    ).select(*_pair(F.col("a2.name"), F.col("b2.name")))
+    z, d1 = k0.alias("z"), k1u.hint("merge").alias("d1")
+    c_insert = z.join(
+        d1,
+        (F.col("z.kh") == F.col("d1.kh")) & (F.col("z.name") != F.col("d1.name")),
+    ).select(*_pair(F.col("z.name"), F.col("d1.name")))
+    e1, e2 = k1u.alias("e1"), k2u.hint("merge").alias("e2")
+    c_insert_sub = e1.join(
+        e2,
+        (F.col("e1.kh") == F.col("e2.kh")) & (F.col("e1.name") != F.col("e2.name")),
+    ).select(*_pair(F.col("e1.name"), F.col("e2.name")))
+    z2, d2 = k0.alias("z2"), k2u.hint("merge").alias("d2")
+    c_two_inserts = z2.join(
+        d2,
+        (F.col("z2.kh") == F.col("d2.kh")) & (F.col("z2.name") != F.col("d2.name")),
+    ).select(*_pair(F.col("z2.name"), F.col("d2.name")))
+
+    cand = (
+        c_sub_delins.unionByName(c_two_subs)
+        .unionByName(c_insert)
+        .unionByName(c_insert_sub)
+        .unionByName(c_two_inserts)
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= 2)
+    )
+
+
 def fuzzy_name_pairs(
-    df, name_col: str, max_dist: int = 1
+    df, name_col: str, max_dist: int = 1, max_name_len: int = 64
 ):
     """Fuzzy self-join on a string column: ALL pairs of DISTINCT values
     within ``max_dist`` Levenshtein edits — via SYMMETRIC-DELETE keys
     (SymSpell), never an all-pairs cross product.
 
-    Each value emits its full string plus every single-character deletion
-    as keys: two strings with lev <= 1 always share a key — a
-    substitution at position p makes both deletions at p equal, and for
-    an insert/delete pair the shorter string IS a deletion key of the
-    longer. This covers the full edit alphabet (substitution AND
-    insert/delete, i.e. cross-length pairs), unlike position-wildcard
+    Each value emits its full string plus every deletion of up to
+    ``max_dist`` characters as keys: if lev(A, B) <= d, some deletion of
+    <= d chars from A equals some deletion of <= d chars from B (each edit
+    op is covered by deleting its touched character from the side(s) that
+    have it — substitution deletes one char from each, insert/delete
+    deletes one from the longer side), so the deletion neighborhoods
+    intersect and the pair lands in a shared bucket. This covers the full
+    edit alphabet including cross-length pairs, unlike position-wildcard
     keys, which silently miss length-changing edits. Shared-prefix mass
     does NOT collapse into one giant bucket (keys stay position-sensitive
-    through the deleted character's absence); the loud bucket guard
+    through the deleted characters' absence); the loud bucket guard
     catches pathological cliques. Candidates are verified with exact
-    ``levenshtein``: precision 1.0, recall 1.0 for max_dist=1 by the
+    ``levenshtein``: precision 1.0 by the verify, recall 1.0 by the
     construction above.
 
-    Cost: O(n · length) narrow (key, value) rows — linear in data. Only
-    max_dist=1 is supported (higher radii need multi-deletion key sets,
-    combinatorial in length).
+    Cost: O(n · length^max_dist) narrow (key, value) rows — linear in
+    rows, combinatorial ONLY in string length, which is why max_dist is
+    capped at 2 and d=2 refuses strings longer than ``max_name_len``
+    (default 64 -> <= 2 145 keys per name) with an in-plan assert instead
+    of silently exploding the key fan-out.
     """
-    if max_dist != 1:
-        raise ValueError("symmetric-delete keying supports max_dist=1 only")
+    if max_dist not in (1, 2):
+        raise ValueError("symmetric-delete keying supports max_dist in {1, 2}")
     from .dedup import MAX_BUCKET_SIZE, _BUCKET_PAIR_EXPR, _guard_bucket_size
 
     names = df.select(F.col(name_col).alias("name")).distinct()
+    if max_dist == 2:
+        return _fuzzy_pairs_d2(names, max_name_len)
     # p = 0 -> the string itself; p >= 1 -> deletion at position p.
     stacked = (
         names.select(

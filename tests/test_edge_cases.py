@@ -176,3 +176,72 @@ def test_band_hashes_rejects_bad_band_count(spark):
         band_hashes(sigs, num_perm=2, bands=64)
     with pytest.raises(ValueError, match="divisor"):
         band_hashes(sigs, num_perm=32, bands=12)
+
+
+def test_fuzzy_name_pairs_d2_matches_brute_force(spark):
+    """Radius-2 edit-class decomposition vs brute-force Levenshtein on a
+    vocabulary engineered to hit every class: 1-sub, 2-sub (incl.
+    adjacent transposition), same-length delete+insert (rotation-style,
+    hamming 3 but lev 2), insert, insert+sub, double insert, repeated
+    characters, and an empty string."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from flink_stream_processing_spark.operators.text import fuzzy_name_pairs
+
+    vocab = [
+        "", "a", "ab", "ba", "abc", "acb", "abcd", "abxd", "axyd",
+        "abcde", "abced", "bcdea", "aab", "aabb", "aaab", "hello",
+        "hallo", "hell", "helloo", "shello", "xyzzy", "totally-far-off",
+    ]
+    df = spark.createDataFrame([(v,) for v in vocab], "name string")
+    got = {
+        (r.name_a, r.name_b): r.dist
+        for r in fuzzy_name_pairs(df, "name", max_dist=2).collect()
+    }
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (min(a, b), max(a, b)): lev(a, b)
+        for a, b in itertools.combinations(sorted(set(vocab)), 2)
+        if lev(a, b) <= 2
+    }
+    assert got == want
+
+
+def test_fuzzy_name_pairs_d2_refuses_overlong_names(spark):
+    import pytest
+
+    from flink_stream_processing_spark.operators.text import fuzzy_name_pairs
+
+    df = spark.createDataFrame([("x" * 80,), ("y",)], "name string")
+    with pytest.raises(Exception, match="max_name_len"):
+        fuzzy_name_pairs(df, "name", max_dist=2).collect()
+    # raising the cap admits the long string
+    ok = fuzzy_name_pairs(df, "name", max_dist=2, max_name_len=100)
+    assert ok.count() == 0  # far apart, but the plan executes
+
+
+def test_fuzzy_name_pairs_d2_plan_has_no_broadcast_joins(spark):
+    """The K2 relation is O(n·L²); broadcasting it is the r4 setsim
+    failure mode all over again. Pin shuffle joins in the executed plan."""
+    from flink_stream_processing_spark.operators.text import fuzzy_name_pairs
+
+    df = spark.createDataFrame([("abc",), ("abd",)], "name string")
+    plan = (
+        fuzzy_name_pairs(df, "name", max_dist=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" not in plan
