@@ -210,14 +210,22 @@ def budget_offenders(
     factor: float,
     floor: float = 1.0,
 ) -> list[tuple[str, float, float]]:
-    """(name, measured, budgeted) for every query over ``factor`` x its
-    recorded budget. Entries budgeted under ``floor`` seconds are exempt —
-    sub-second timings jitter multiplicatively with scheduler noise."""
+    """(name, measured, budgeted) for every query over its ceiling-factor
+    x recorded budget. The ceiling factor is per-query when
+    ``budget["factors"]`` has an entry (queries whose observed run-to-run
+    spread across recorded runs is small get a tighter 2x ceiling; a
+    genuine 2x plan regression on them must fire, not hide inside a
+    blanket 3x), falling back to the global ``factor``. Entries budgeted
+    under ``floor`` seconds are exempt — sub-second timings jitter
+    multiplicatively with scheduler noise."""
     q = budget.get("queries", {})
+    per_query = budget.get("factors", {})
     return [
         (name, t, q[name])
         for name, t in timings.items()
-        if name in q and q[name] >= floor and t > factor * q[name]
+        if name in q
+        and q[name] >= floor
+        and t > float(per_query.get(name, factor)) * q[name]
     ]
 
 
@@ -450,11 +458,16 @@ def main() -> None:
             factor = float(
                 os.environ.get("SPARK_GRAFT_BENCH_FACTOR", budget.get("factor", 3.0))
             )
+            if "SPARK_GRAFT_BENCH_FACTOR" in os.environ:
+                # explicit override applies uniformly, per-query tightening off
+                budget = {**budget, "factors": {}}
             offenders = budget_offenders(timings, budget, factor)
             if offenders:
+                per_query = budget.get("factors", {})
                 for name, t, b in offenders:
+                    f_used = float(per_query.get(name, factor))
                     print(
-                        f"  BUDGET EXCEEDED {name}: {t:.3f}s > {factor}x budget {b:.3f}s",
+                        f"  BUDGET EXCEEDED {name}: {t:.3f}s > {f_used}x budget {b:.3f}s",
                         file=sys.stderr,
                     )
                 sys.exit(1)

@@ -39,3 +39,29 @@ def test_committed_budget_file_covers_headline():
     missing = [n for n in HEADLINE if n not in budget["queries"]]
     assert len(missing) <= 5, f"refresh BENCH_BUDGET.json; unbudgeted: {missing}"
     assert budget["factor"] >= 1.5
+
+
+def test_per_query_factors_tighten_the_ceiling():
+    """budget["factors"] overrides the global factor per query: a low-variance
+    query at 2.0x must fire at 2.5x-of-budget even when the global factor
+    is 3.0; unlisted queries keep the global ceiling."""
+    budget = {"queries": {"tight": 2.0, "loose": 2.0}, "factors": {"tight": 2.0}}
+    timings = {"tight": 5.0, "loose": 5.0}  # both 2.5x of budget
+    out = budget_offenders(timings, budget, factor=3.0)
+    assert out == [("tight", 5.0, 2.0)]
+
+
+def test_committed_factors_hold_for_all_recorded_runs():
+    """Zero false-positive trips: every tightened ceiling must clear every
+    observation it was derived from (r5 max is the budget itself; the r5
+    builder run is BENCH_LOCAL.json)."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "BENCH_BUDGET.json")) as f:
+        budget = json.load(f)
+    with open(os.path.join(here, "BENCH_LOCAL.json")) as f:
+        local = json.load(f).get("queries", {})
+    for name, fct in budget.get("factors", {}).items():
+        b = budget["queries"][name]
+        assert fct >= 1.5
+        if name in local:
+            assert local[name] <= fct * b, (name, local[name], fct, b)
