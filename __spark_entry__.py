@@ -246,6 +246,13 @@ def _sweep_order(names: list[str]) -> list[str]:
                 checked[name] = checked.get(name, 0) + 1
                 last_green_file[name] = os.path.basename(path)
     changed = _changed_since_last_green(names, last_green_file)
+    # A NEVER-green query has no hard signal at all — it outranks every
+    # changed-since-green query (which at least once matched its oracle):
+    # infinite targetedness keeps the old "new queries sweep first"
+    # invariant now that the changed group precedes the count ordering.
+    for name in names:
+        if checked.get(name, 0) == 0:
+            changed[name] = float("inf")
     # Tie-break zero/equal-count queries by SENIORITY (QUERY_LEDGER.json:
     # first-registered first), not registry order: a wave of brand-new
     # queries must not push an older never-checked query out of the
