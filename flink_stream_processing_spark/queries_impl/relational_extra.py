@@ -748,6 +748,74 @@ def q_entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Radius-2 entity resolution (r7): the d1 flagship's recall ceiling was
+# the round-5 verdict's last ask on record linkage — 2-edit typos are the
+# common real-world case. Same composition (block -> verify -> min-label
+# CC), with the edit-class radius-2 blocker and the same deterministic
+# 1-in-3 subset as fuzzy_name_matches_d2 (full-set d2 on the synthetic
+# sequential names yields a 4.1M-edge near-clique at sf0.1 — generator
+# pathology, not linkage workload). Oracle = brute-force lev<=2 pairs
+# closed by the seeded recursive CTE, so radius-2 blocking recall AND the
+# clustering are gated together.
+_ER_D2_ORACLE = """
+WITH RECURSIVE n AS (
+  SELECT DISTINCT c_name FROM customer WHERE c_custkey % 3 = 0
+),
+pe AS (
+  SELECT a.c_name AS na, b.c_name AS nb
+  FROM n a JOIN n b ON a.c_name < b.c_name
+  WHERE levenshtein(a.c_name, b.c_name) <= 2
+),
+e AS (SELECT na AS a, nb AS b FROM pe UNION SELECT nb, na FROM pe),
+nodes AS (SELECT DISTINCT a AS x FROM e),
+seeds AS (
+  SELECT x FROM nodes
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = nodes.x AND e.b < nodes.x)
+),
+reach(rep, x) AS (
+  SELECT x, x FROM seeds
+  UNION
+  SELECT r.rep, e.b FROM reach r JOIN e ON r.x = e.a
+),
+cc AS (SELECT x AS name, min(rep) AS entity_rep FROM reach GROUP BY x)
+SELECT name, entity_rep,
+       CAST(count(*) OVER (PARTITION BY entity_rep) AS BIGINT) AS entity_size
+FROM cc ORDER BY name
+"""
+
+
+@query("entity_resolution_clusters_d2", oracle=_ER_D2_ORACLE)
+def q_entity_resolution_clusters_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-2 record linkage: edit-class d2 blocking + exact levenshtein
+    verify (``fuzzy_name_pairs(max_dist=2)``) -> min-label propagation
+    clustering. Same integer packing as the d1 flagship (the CC loop
+    shuffles 8-byte ids, and the fixed-width zero-padded suffix makes
+    min(id) == min(name) so the representative unpacks exactly)."""
+    from ..operators.dedup import connected_components
+    from ..operators.text import fuzzy_name_pairs
+    from pyspark.sql.window import Window as _W
+
+    subset = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
+    pairs = fuzzy_name_pairs(subset, "c_name", max_dist=2)
+    idp = pairs.select(
+        F.substring("name_a", 10, 9).cast("long").alias("ia"),
+        F.substring("name_b", 10, 9).cast("long").alias("ib"),
+    )
+    cc = connected_components(idp, id_a="ia", id_b="ib")
+    fmt = "Customer#%09d"
+    return (
+        cc.select(
+            F.format_string(fmt, F.col("node")).alias("name"),
+            F.format_string(fmt, F.col("lbl")).alias("entity_rep"),
+        )
+        .withColumn(
+            "entity_size",
+            F.count(F.lit(1)).over(_W.partitionBy("entity_rep")).cast("bigint"),
+        )
+        .orderBy("name")
+    )
+
+
 # --- Keyset pagination ---------------------------------------------------
 
 _KEYSET_ORACLE = """
