@@ -269,60 +269,81 @@ def fuzzy_name_pairs(
     df, name_col: str, max_dist: int = 1, max_name_len: int = 64
 ):
     """Fuzzy self-join on a string column: ALL pairs of DISTINCT values
-    within ``max_dist`` Levenshtein edits — via SYMMETRIC-DELETE keys
-    (SymSpell), never an all-pairs cross product.
+    within ``max_dist`` Levenshtein edits — via EDIT-CLASS DECOMPOSITION
+    over SymSpell-style deletion keys, never an all-pairs cross product.
 
-    Each value emits its full string plus every deletion of up to
-    ``max_dist`` characters as keys: if lev(A, B) <= d, some deletion of
-    <= d chars from A equals some deletion of <= d chars from B (each edit
-    op is covered by deleting its touched character from the side(s) that
-    have it — substitution deletes one char from each, insert/delete
-    deletes one from the longer side), so the deletion neighborhoods
-    intersect and the pair lands in a shared bucket. This covers the full
-    edit alphabet including cross-length pairs, unlike position-wildcard
-    keys, which silently miss length-changing edits. Shared-prefix mass
-    does NOT collapse into one giant bucket (keys stay position-sensitive
-    through the deleted characters' absence); the loud bucket guard
-    catches pathological cliques. Candidates are verified with exact
-    ``levenshtein``: precision 1.0 by the verify, recall 1.0 by the
-    construction above.
+    SymSpell premise: if lev(A, B) <= d, some deletion of <= d chars from
+    A equals some deletion of <= d chars from B (each edit op is covered
+    by deleting its touched character from the side(s) that have it), so
+    deletion neighborhoods intersect. Rather than bucketing all keys
+    together (bucket² candidate expansion x shared-key multiplicity), the
+    pair classes join directly:
 
-    Cost: O(n · length^max_dist) narrow (key, value) rows — linear in
-    rows, combinatorial ONLY in string length, which is why max_dist is
-    capped at 2 and d=2 refuses strings longer than ``max_name_len``
-    (default 64 -> <= 2 145 keys per name) with an in-plan assert instead
-    of silently exploding the key fan-out.
+    - d=1: a substitution pair shares its single-deletion key AT THE
+      MISMATCH POSITION with the deleted chars differing (K1 ⋈ K1 on
+      (key, pos), multiplicity exactly 1, precision 1.0); an insert pair
+      is the shorter string equaling a single deletion of the longer
+      (K0 ⋈ K1). Two shuffle joins, candidates == true pairs.
+    - d=2: see ``_fuzzy_pairs_d2`` (same idea, five classes folded into
+      two joins).
+
+    Keys join as xxhash64 of the deletion string (8-byte shuffle rows); a
+    collision can only ADD a candidate, and the closing exact
+    ``levenshtein`` filter removes it — precision 1.0 by the verify,
+    recall 1.0 by the construction above, including cross-length pairs
+    (which position-wildcard keys silently miss).
+
+    Cost: O(n · length^max_dist) narrow key rows — linear in rows,
+    combinatorial ONLY in string length, which is why max_dist is capped
+    at 2 and d=2 refuses strings longer than ``max_name_len`` (default
+    64 -> <= 2 145 keys per name) with an in-plan assert instead of
+    silently exploding the key fan-out.
     """
     if max_dist not in (1, 2):
         raise ValueError("symmetric-delete keying supports max_dist in {1, 2}")
-    from .dedup import MAX_BUCKET_SIZE, _BUCKET_PAIR_EXPR, _guard_bucket_size
-
     names = df.select(F.col(name_col).alias("name")).distinct()
     if max_dist == 2:
         return _fuzzy_pairs_d2(names, max_name_len)
-    # p = 0 -> the string itself; p >= 1 -> deletion at position p.
-    stacked = (
-        names.select(
-            "name",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, length(name)), p -> IF(p = 0, name, "
-                    "concat(substring(name, 1, p - 1), "
-                    "substring(name, p + 1, length(name) - p))))"
-                )
-            ).alias("wkey"),
-        )
-        .distinct()  # repeated chars give identical deletion keys
+    base = names.filter(F.col("name").isNotNull()).localCheckpoint(eager=True)
+    # K1 with positions: one row per deletion position (kh, pos, deleted
+    # char). sequence(lo, hi) is DESCENDING when hi < lo, so the range is
+    # gated on non-emptiness.
+    k1_structs = (
+        "IF(length(name) >= 1, transform(sequence(1, length(name)), i -> "
+        "struct(xxhash64(concat(substring(name, 1, i - 1), "
+        "substring(name, i + 1, length(name) - i))) AS kh, "
+        "i AS pos, substring(name, i, 1) AS ch)), "
+        "array())"
     )
-    buckets = _guard_bucket_size(
-        stacked.groupBy("wkey")
-        .agg(F.collect_list("name").alias("ds"))
-        .filter(F.size("ds") > 1),
-        MAX_BUCKET_SIZE,
+    k1 = base.select("name", F.explode(F.expr(k1_structs)).alias("s")).select(
+        "name", "s.kh", "s.pos", "s.ch"
+    )
+    k0 = base.select(F.xxhash64("name").alias("kh"), "name")
+    a, b = k1.alias("a"), k1.hint("merge").alias("b")
+    # Same-length substitution: both deleted the mismatch position and the
+    # deleted chars differ. Matching at pos with equal chars would mean
+    # equal strings (excluded by name<name); matching at different
+    # positions is a lev-2 shape — out of radius here.
+    c_subs = a.join(
+        b,
+        (F.col("a.kh") == F.col("b.kh"))
+        & (F.col("a.pos") == F.col("b.pos"))
+        & (F.col("a.ch") != F.col("b.ch"))
+        & (F.col("a.name") < F.col("b.name")),
+    ).select(
+        F.least("a.name", "b.name").alias("name_a"),
+        F.greatest("a.name", "b.name").alias("name_b"),
+    )
+    z, d1 = k0.alias("z"), k1.hint("merge").alias("d1")
+    c_insert = z.join(
+        d1,
+        (F.col("z.kh") == F.col("d1.kh")) & (F.col("z.name") != F.col("d1.name")),
+    ).select(
+        F.least("z.name", "d1.name").alias("name_a"),
+        F.greatest("z.name", "d1.name").alias("name_b"),
     )
     return (
-        buckets.select(F.explode(F.expr(_BUCKET_PAIR_EXPR)).alias("p"))
-        .select(F.col("p.doc_a").alias("name_a"), F.col("p.doc_b").alias("name_b"))
+        c_subs.unionByName(c_insert)
         .distinct()
         .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
         .filter(F.col("dist") <= max_dist)

@@ -245,3 +245,39 @@ def test_fuzzy_name_pairs_d2_plan_has_no_broadcast_joins(spark):
         .toString()
     )
     assert "BroadcastHashJoin" not in plan
+
+
+def test_fuzzy_name_pairs_d1_matches_brute_force(spark):
+    """Radius-1 edit-class joins vs brute-force Levenshtein on the same
+    class-covering vocabulary as the d2 test."""
+    import itertools
+
+    from flink_stream_processing_spark.operators.text import fuzzy_name_pairs
+
+    vocab = [
+        "", "a", "ab", "ba", "abc", "acb", "abcd", "abxd", "axyd",
+        "abcde", "abced", "bcdea", "aab", "aabb", "aaab", "hello",
+        "hallo", "hell", "helloo", "shello", "xyzzy", "totally-far-off",
+    ]
+    df = spark.createDataFrame([(v,) for v in vocab], "name string")
+    got = {
+        (r.name_a, r.name_b): r.dist
+        for r in fuzzy_name_pairs(df, "name", max_dist=1).collect()
+    }
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (min(a, b), max(a, b)): lev(a, b)
+        for a, b in itertools.combinations(sorted(set(vocab)), 2)
+        if lev(a, b) <= 1
+    }
+    assert got == want
