@@ -281,3 +281,25 @@ def test_fuzzy_name_pairs_d1_matches_brute_force(spark):
         if lev(a, b) <= 1
     }
     assert got == want
+
+
+def test_fuzzy_name_pairs_unicode_codepoint_semantics(spark):
+    """Deletion keys are built with substring/length (codepoint-based) and
+    verified with levenshtein — both must count an astral-plane emoji as
+    ONE edit or deletion keys and the verify disagree and recall drops."""
+    from flink_stream_processing_spark.operators.text import fuzzy_name_pairs
+
+    vocab = ["café", "cafe", "naïve", "naive", "🦊fox", "fox", "🦊fax"]
+    df = spark.createDataFrame([(v,) for v in vocab], "name string")
+    got1 = {
+        (r.name_a, r.name_b): r.dist
+        for r in fuzzy_name_pairs(df, "name", max_dist=1).collect()
+    }
+    assert got1[("cafe", "café")] == 1        # accented char = 1 sub
+    assert got1[("fox", "🦊fox")] == 1        # emoji insert = 1 edit
+    assert got1[("🦊fax", "🦊fox")] == 1      # sub next to an emoji
+    got2 = {
+        (r.name_a, r.name_b): r.dist
+        for r in fuzzy_name_pairs(df, "name", max_dist=2).collect()
+    }
+    assert got2[("fox", "🦊fax")] == 2        # insert + sub across planes
