@@ -232,19 +232,21 @@ def test_fuzzy_name_pairs_d2_refuses_overlong_names(spark):
     assert ok.count() == 0  # far apart, but the plan executes
 
 
-def test_fuzzy_name_pairs_d2_plan_has_no_broadcast_joins(spark):
-    """The K2 relation is O(n·L²); broadcasting it is the r4 setsim
-    failure mode all over again. Pin shuffle joins in the executed plan."""
+def test_fuzzy_name_pairs_plan_has_no_broadcast_joins(spark):
+    """The key relations are O(n·L) / O(n·L²); broadcasting them is the
+    r4 setsim failure mode all over again. Pin shuffle joins in the
+    executed plan at both radii."""
     from flink_stream_processing_spark.operators.text import fuzzy_name_pairs
 
     df = spark.createDataFrame([("abc",), ("abd",)], "name string")
-    plan = (
-        fuzzy_name_pairs(df, "name", max_dist=2)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "BroadcastHashJoin" not in plan
+    for d in (1, 2):
+        plan = (
+            fuzzy_name_pairs(df, "name", max_dist=d)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" not in plan, f"max_dist={d}"
 
 
 def test_fuzzy_name_pairs_d1_matches_brute_force(spark):
