@@ -70,6 +70,16 @@ def _git(*args: str) -> str | None:
     return out.stdout if out.returncode == 0 else None
 
 
+def _git_prefix() -> str:
+    """Path of _HERE relative to the git toplevel ('' when _HERE IS the
+    toplevel). git ls-tree/log paths are toplevel-relative while the
+    working-tree blob keys are _HERE-relative; without this anchor a
+    checkout nested inside a larger repo would mismatch every path and
+    flag every query changed every round."""
+    out = _git("rev-parse", "--show-prefix")
+    return out.strip() if out else ""
+
+
 def _imported_pkg_files(relpath: str) -> set[str]:
     """Package-internal .py files (repo-relative) imported by ``relpath``."""
     try:
@@ -153,11 +163,14 @@ def _working_tree_blob_shas() -> dict[str, str]:
 
 def _blob_shas_at_record_commit(record_basename: str) -> dict[str, str] | None:
     """Package blob SHAs at the commit that last wrote a CORRECTNESS file
-    (the driver commits it against that round's final tree)."""
-    commit = _git("log", "-1", "--format=%H", "--", record_basename)
+    (the driver commits it against that round's final tree). Paths are
+    returned _HERE-relative (the `_git_prefix` anchor is stripped) so
+    they compare directly against `_working_tree_blob_shas` keys."""
+    prefix = _git_prefix()
+    commit = _git("log", "-1", "--format=%H", "--", prefix + record_basename)
     if not commit or not commit.strip():
         return None
-    listing = _git("ls-tree", "-r", commit.strip(), "--", _PKG)
+    listing = _git("ls-tree", "-r", commit.strip(), "--", prefix + _PKG)
     if listing is None:
         return None
     shas: dict[str, str] = {}
@@ -168,6 +181,8 @@ def _blob_shas_at_record_commit(record_basename: str) -> dict[str, str] | None:
             sha = meta.split()[2]
         except (ValueError, IndexError):
             continue
+        if prefix and path.startswith(prefix):
+            path = path[len(prefix):]
         shas[path] = sha
     return shas
 

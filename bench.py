@@ -75,6 +75,7 @@ HEADLINE = [
     "dedup_exact_docs",
     "fuzzy_name_matches",
     "fuzzy_name_matches_d2",
+    "entity_resolution_clusters_d2",
     "incremental_exact_dedup",
     "minhash_lsh_near_dups",
     "incremental_minhash_near_dups",

@@ -232,7 +232,24 @@ def _fuzzy_pairs_d2(names: DataFrame, max_name_len: int) -> DataFrame:
     k2 = base.select("name", F.explode(F.expr(k2_structs)).alias("s")).select(
         "name", "s.kh", "s.pi", "s.pj", "s.ci", "s.cj"
     )
-    k2u = k2.select("kh", "name").distinct()
+    # (kh, name) view of K2 deduped the same shuffle-free way as k1u:
+    # array_distinct over a hash-only projection BEFORE the explode (a
+    # second narrow pass over the checkpointed base), not a full-shuffle
+    # distinct() of the exploded O(n·L²) relation — on zero-padded names
+    # the repeated-character runs make many K2 strings collide per name,
+    # and re-shuffling every key row just to dedup them is pure waste.
+    k2u_keys = (
+        "IF(length(name) >= 2, array_distinct(flatten("
+        "transform(sequence(1, length(name) - 1), "
+        "i -> transform(sequence(i + 1, length(name)), j -> "
+        "xxhash64(concat(substring(name, 1, i - 1), "
+        "substring(name, i + 1, j - i - 1), "
+        "substring(name, j + 1, length(name) - j))))))), "
+        "array())"
+    )
+    k2u = base.select("name", F.explode(F.expr(k2u_keys)).alias("kh")).select(
+        "kh", "name"
+    )
 
     def _pair(left_name, right_name):
         return [

@@ -81,3 +81,27 @@ def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str) -> None:
     a, e = _canon(actual), _canon(expected)
     for i, (ra, re_) in enumerate(zip(a, e)):
         assert ra == re_, f"row {i} differs:\n  spark : {ra}\n  oracle: {re_}"
+
+
+# Shared brute-force ground truth for the fuzzy edit-class tests (the
+# single divergence-proof copy — test_edge_cases and test_property_fuzzy
+# both verify the operator against exactly this function).
+def brute_levenshtein(s: str, t: str) -> int:
+    prev = list(range(len(t) + 1))
+    for i, cs in enumerate(s, 1):
+        cur = [i]
+        for j, ct in enumerate(t, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cs != ct)))
+        prev = cur
+    return prev[-1]
+
+
+# Vocabulary engineered to hit every edit class: 1-sub, 2-sub (incl.
+# adjacent transposition), same-length delete+insert (rotation-style,
+# hamming 3 but lev 2), insert, insert+sub, double insert, repeated
+# characters, and an empty string.
+FUZZY_CLASS_VOCAB = [
+    "", "a", "ab", "ba", "abc", "acb", "abcd", "abxd", "axyd",
+    "abcde", "abced", "bcdea", "aab", "aabb", "aaab", "hello",
+    "hallo", "hell", "helloo", "shello", "xyzzy", "totally-far-off",
+]

@@ -190,26 +190,14 @@ def test_fuzzy_name_pairs_d2_matches_brute_force(spark):
 
     from flink_stream_processing_spark.operators.text import fuzzy_name_pairs
 
-    vocab = [
-        "", "a", "ab", "ba", "abc", "acb", "abcd", "abxd", "axyd",
-        "abcde", "abced", "bcdea", "aab", "aabb", "aaab", "hello",
-        "hallo", "hell", "helloo", "shello", "xyzzy", "totally-far-off",
-    ]
+    from tests.oracle_utils import FUZZY_CLASS_VOCAB as vocab
     df = spark.createDataFrame([(v,) for v in vocab], "name string")
     got = {
         (r.name_a, r.name_b): r.dist
         for r in fuzzy_name_pairs(df, "name", max_dist=2).collect()
     }
 
-    def lev(s, t):
-        prev = list(range(len(t) + 1))
-        for i, cs in enumerate(s, 1):
-            cur = [i]
-            for j, ct in enumerate(t, 1):
-                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
-                               prev[j - 1] + (cs != ct)))
-            prev = cur
-        return prev[-1]
+    from tests.oracle_utils import brute_levenshtein as lev
 
     want = {
         (min(a, b), max(a, b)): lev(a, b)
@@ -256,26 +244,14 @@ def test_fuzzy_name_pairs_d1_matches_brute_force(spark):
 
     from flink_stream_processing_spark.operators.text import fuzzy_name_pairs
 
-    vocab = [
-        "", "a", "ab", "ba", "abc", "acb", "abcd", "abxd", "axyd",
-        "abcde", "abced", "bcdea", "aab", "aabb", "aaab", "hello",
-        "hallo", "hell", "helloo", "shello", "xyzzy", "totally-far-off",
-    ]
+    from tests.oracle_utils import FUZZY_CLASS_VOCAB as vocab
     df = spark.createDataFrame([(v,) for v in vocab], "name string")
     got = {
         (r.name_a, r.name_b): r.dist
         for r in fuzzy_name_pairs(df, "name", max_dist=1).collect()
     }
 
-    def lev(s, t):
-        prev = list(range(len(t) + 1))
-        for i, cs in enumerate(s, 1):
-            cur = [i]
-            for j, ct in enumerate(t, 1):
-                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
-                               prev[j - 1] + (cs != ct)))
-            prev = cur
-        return prev[-1]
+    from tests.oracle_utils import brute_levenshtein as lev
 
     want = {
         (min(a, b), max(a, b)): lev(a, b)

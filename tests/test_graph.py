@@ -141,13 +141,27 @@ def test_iterative_loops_leave_session_conf_untouched(spark):
     t.start()
     observed = set()
     polls = 0
+    fg_runs = 0
     while t.is_alive():
         observed.add(spark.conf.get(sp_key))
         polls += 1
+        # a genuinely CONCURRENT foreground query: it must plan with the
+        # session's own shuffle settings and return the right answer while
+        # the loop is mid-flight
+        if polls % 20 == 1:
+            total = (
+                spark.range(0, 1000)
+                .groupBy((F.col("id") % 10).alias("g"))
+                .count()
+                .agg(F.sum("count").alias("s"))
+                .collect()[0]["s"]
+            )
+            assert total == 1000
+            fg_runs += 1
         time.sleep(0.005)
     t.join()
     assert observed == {before}, f"conf moved during loop: {observed}"
-    assert polls > 0
+    assert polls > 0 and fg_runs > 0
     # the whole chain is one component labeled by its minimum
     labels = result["labels"]
     assert len(labels) == n + 1

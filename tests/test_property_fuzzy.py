@@ -16,14 +16,7 @@ from hypothesis import strategies as st
 from flink_stream_processing_spark.operators.text import fuzzy_name_pairs
 
 
-def _lev(s: str, t: str) -> int:
-    prev = list(range(len(t) + 1))
-    for i, cs in enumerate(s, 1):
-        cur = [i]
-        for j, ct in enumerate(t, 1):
-            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cs != ct)))
-        prev = cur
-    return prev[-1]
+from tests.oracle_utils import brute_levenshtein as _lev
 
 
 WORD = st.text(alphabet="abc", min_size=0, max_size=6)
