@@ -43,8 +43,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #      files weighted inversely by how many queries they flag) —
 #      materially-reworked operators beat the tail flagged only through
 #      one shared infrastructure module;
-#   2. least driver-checked (green CORRECTNESS_r*.json rows) first;
-#   3. seniority (QUERY_LEDGER.json registration order), then registry
+#   2. OLDEST last-green driver row first (r8, per the r7 verdict's
+#      staleness burn-down: the freshness objective is "no green row
+#      older than 3 rounds", which least-count ordering only
+#      approximates — a query greened once in r02 and one greened once
+#      in r06 both count 1, but only the former is stale);
+#   3. least driver-checked (green CORRECTNESS_r*.json rows) first;
+#   4. seniority (QUERY_LEDGER.json registration order), then registry
 #      order — a wave of new queries must not displace an older
 #      never-checked one from the sweep budget.
 #
@@ -145,13 +150,39 @@ def _module_closure(relpath: str, cache: dict[str, set[str]]) -> set[str]:
 
 
 def _working_tree_blob_shas() -> dict[str, str]:
-    """Git blob SHA of every package .py file in the working tree."""
-    shas: dict[str, str] = {}
+    """Git blob SHA of every package .py file in the working tree.
+
+    Prefers one batched ``git hash-object --stdin-paths`` call: git applies
+    its content filters (core.autocrlf, clean/smudge), so the working-tree
+    sha matches the committed blob even in a filtered checkout — hashing
+    raw on-disk bytes there would compare unequal for EVERY file and flag
+    every query changed every round, silently replacing the staleness
+    rotation with targetedness ordering. Raw sha1 is the no-git fallback
+    (blob shas are plain sha1 of ``b"blob <len>\\0" + content``)."""
     pat = os.path.join(_HERE, _PKG, "**", "*.py")
-    for path in glob.glob(pat, recursive=True):
-        rel = os.path.relpath(path, _HERE).replace(os.sep, "/")
+    rels = sorted(
+        os.path.relpath(p, _HERE).replace(os.sep, "/")
+        for p in glob.glob(pat, recursive=True)
+    )
+    try:
+        out = subprocess.run(
+            ["git", "hash-object", "--stdin-paths"],
+            cwd=_HERE,
+            capture_output=True,
+            text=True,
+            timeout=60,
+            input="".join(r + "\n" for r in rels),
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        out = None
+    if out is not None and out.returncode == 0:
+        hashes = out.stdout.split()
+        if len(hashes) == len(rels):
+            return dict(zip(rels, hashes))
+    shas: dict[str, str] = {}
+    for rel in rels:
         try:
-            with open(path, "rb") as f:
+            with open(os.path.join(_HERE, rel), "rb") as f:
                 data = f.read()
         except OSError:
             continue
@@ -162,12 +193,23 @@ def _working_tree_blob_shas() -> dict[str, str]:
 
 
 def _blob_shas_at_record_commit(record_basename: str) -> dict[str, str] | None:
-    """Package blob SHAs at the commit that last wrote a CORRECTNESS file
-    (the driver commits it against that round's final tree). Paths are
-    returned _HERE-relative (the `_git_prefix` anchor is stripped) so
-    they compare directly against `_working_tree_blob_shas` keys."""
+    """Package blob SHAs at the commit that ADDED a CORRECTNESS file (the
+    driver writes each record exactly once, against that round's final
+    tree). Anchoring on the ADD commit — not last-touch — means a later
+    incidental touch of an old record (reformat, snapshot amend, trailing-
+    newline fix) cannot silently advance the baseline tree past
+    intervening code changes and un-flag queries that should re-verify.
+    Last-touch remains the fallback when no add-commit is visible
+    (shallow/grafted history). Paths are returned _HERE-relative (the
+    `_git_prefix` anchor is stripped) so they compare directly against
+    `_working_tree_blob_shas` keys."""
     prefix = _git_prefix()
-    commit = _git("log", "-1", "--format=%H", "--", prefix + record_basename)
+    commit = _git(
+        "log", "--diff-filter=A", "-1", "--format=%H", "--",
+        prefix + record_basename,
+    )
+    if not commit or not commit.strip():
+        commit = _git("log", "-1", "--format=%H", "--", prefix + record_basename)
     if not commit or not commit.strip():
         return None
     listing = _git("ls-tree", "-r", commit.strip(), "--", prefix + _PKG)
@@ -198,6 +240,28 @@ def _changed_since_last_green(
     infrastructure module that moved under a hundred queries contributes
     almost nothing to each — so materially-reworked operators re-sweep
     first and the broad tail degrades to plain least-checked order."""
+    scores, _fresh = _changed_and_fresh(names, last_green_file)
+    return scores
+
+
+def _changed_and_fresh(
+    names: list[str], last_green_file: dict[str, str]
+) -> tuple[dict[str, float], set[str]]:
+    """Targetedness scores (see _changed_since_last_green) plus the FRESH
+    subset of the changed queries.
+
+    A changed query is "fresh" when at least one of its changed closure
+    files has a working-tree blob that appears in NO driver-record commit
+    tree — i.e. the edit landed after the last driver sweep and no query
+    anywhere has a green row against it. Everything else in the changed
+    group is OLD DRIFT: the blob was already present in some prior
+    record's tree, so sibling queries sharing the module have been
+    sweeping green against it for whole rounds. Fresh changes carry the
+    original "a post-sweep code fix re-queues its queries immediately"
+    priority; old-drift queries re-verify in staleness order instead
+    (r8 — without the split, drift through one shared module flagged half
+    the registry and starved the r02/r03 staleness tail out of the
+    driver's 50-slot sweep budget)."""
     current = _working_tree_blob_shas()
     tree_cache: dict[str, dict[str, str] | None] = {}
     closure_cache: dict[str, set[str]] = {}
@@ -229,23 +293,50 @@ def _changed_since_last_green(
     for diff in changed_files.values():
         for f in diff:
             flag_freq[f] = flag_freq.get(f, 0) + 1
-    return {
+    scores = {
         name: sum(1.0 / flag_freq[f] for f in diff)
         for name, diff in changed_files.items()
     }
+    # Freshness: union of every record tree ever committed (not just the
+    # ones referenced by a last-green row) — a blob present in ANY of them
+    # has been seen by a driver sweep.
+    for rec in (
+        os.path.basename(p)
+        for p in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")))
+    ):
+        if rec not in tree_cache:
+            tree_cache[rec] = _blob_shas_at_record_commit(rec)
+    recorded_blobs: dict[str, set[str]] = {}
+    for tree in tree_cache.values():
+        if tree:
+            for f, sha in tree.items():
+                recorded_blobs.setdefault(f, set()).add(sha)
+    fresh = {
+        name
+        for name, diff in changed_files.items()
+        if any(current.get(f) not in recorded_blobs.get(f, set()) for f in diff)
+    }
+    return scores, fresh
 
 
 def _sweep_order(names: list[str]) -> list[str]:
-    """Changed-since-last-green first, then least-driver-checked, then
-    seniority (see module-level comment block)."""
+    """Changed-since-last-green first, then OLDEST-last-green, then
+    least-driver-checked, then seniority (see module-level comment
+    block)."""
     checked: dict[str, int] = {}
     last_green_file: dict[str, str] = {}
+    last_green_round: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
                 rows = json.load(f)
         except (OSError, ValueError):
             continue
+        base = os.path.basename(path)
+        try:
+            rnd = int(base[len("CORRECTNESS_r") : -len(".json")])
+        except ValueError:
+            rnd = 0
         for name, row in rows.items():
             # Only GREEN rows count as "checked": a failed row (hash/rows/
             # schema mismatch) means the query still needs a verifying
@@ -259,8 +350,9 @@ def _sweep_order(names: list[str]) -> list[str]:
                 and row.get("hash_match") is not False
             ):
                 checked[name] = checked.get(name, 0) + 1
-                last_green_file[name] = os.path.basename(path)
-    changed = _changed_since_last_green(names, last_green_file)
+                last_green_file[name] = base
+                last_green_round[name] = rnd
+    changed, fresh = _changed_and_fresh(names, last_green_file)
     # A NEVER-green query has no hard signal at all — it outranks every
     # changed-since-green query (which at least once matched its oracle):
     # infinite targetedness keeps the old "new queries sweep first"
@@ -268,6 +360,7 @@ def _sweep_order(names: list[str]) -> list[str]:
     for name in names:
         if checked.get(name, 0) == 0:
             changed[name] = float("inf")
+            fresh.add(name)
     # Tie-break zero/equal-count queries by SENIORITY (QUERY_LEDGER.json:
     # first-registered first), not registry order: a wave of brand-new
     # queries must not push an older never-checked query out of the
@@ -295,6 +388,20 @@ def _sweep_order(names: list[str]) -> list[str]:
         names,
         key=lambda n: (
             n not in changed,
+            # FRESH changes (working-tree blobs no driver sweep has ever
+            # seen; includes never-green queries) sweep first, by
+            # targetedness — a post-sweep code fix re-queues its queries
+            # immediately. Old-drift changes fall through to the
+            # staleness ordering below with everything else.
+            n not in fresh,
+            -changed.get(n, 0.0) if n in fresh else 0.0,
+            # Staleness burn-down (r8): oldest last green driver row
+            # first — the freshness objective is bounded row AGE, which
+            # least-count only approximates. Never-green names sort in
+            # the fresh group (inf) so the 0 default is unreachable.
+            last_green_round.get(n, 0),
+            # Within one round cohort, higher targetedness first (old
+            # drift still carries more risk than no change at all).
             -changed.get(n, 0.0),
             checked.get(n, 0),
             seniority.get(n, len(ledger)),

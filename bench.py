@@ -372,7 +372,16 @@ def main() -> None:
             while it.hasNext():
                 e = it.next()
                 if int(e._1()) not in before:
-                    e._2().unpersist(False)
+                    # BLOCKING unpersist: this runs outside the timed
+                    # region, so waiting costs nothing measured, and it
+                    # guarantees the NEXT query's timing can't overlap an
+                    # in-flight async block removal. (r8 probe: localCheck-
+                    # point blocks DO appear in getPersistentRDDs and
+                    # unpersist frees their memory — the r7 verdict's
+                    # "leaked d2 checkpoint blocks" hypothesis for the
+                    # map_hof_battery 12.4 s driver outlier is disproven;
+                    # see tests/test_bench_release.py.)
+                    e._2().unpersist(True)
         except Exception as e:  # cleanup must never kill the bench
             print(f"  checkpoint release skipped: {e}", file=sys.stderr)
 

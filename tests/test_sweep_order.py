@@ -20,11 +20,14 @@ from flink_stream_processing_spark import queries as q
 _PKG = "flink_stream_processing_spark"
 
 
-def _green_rows() -> tuple[dict[str, int], dict[str, str]]:
+def _green_rows() -> tuple[dict[str, int], dict[str, str], dict[str, int]]:
     here = os.path.dirname(os.path.abspath(entry_mod.__file__))
     counts: dict[str, int] = {}
     last: dict[str, str] = {}
+    rounds: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        base = os.path.basename(path)
+        rnd = int(base[len("CORRECTNESS_r") : -len(".json")])
         with open(path) as f:
             for name, row in json.load(f).items():
                 # green rows only — a failed row queues the query for a
@@ -37,8 +40,9 @@ def _green_rows() -> tuple[dict[str, int], dict[str, str]]:
                     and row.get("hash_match") is not False
                 ):
                     counts[name] = counts.get(name, 0) + 1
-                    last[name] = os.path.basename(path)
-    return counts, last
+                    last[name] = base
+                    rounds[name] = rnd
+    return counts, last, rounds
 
 
 def test_queries_is_complete_permutation():
@@ -51,7 +55,7 @@ def test_changed_queries_sweep_before_unchanged():
     """Every query flagged impl-changed-since-last-green precedes every
     unchanged-and-checked query (never-checked queries count as changed
     priority via count 0, so they are exempt from the split)."""
-    counts, last = _green_rows()
+    counts, last, rounds = _green_rows()
     changed = entry_mod._changed_since_last_green(list(q.QUERIES), last)
     names = list(entry_mod.queries())
     if not changed:
@@ -67,12 +71,14 @@ def test_changed_queries_sweep_before_unchanged():
 
 def test_order_is_sorted_by_the_priority_key():
     """The emitted order is exactly the documented key: (unchanged,
-    -targetedness, checked-count, seniority, registry position)."""
-    counts, last = _green_rows()
-    changed = entry_mod._changed_since_last_green(list(q.QUERIES), last)
+    not-fresh, -targetedness-if-fresh, last-green-round, -targetedness,
+    checked-count, seniority, registry position)."""
+    counts, last, rounds = _green_rows()
+    changed, fresh = entry_mod._changed_and_fresh(list(q.QUERIES), last)
     for n in q.QUERIES:  # never-green queries outrank everything (inf score)
         if counts.get(n, 0) == 0:
             changed[n] = float("inf")
+            fresh.add(n)
     here = os.path.dirname(os.path.abspath(entry_mod.__file__))
     with open(os.path.join(here, "QUERY_LEDGER.json")) as f:
         seniority = {n: i for i, n in enumerate(json.load(f))}
@@ -81,6 +87,9 @@ def test_order_is_sorted_by_the_priority_key():
     keys = [
         (
             n not in changed,
+            n not in fresh,
+            -changed.get(n, 0.0) if n in fresh else 0.0,
+            rounds.get(n, 0),
             -changed.get(n, 0.0),
             counts.get(n, 0),
             seniority.get(n, len(seniority)),
@@ -89,6 +98,68 @@ def test_order_is_sorted_by_the_priority_key():
         for n in names
     ]
     assert keys == sorted(keys), "queries() order must follow the priority key"
+
+
+def test_old_drift_changes_queue_by_staleness_not_targetedness():
+    """The r8 fresh/drift split: changed queries whose working-tree blobs
+    all appear in some prior driver-record tree (old drift — sibling
+    queries have swept green against them for rounds) order by last-green
+    round, so shared-module drift cannot starve the r02/r03 staleness
+    tail out of the 50-slot sweep budget."""
+    counts, last, rounds = _green_rows()
+    changed, fresh = entry_mod._changed_and_fresh(list(q.QUERIES), last)
+    drift = [n for n in changed if n not in fresh and counts.get(n, 0) > 0]
+    if len(drift) < 2:
+        return  # tree too clean to exercise the split
+    names = list(entry_mod.queries())
+    drift_rounds = [rounds[n] for n in names if n in set(drift)]
+    assert drift_rounds == sorted(drift_rounds)
+
+
+def test_unchanged_queries_sweep_oldest_green_row_first():
+    """Staleness burn-down (r8): among unchanged-and-checked queries, last
+    green rounds are non-decreasing down the sweep — a query last greened
+    in r02 must precede one last greened in r06, regardless of how many
+    total green rows each has."""
+    counts, last, rounds = _green_rows()
+    changed = entry_mod._changed_since_last_green(list(q.QUERIES), last)
+    names = list(entry_mod.queries())
+    unchanged_rounds = [
+        rounds[n] for n in names if n not in changed and n in rounds
+    ]
+    assert unchanged_rounds == sorted(unchanged_rounds)
+
+
+def test_record_commit_anchor_is_the_add_commit():
+    """_blob_shas_at_record_commit anchors on the commit that ADDED the
+    record file, so a later incidental touch (reformat, snapshot amend)
+    cannot advance the staleness baseline past intervening code changes.
+    Verified against git directly for a record old enough to have seen
+    later snapshot commits."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(entry_mod.__file__))
+    probe = subprocess.run(
+        ["git", "log", "--diff-filter=A", "-1", "--format=%H", "--",
+         "CORRECTNESS_r02.json"],
+        cwd=here, capture_output=True, text=True,
+    )
+    if probe.returncode != 0 or not probe.stdout.strip():
+        return  # no git / shallow history — fallback path covers it
+    add_commit = probe.stdout.strip()
+    listing = subprocess.run(
+        ["git", "ls-tree", "-r", add_commit, "--", _PKG],
+        cwd=here, capture_output=True, text=True,
+    ).stdout
+    expected = {}
+    prefix = entry_mod._git_prefix()
+    for line in listing.splitlines():
+        meta, path = line.split("\t", 1)
+        if prefix and path.startswith(prefix):
+            path = path[len(prefix):]
+        expected[path] = meta.split()[2]
+    got = entry_mod._blob_shas_at_record_commit("CORRECTNESS_r02.json")
+    assert got == expected
 
 
 def test_ledger_self_heals_with_new_names():
@@ -164,7 +235,7 @@ def test_working_tree_blob_shas_match_git_for_committed_files():
 def test_synthetic_change_flags_exactly_the_dependent_queries(monkeypatch):
     """Altering one operator module's recorded SHA flags precisely the
     queries whose closure contains it, and they jump to the sweep front."""
-    counts, last = _green_rows()
+    counts, last, rounds = _green_rows()
     target = f"{_PKG}/operators/graph.py"
     current = entry_mod._working_tree_blob_shas()
 

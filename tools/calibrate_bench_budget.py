@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Recalibrate BENCH_BUDGET.json from the union of BUILDER and DRIVER run
+history (r7 verdict ask #1).
+
+The r7 budget was calibrated "trip-free against every recorded
+observation" using builder-run history only; the driver's environment
+(which runs the 168-query bench after a 50-query correctness sweep, under
+whatever machine load the round happens to have) has materially different
+variance — its r7 run measured map_hof_battery at 12.41 s where the
+builder's run of the SAME COMMIT measured 3.08 s (plan unchanged since
+r5; the leak hypothesis was disproven by tests/test_bench_release.py).
+Ceilings calibrated only on builder runs will keep tripping on that
+variance, so the recorded value folds in every run of note:
+
+  recorded[q]  = per-query MAX across all sf0.1 runs committed to
+                 BENCH_LOCAL.json since the r5 plan-stable era (builder
+                 runs AND the driver's r6/r7 records) plus the current
+                 working-tree run.
+  ceiling[q]   = max(2.0 * median(obs), 1.3 * max(obs), max(obs) + 1.0 s)
+                 — expressed through bench.py's existing interface as
+                 factors[q] = ceiling / recorded. For every enforced
+                 budget (recorded >= 1 s; bench.py floor-exempts the
+                 rest) the factor lands in [1.3, 2.0].
+
+Why this shape: 2.0 x median is the "a genuine 2x plan regression on a
+typical run must fire" contract; the 1.3 x worst-ever term keeps the gate
+trip-free against every recorded observation with 30% headroom for new
+environment noise; the +1.0 s absolute term covers the ~1-2 s queries
+where scheduler noise is additive, not multiplicative. Both terms are <= 3.0 x max, so EVERY ceiling is
+strictly tighter than the old global 3x — including map_hof_battery,
+whose worst observation (12.41 s, driver r7, plan unchanged and the
+checkpoint-leak hypothesis disproven by tests/test_bench_release.py) now
+yields a 16.1 s ceiling instead of the 10.4 s builder-only ceiling that
+produced the r7 rc-1 record. Usage: python tools/calibrate_bench_budget.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# First commit of the r5 plan-stable era: earlier runs predate the setsim /
+# allpairs plan rework and would loosen budgets with dead-plan timings.
+ERA_START = "50fdac061cc5194b6f4fe57d73d82a7c15e5f390"
+
+
+def _git(*args: str) -> str:
+    out = subprocess.run(
+        ["git", *args], cwd=HERE, capture_output=True, text=True, timeout=60
+    )
+    return out.stdout if out.returncode == 0 else ""
+
+
+def collect_runs() -> list[tuple[str, dict[str, float]]]:
+    commits = _git(
+        "log", "--format=%H", f"{ERA_START}~1..HEAD", "--", "BENCH_LOCAL.json"
+    ).split()
+    runs: list[tuple[str, dict[str, float]]] = []
+    for c in commits:
+        raw = _git("show", f"{c}:BENCH_LOCAL.json")
+        try:
+            d = json.loads(raw)
+        except ValueError:
+            continue
+        if abs(float(d.get("sf", -1)) - 0.1) < 1e-9 and d.get("queries"):
+            runs.append((c[:8], d["queries"]))
+    try:
+        with open(os.path.join(HERE, "BENCH_LOCAL.json")) as f:
+            d = json.load(f)
+        if abs(float(d.get("sf", -1)) - 0.1) < 1e-9 and d.get("queries"):
+            runs.append(("worktree", d["queries"]))
+    except (OSError, ValueError):
+        pass
+    return runs
+
+
+def main() -> None:
+    sys.path.insert(0, HERE)
+    from bench import HEADLINE
+
+    runs = collect_runs()
+    if len(runs) < 3:
+        raise SystemExit(f"only {len(runs)} runs found — refusing to calibrate")
+    obs: dict[str, list[float]] = {}
+    for _c, timings in runs:
+        for name, t in timings.items():
+            if name in set(HEADLINE):
+                obs.setdefault(name, []).append(float(t))
+    import statistics
+
+    recorded = {n: round(max(v), 3) for n, v in sorted(obs.items())}
+    factors: dict[str, float] = {}
+    for n, v in sorted(obs.items()):
+        ceiling = max(2.0 * statistics.median(v), 1.3 * max(v), max(v) + 1.0)
+        factors[n] = round(ceiling / recorded[n], 3)
+    budget = {
+        "note": (
+            "per-query wall-clock budgets: ceiling = factor * recorded sec. "
+            f"Recorded = per-query MAX across {len(runs)} sf0.1 runs "
+            "(builder AND driver, r5 era onward — see "
+            "tools/calibrate_bench_budget.py). Per-query factor encodes "
+            "ceiling = max(2.0*median(obs), 1.3*max(obs), max(obs)+1s): fires on a "
+            "genuine 2x-of-typical plan regression while staying trip-free "
+            "with 30% headroom against every recorded observation, driver "
+            "environment included. Every factor is in [1.3, 2.0] — tighter "
+            "than the old global 3x everywhere. Override uniformly with "
+            "SPARK_GRAFT_BENCH_FACTOR, disable with "
+            "SPARK_GRAFT_BENCH_ENFORCE=0; re-run the calibrator after "
+            "intentional perf changes or new driver records."
+        ),
+        "sf": 0.1,
+        "factor": 3.0,
+        "queries": recorded,
+        "factors": factors,
+    }
+    out = os.path.join(HERE, "BENCH_BUDGET.json")
+    with open(out, "w") as f:
+        json.dump(budget, f, indent=1)
+        f.write("\n")
+    print(
+        f"calibrated {len(recorded)} budgets from {len(runs)} runs; "
+        f"{len(factors)} per-query ceilings -> {out}"
+    )
+
+
+if __name__ == "__main__":
+    main()
