@@ -36,18 +36,24 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # The driver checks <=50 queries per round, in the dict order queries()
 # returns — so the ordering IS the verification-coverage policy. Priority:
-#   1. impl-CHANGED since the query's last green driver row (a post-sweep
-#      code fix automatically re-queues its queries for a fresh hard
-#      signal; never-checked queries also land here via count 0 below);
-#      within the changed group, higher targetedness score first (changed
-#      files weighted inversely by how many queries they flag) —
-#      materially-reworked operators beat the tail flagged only through
-#      one shared infrastructure module;
+#   1. FRESH impl changes (some closure file's working-tree blob appears
+#      in NO driver-record commit tree — the edit landed after the last
+#      sweep and nothing has a green row against it; never-checked
+#      queries also land here): a post-sweep code fix automatically
+#      re-queues its queries for a fresh hard signal. Within the fresh
+#      group, higher targetedness score first (changed files weighted
+#      inversely by how many queries they flag) — materially-reworked
+#      operators beat a tail flagged only through one shared module;
 #   2. OLDEST last-green driver row first (r8, per the r7 verdict's
 #      staleness burn-down: the freshness objective is "no green row
 #      older than 3 rounds", which least-count ordering only
-#      approximates — a query greened once in r02 and one greened once
-#      in r06 both count 1, but only the former is stale);
+#      approximates). OLD-DRIFT changed queries (their changed blobs all
+#      sat in some prior record tree while sibling queries swept green
+#      against them) queue HERE by staleness, not by targetedness —
+#      without that split, r4-era drift through one shared module
+#      flagged half the registry and starved the r02/r03 tail out of
+#      the 50-slot budget. Within one round cohort, drift outranks
+#      truly-unchanged (higher targetedness first);
 #   3. least driver-checked (green CORRECTNESS_r*.json rows) first;
 #   4. seniority (QUERY_LEDGER.json registration order), then registry
 #      order — a wave of new queries must not displace an older

@@ -45,3 +45,51 @@ def test_operators_never_mutate_session_conf():
             if "conf.set(" in line and not line.lstrip().startswith("#"):
                 offenders.append(f"{path.relative_to(PKG.parent)}:{i}")
     assert not offenders, "\n".join(offenders)
+
+
+def test_queries_never_mutate_the_shared_session_conf():
+    """Same ban extended to queries_impl/ (r7 verdict ask #4): a query
+    body may set conf only on a session CLONE (``spark.newSession()``,
+    private SQL conf, shared SparkContext) — never on the shared session
+    object a concurrent query is planning against. Enforced lexically:
+    every ``.conf.set(`` receiver must be a clone-named local
+    (``stream_spark`` / ``v2_spark``), not ``spark``.
+
+    windows_extra.py keeps its two try/finally-restored swaps until r9:
+    rewriting it this round would flag its 18 dependent queries "fresh"
+    in the driver sweep and displace the r02/r03 staleness burn-down the
+    r7 verdict prioritized above this cleanup (asks #2 vs #4)."""
+    allowed_receivers = ("stream_spark", "v2_spark")
+    deferred = {"windows_extra.py"}
+    offenders = []
+    for path in sorted((PKG / "queries_impl").rglob("*.py")):
+        if path.name in deferred:
+            continue
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            stripped = line.lstrip()
+            if ".conf.set(" in stripped and not stripped.startswith("#"):
+                receiver = stripped.split(".conf.set(")[0].strip()
+                if receiver not in allowed_receivers:
+                    offenders.append(f"{path.relative_to(PKG.parent)}:{i}")
+    assert not offenders, "\n".join(offenders)
+
+
+def test_session_clone_isolates_conf_and_inherits_builder_defaults(spark):
+    """The two assumptions behind the clone-based conf scoping:
+    (1) ISOLATION — conf set on a ``spark.newSession()`` clone is
+    invisible to the original session (the whole point of the ban);
+    (2) INHERITANCE — the clone still carries the builder-level engine
+    defaults (UTC timezone, nanosAsLong) that load-bearing reads depend
+    on, so a clone doesn't silently revert to Spark defaults."""
+    clone = spark.newSession()
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    clone.conf.set(key, "3")
+    assert spark.conf.get(key) == before
+    assert clone.conf.get(key) == "3"
+    # same SparkContext (no second JVM app), private SQL conf state
+    assert clone.sparkContext is spark.sparkContext
+    assert clone.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert (
+        clone.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true"
+    )

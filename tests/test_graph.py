@@ -142,6 +142,12 @@ def test_iterative_loops_leave_session_conf_untouched(spark):
     observed = set()
     polls = 0
     fg_runs = 0
+    # One unconditional poll + foreground run BEFORE the liveness loop: on
+    # a fast/warm session the CC thread can finish before the first
+    # is_alive() check, and the trailing `polls > 0 and fg_runs > 0`
+    # assert would fail spuriously with zero iterations (advisor r7).
+    observed.add(spark.conf.get(sp_key))
+    polls += 1
     while t.is_alive():
         observed.add(spark.conf.get(sp_key))
         polls += 1
@@ -160,6 +166,18 @@ def test_iterative_loops_leave_session_conf_untouched(spark):
             fg_runs += 1
         time.sleep(0.005)
     t.join()
+    # Unconditional foreground aggregate (counts even when the thread beat
+    # the loop): concurrent-or-immediately-after, it must plan with the
+    # session's own settings and be correct.
+    total = (
+        spark.range(0, 1000)
+        .groupBy((F.col("id") % 10).alias("g"))
+        .count()
+        .agg(F.sum("count").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert total == 1000
+    fg_runs += 1
     assert observed == {before}, f"conf moved during loop: {observed}"
     assert polls > 0 and fg_runs > 0
     # the whole chain is one component labeled by its minimum

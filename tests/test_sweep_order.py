@@ -1,11 +1,14 @@
 """Guards for the driver-sweep rotation in __spark_entry__ (no Spark).
 
 The driver sweeps ``queries()`` in dict order under a ~50-query cap, so the
-ordering IS the coverage policy: impl-changed-since-last-green first
-(git-blob-SHA fingerprint of the query's module closure vs the tree at the
-commit that wrote its last green CORRECTNESS row), then least-checked, then
-seniority. These tests pin the contract against the real CORRECTNESS_r*
-files in the repo root plus synthetic fingerprint scenarios.
+ordering IS the coverage policy: FRESH impl changes first (a closure blob
+no driver-record tree has ever seen, by targetedness), then old drift and
+the unchanged tail together in oldest-last-green order, then
+least-checked, then seniority. Fingerprints are git blob SHAs of the
+query's module closure vs the tree at the commit that ADDED its last
+green CORRECTNESS record. These tests pin the contract against the real
+CORRECTNESS_r* files in the repo root plus synthetic fingerprint
+scenarios.
 """
 
 from __future__ import annotations
