@@ -299,3 +299,81 @@ def test_dynamic_partition_overwrite_layout_prunes(spark):
     assert "PartitionFilters" in plan and "event_type" in plan.split(
         "PartitionFilters", 1
     )[1].split("]", 1)[0], plan
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide unplanned-product sweep (r8)
+
+# Queries whose construction is side-effect-free (no streams started, no
+# export dirs written) and whose plans must NEVER contain a CartesianProduct
+# — and may contain a BroadcastNestedLoopJoin ONLY where it is the
+# documented single-row stats/quota cross join. At 100 TB an accidental
+# cross product is the difference between a job and an outage; this pins
+# every analytic family's join graph, not just the individually-pinned
+# plans above.
+_NO_CARTESIAN_SWEEP = [
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q11_important_stock",
+    "q20_excess_stock_suppliers",
+    "q21_waiting_suppliers",
+    "point_in_time_feature_join",
+    "asof_join_latest_view",
+    "interval_join_click_errors",
+    "salted_skew_join_revenue",
+    "salted_two_phase_agg",
+    "ivf_ann_topk",
+    "ann_lsh_topk",
+    "embedding_near_dup_pairs",
+    "incremental_minhash_near_dups",
+    "minhash_lsh_near_dups",
+    "simhash_near_dups",
+    "fuzzy_name_matches",
+    "fuzzy_name_matches_d2",
+    "allpairs_jaccard_join",
+    "containment_join",
+    "benchmark_decontamination",
+    "ngram_overlap_decontamination",
+    "triangle_count_cosuppliers",
+    "bm25_lexical_topk",
+    "hybrid_rrf_search",
+    "mmr_diversified_topk",
+    "pq_adc_topk",
+    "cms_join_cardinality",
+    "bloom_filter_membership",
+    "semantic_dedup_keep",
+    "left_join_order_counts",
+    "anti_join_customers_no_orders",
+]
+
+# The ONLY tolerated BroadcastNestedLoopJoins: a deliberate broadcast
+# cross join of a single-row aggregate (corpus stats / thresholds /
+# quotas) into a per-row expression. Anything else is an unplanned
+# product.
+_SCALAR_CROSS_ALLOWED = {
+    "bm25_lexical_topk",  # (n_docs, avgdl) single-row stats ride-in
+    "hybrid_rrf_search",  # same stats inside its BM25 leg
+    "q11_important_stock",  # scalar 3x-average gate
+    "mmr_diversified_topk",  # scalar pool bound
+    "cms_join_cardinality",  # single-row sketch dimensions
+}
+
+
+def test_no_headline_query_plans_a_cartesian_product(spark):
+    from flink_stream_processing_spark.plans import formatted_plan
+
+    offenders = []
+    for name in _NO_CARTESIAN_SWEEP:
+        plan = formatted_plan(QUERIES[name](spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders.append(f"{name}: CartesianProduct")
+        if (
+            "BroadcastNestedLoopJoin" in plan
+            and name not in _SCALAR_CROSS_ALLOWED
+        ):
+            offenders.append(f"{name}: BroadcastNestedLoopJoin")
+    assert not offenders, "\n".join(offenders)
