@@ -193,6 +193,8 @@ HEADLINE = [
     "domain_frequency_cap",
     "dynamic_partition_overwrite",
     "sql_surface_ordered_set_aggs",
+    "leakage_safe_split",
+    "bpe_merge_candidates",
 ]
 
 

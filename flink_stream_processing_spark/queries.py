@@ -53,6 +53,7 @@ from .queries_impl import (  # noqa: E402,F401
     llm_pipeline2,
     llm_pipeline3,
     llm_pipeline4,
+    llm_pipeline5,
     llm_similarity,
     llm_similarity2,
     llm_text,
@@ -84,6 +85,7 @@ _ALL_IMPL = [
     llm_pipeline2,
     llm_pipeline3,
     llm_pipeline4,
+    llm_pipeline5,
     llm_corpus_ops,
     corpus_pipeline,
     grouped_pandas,

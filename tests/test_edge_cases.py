@@ -281,3 +281,64 @@ def test_fuzzy_name_pairs_unicode_codepoint_semantics(spark):
         for r in fuzzy_name_pairs(df, "name", max_dist=2).collect()
     }
     assert got2[("fox", "🦊fax")] == 2        # insert + sub across planes
+
+
+def test_leakage_safe_split_never_separates_near_dups(spark):
+    """The whole point of leakage_safe_split: no near-dup pair may
+    straddle train/validation. Checked directly — every LSH-verified pair
+    joined against the split assignment must land on one side."""
+    from flink_stream_processing_spark.operators.dedup import minhash_near_dups
+    from flink_stream_processing_spark.queries import QUERIES
+    from flink_stream_processing_spark.sources.batch import load_table
+
+    from .conftest import SF_DIR
+
+    split = QUERIES["leakage_safe_split"](spark, SF_DIR).select(
+        "doc_id", "split"
+    )
+    pairs = minhash_near_dups(
+        load_table(spark, SF_DIR, "documents"), threshold=0.5
+    ).select("doc_a", "doc_b")
+    crossers = (
+        pairs.join(split.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("split", "split_a")
+        .join(split.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .filter(F.col("split_a") != F.col("split"))
+        .count()
+    )
+    assert crossers == 0
+    # and it is a real split: both sides populated on this corpus
+    sides = {r["split"] for r in split.select("split").distinct().collect()}
+    assert sides == {"train", "validation"}
+
+
+def test_bpe_merge_candidates_on_fixture(spark):
+    """Hand-checked BPE counting: corpus 'aab aab ab x' -> word freqs
+    {aab: 2, ab: 1} (single-char 'x' drops) -> pair counts
+    aa = 2 (from aab x2), ab = 2*1 + 1*1 = 3."""
+    df = spark.createDataFrame([(0, "aab aab ab x")], "doc_id long, text string")
+
+    # drive the query's expression pipeline directly on the fixture frame
+    # (the registered query itself is oracle-gated over the real corpus)
+    import pyspark.sql.functions as F2
+
+    words = df.select(
+        F2.explode(F2.split(F2.lower(F2.trim(F2.col("text"))), r"\s+")).alias("word")
+    ).filter(F2.length("word") >= 2)
+    wf = words.groupBy("word").agg(F2.count(F2.lit(1)).alias("freq"))
+    pairs = wf.select(
+        "freq",
+        F2.explode(
+            F2.expr(
+                "transform(sequence(1, char_length(word) - 1), "
+                "i -> concat(substring(word, i, 1), substring(word, i + 1, 1)))"
+            )
+        ).alias("pair"),
+    )
+    got = {
+        r["pair"]: r["cnt"]
+        for r in pairs.groupBy("pair")
+        .agg(F2.sum("freq").cast("long").alias("cnt"))
+        .collect()
+    }
+    assert got == {"aa": 2, "ab": 3}
