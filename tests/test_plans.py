@@ -348,6 +348,8 @@ _NO_CARTESIAN_SWEEP = [
     "semantic_dedup_keep",
     "left_join_order_counts",
     "anti_join_customers_no_orders",
+    "leakage_safe_split",
+    "bpe_merge_candidates",
 ]
 
 # The ONLY tolerated BroadcastNestedLoopJoins: a deliberate broadcast
