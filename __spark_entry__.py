@@ -393,18 +393,20 @@ def _sweep_order(names: list[str]) -> list[str]:
     return sorted(
         names,
         key=lambda n: (
-            n not in changed,
             # FRESH changes (working-tree blobs no driver sweep has ever
             # seen; includes never-green queries) sweep first, by
             # targetedness — a post-sweep code fix re-queues its queries
-            # immediately. Old-drift changes fall through to the
-            # staleness ordering below with everything else.
+            # immediately. Everything else — old drift AND truly
+            # unchanged — merges into ONE staleness ordering below: the
+            # freshness objective is bounded green-row AGE, and an
+            # unchanged query with an r4 row needs the slot more than a
+            # drift query re-greened in r6 (the review probe found 203
+            # such inversions under the earlier changed-first key).
             n not in fresh,
             -changed.get(n, 0.0) if n in fresh else 0.0,
             # Staleness burn-down (r8): oldest last green driver row
-            # first — the freshness objective is bounded row AGE, which
-            # least-count only approximates. Never-green names sort in
-            # the fresh group (inf) so the 0 default is unreachable.
+            # first. Never-green names sort in the fresh group (inf) so
+            # the 0 default is unreachable.
             last_green_round.get(n, 0),
             # Within one round cohort, higher targetedness first (old
             # drift still carries more risk than no change at all).

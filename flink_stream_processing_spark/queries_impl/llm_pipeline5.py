@@ -27,35 +27,20 @@ from pyspark.sql import functions as F
 
 from ..queries import query
 from ..sources.batch import load_table
+from .llm_dedup import _JACCARD_CTES
 
-# Oracle: exact all-pairs Jaccard (the same CTE stack the near_dup_clusters
-# oracle uses) -> transitive closure by recursive CTE -> singleton docs keep
-# themselves as representative -> md5-bucket the REPRESENTATIVE (the same
-# proven hash idiom as train_validation_split, keyed one level up).
-_LEAKAGE_SPLIT_ORACLE = r"""
-WITH RECURSIVE toks AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-  FROM documents
-  WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 3
-),
-sh AS (
-  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-jac AS (
-  SELECT doc_a, doc_b,
-         round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
-  FROM common
-  JOIN sizes sa ON sa.doc_id = doc_a
-  JOIN sizes sb ON sb.doc_id = doc_b
-),
-pe AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+# Oracle: exact all-pairs Jaccard — COMPOSED from the shared _JACCARD_CTES
+# constant (llm_dedup.py), not a pasted copy, so the shingle convention
+# (tokenizer regex, n=3, DISTINCT, rounding) can never silently diverge
+# from the near-dup oracles gating the same operators -> transitive
+# closure by recursive CTE (same shape as near_dup_clusters' oracle) ->
+# singleton docs keep themselves as representative -> md5-bucket the
+# REPRESENTATIVE (the proven train_validation_split hash idiom, keyed one
+# level up).
+_LEAKAGE_SPLIT_ORACLE = _JACCARD_CTES.replace(
+    "WITH toks", "WITH RECURSIVE toks", 1
+) + """
+, pe AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
 e AS (SELECT doc_a AS a, doc_b AS b FROM pe UNION SELECT doc_b, doc_a FROM pe),
 nodes AS (SELECT DISTINCT a AS n FROM e),
 reach(n, m) AS (

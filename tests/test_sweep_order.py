@@ -54,27 +54,31 @@ def test_queries_is_complete_permutation():
     assert len(names) == len(set(names))
 
 
-def test_changed_queries_sweep_before_unchanged():
-    """Every query flagged impl-changed-since-last-green precedes every
-    unchanged-and-checked query (never-checked queries count as changed
-    priority via count 0, so they are exempt from the split)."""
+def test_fresh_queries_sweep_before_everything_else():
+    """Every FRESH query (a closure blob no driver record tree has seen —
+    an edit since the last sweep, or never-green) precedes every non-fresh
+    query. Old drift deliberately does NOT get this priority: it merges
+    with the unchanged tail in staleness order (an unchanged query with an
+    r4 green row needs the slot more than a drift query re-greened in
+    r6)."""
     counts, last, rounds = _green_rows()
-    changed = entry_mod._changed_since_last_green(list(q.QUERIES), last)
+    changed, fresh = entry_mod._changed_and_fresh(list(q.QUERIES), last)
+    for n in q.QUERIES:
+        if counts.get(n, 0) == 0:
+            fresh.add(n)
     names = list(entry_mod.queries())
-    if not changed:
-        return  # working tree matches every record commit — nothing to pin
-    last_changed = max(names.index(n) for n in changed)
-    unchanged_checked = [
-        n for n in names if n not in changed and counts.get(n, 0) > 0
-    ]
-    if unchanged_checked:
-        first_unchanged = min(names.index(n) for n in unchanged_checked)
-        assert last_changed < first_unchanged
+    if not fresh:
+        return  # nothing edited since the last sweep — nothing to pin
+    last_fresh = max(names.index(n) for n in fresh)
+    non_fresh = [n for n in names if n not in fresh]
+    if non_fresh:
+        first_non_fresh = min(names.index(n) for n in non_fresh)
+        assert last_fresh < first_non_fresh
 
 
 def test_order_is_sorted_by_the_priority_key():
-    """The emitted order is exactly the documented key: (unchanged,
-    not-fresh, -targetedness-if-fresh, last-green-round, -targetedness,
+    """The emitted order is exactly the documented key: (not-fresh,
+    -targetedness-if-fresh, last-green-round, -targetedness,
     checked-count, seniority, registry position)."""
     counts, last, rounds = _green_rows()
     changed, fresh = entry_mod._changed_and_fresh(list(q.QUERIES), last)
@@ -89,7 +93,6 @@ def test_order_is_sorted_by_the_priority_key():
     names = list(entry_mod.queries())
     keys = [
         (
-            n not in changed,
             n not in fresh,
             -changed.get(n, 0.0) if n in fresh else 0.0,
             rounds.get(n, 0),
@@ -260,10 +263,12 @@ def test_synthetic_change_flags_exactly_the_dependent_queries(monkeypatch):
         depends = target in entry_mod._module_closure(rel, cache)
         assert (name in changed) == depends, name
     if changed:
+        # the synthetic blob ("0"*40 in every fake record tree) is FRESH,
+        # so the flagged queries must jump ahead of every other query
         order = entry_mod._sweep_order(list(q.QUERIES))
-        unchanged_checked = [
+        others = [
             n for n in order if n not in changed and counts.get(n, 0) > 0
         ]
-        if unchanged_checked:
-            first_unchanged = min(order.index(n) for n in unchanged_checked)
-            assert max(order.index(c) for c in changed) < first_unchanged
+        if others:
+            first_other = min(order.index(n) for n in others)
+            assert max(order.index(c) for c in changed) < first_other

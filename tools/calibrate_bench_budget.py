@@ -26,8 +26,9 @@ Why this shape: 2.0 x median is the "a genuine 2x plan regression on a
 typical run must fire" contract; the 1.3 x worst-ever term keeps the gate
 trip-free against every recorded observation with 30% headroom for new
 environment noise; the +1.0 s absolute term covers the ~1-2 s queries
-where scheduler noise is additive, not multiplicative. Both terms are <= 3.0 x max, so EVERY ceiling is
-strictly tighter than the old global 3x — including map_hof_battery,
+where scheduler noise is additive, not multiplicative. For enforced
+(>= 1 s) budgets all three terms are <= 3.0 x max, so every live ceiling
+is tighter than the old global 3x — including map_hof_battery,
 whose worst observation (12.41 s, driver r7, plan unchanged and the
 checkpoint-leak hypothesis disproven by tests/test_bench_release.py) now
 yields a 16.1 s ceiling instead of the 10.4 s builder-only ceiling that
@@ -71,7 +72,13 @@ def collect_runs() -> list[tuple[str, dict[str, float]]]:
         with open(os.path.join(HERE, "BENCH_LOCAL.json")) as f:
             d = json.load(f)
         if abs(float(d.get("sf", -1)) - 0.1) < 1e-9 and d.get("queries"):
-            runs.append(("worktree", d["queries"]))
+            # Skip the worktree record when it duplicates an
+            # already-collected commit (the normal state right after an
+            # "adopt the bench record" commit): double-counting the
+            # latest run shifts every median toward it, silently biasing
+            # the 2x-median ceiling term.
+            if all(d["queries"] != timings for _c, timings in runs):
+                runs.append(("worktree", d["queries"]))
     except (OSError, ValueError):
         pass
     return runs
@@ -105,8 +112,11 @@ def main() -> None:
             "ceiling = max(2.0*median(obs), 1.3*max(obs), max(obs)+1s): fires on a "
             "genuine 2x-of-typical plan regression while staying trip-free "
             "with 30% headroom against every recorded observation, driver "
-            "environment included. Every factor is in [1.3, 2.0] — tighter "
-            "than the old global 3x everywhere. Override uniformly with "
+            "environment included. For ENFORCED budgets (recorded >= 1s; "
+            "bench.py floor-exempts the rest) the factor lands in "
+            "[1.3, 2.0], tighter than the old global 3x; sub-second "
+            "entries carry larger factors from the +1s absolute term "
+            "but are never enforced. Override uniformly with "
             "SPARK_GRAFT_BENCH_FACTOR, disable with "
             "SPARK_GRAFT_BENCH_ENFORCE=0; re-run the calibrator after "
             "intentional perf changes or new driver records."
