@@ -137,6 +137,14 @@ def test_minhash_scaling_slope_ungated(spark):
     run(1)  # warm codegen/scan paths so t1 isn't cold-start-inflated
     t1 = run(1)
     t2 = run(2)
+    if t2 / t1 >= 3.0:
+        # One re-measure before declaring super-linear: a single slow
+        # observation under full-suite load (GC pause, page-cache
+        # eviction) flaked this once in ~10 suite runs; a genuine
+        # quadratic blow-up (accidental all-pairs: ratio >= 4) survives
+        # the retake, noise does not.
+        t1 = min(t1, run(1))
+        t2 = min(t2, run(2))
     ratio = t2 / t1
     print(f"\n  slope 5k->10k: {t1:.2f}s -> {t2:.2f}s (ratio {ratio:.2f})", file=sys.stderr)
     assert ratio < 3.0, (
@@ -186,6 +194,11 @@ def test_triangle_count_scaling_slope_ungated(spark):
     run(1)  # warm codegen
     t1 = run(1)
     t2 = run(2)
+    if t2 / t1 >= 3.0:
+        # same noise-retake as the minhash slope test above: re-measure
+        # once before declaring super-linear
+        t1 = min(t1, run(1))
+        t2 = min(t2, run(2))
     ratio = t2 / t1
     print(f"\n  triangle slope 60k->120k edges: {t1:.2f}s -> {t2:.2f}s (ratio {ratio:.2f})", file=sys.stderr)
     assert ratio < 3.0, (
