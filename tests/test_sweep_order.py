@@ -272,3 +272,32 @@ def test_synthetic_change_flags_exactly_the_dependent_queries(monkeypatch):
         if others:
             first_other = min(order.index(n) for n in others)
             assert max(order.index(c) for c in changed) < first_other
+
+
+def test_deleted_closure_file_flags_queries_fresh(monkeypatch):
+    """A closure file DELETED from the working tree (current blob sha
+    None) is a change no driver sweep has seen — its queries must flag
+    changed AND fresh, not silently drop out of the diff (the None vs
+    recorded-sha comparison and the None-not-in-recorded-blobs freshness
+    check both have to hold)."""
+    counts, last, rounds = _green_rows()
+    target = f"{_PKG}/operators/graph.py"
+    current = entry_mod._working_tree_blob_shas()
+    assert target in current  # precondition: the file exists today
+
+    deleted = {k: v for k, v in current.items() if k != target}
+    monkeypatch.setattr(entry_mod, "_working_tree_blob_shas", lambda: deleted)
+    # record trees keep the file as it was committed
+    monkeypatch.setattr(
+        entry_mod, "_blob_shas_at_record_commit", lambda _rec: dict(current)
+    )
+    changed, fresh = entry_mod._changed_and_fresh(list(q.QUERIES), last)
+    cache: dict[str, set[str]] = {}
+    for name in q.QUERIES:
+        if name not in last:
+            continue
+        rel = q.QUERIES[name].__module__.replace(".", "/") + ".py"
+        depends = target in entry_mod._module_closure(rel, cache)
+        assert (name in changed) == depends, name
+        if depends:
+            assert name in fresh, name
