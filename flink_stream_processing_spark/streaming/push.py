@@ -22,11 +22,19 @@ websocket sub-transport framing — ``o`` open frame on connect, client
 messages arriving as JSON-encoded strings/arrays, server messages pushed as
 ``a["..."]`` array frames, ``h`` heart-beats tolerated (sockjs-protocol
 spec). The STOMP broker above runs unchanged beneath that framing — exactly
-Spring's layering. The xhr/xhr-streaming fallback transports remain out of
-scope (the info response advertises websocket, which every stock client then
-prefers). Where the reference POLLS Prometheus every 5 s and re-pushes (O2),
-Spark delivers progress events push-style, so the listener broadcasts each
-micro-batch's metrics with no scrape gap.
+Spring's layering. The HTTP FALLBACK transports are served too (r8 —
+closing the last scoped-out residue): ``POST .../xhr`` long-polls (``o``
+open frame on the session-creating request, then one ``a[...]`` batch or
+an ``h`` heart-beat per poll, ``c[2010]`` when a second receiver attaches),
+``POST .../xhr_send`` carries client frames in (JSON array body, 204
+reply, 404 for unknown sessions), and ``POST .../xhr_streaming`` holds a
+chunked response open (2048-byte ``h`` prelude per spec, then the same
+frames) until a response-size limit forces the client to reconnect. The
+same STOMP broker state drives all transports, so a stock SockJS client
+falls back transparently when WebSocket upgrades are blocked. Where the
+reference POLLS Prometheus every 5 s and re-pushes (O2), Spark delivers
+progress events push-style, so the listener broadcasts each micro-batch's
+metrics with no scrape gap.
 
 Scale note: the listener runs on the driver and the payload is O(1) per
 micro-batch (already-aggregated progress metrics, never data rows), so the
@@ -42,6 +50,7 @@ import json
 import os
 import socket
 import threading
+import time
 from typing import Any
 
 from pyspark.sql.streaming import StreamingQueryListener
@@ -167,6 +176,20 @@ def parse_stomp_frame(text: str) -> tuple[str, dict[str, str], str] | None:
     return command, headers, rest.split("\x00", 1)[0]
 
 
+class _SockJSSession:
+    """State of one SockJS HTTP-transport session (xhr / xhr_streaming):
+    the outbound frame queue, the STOMP broker state shared with the
+    WebSocket paths, and a condition variable long-polls block on. At most
+    one RECEIVING request may be attached at a time (sockjs-protocol:
+    a second concurrent receiver gets ``c[2010]``)."""
+
+    def __init__(self) -> None:
+        self.queue: list[str] = []
+        self.cond = threading.Condition()
+        self.receiving = False
+        self.st: dict[str, Any] = {"stomp": False, "sockjs": True, "subs": {}}
+
+
 class MetricsPushServer:
     """Broadcast WebSocket server with a STOMP 1.2 broker layer: accepts
     connections, performs the RFC 6455 handshake, and fans every
@@ -174,22 +197,35 @@ class MetricsPushServer:
     completes the STOMP handshake (CONNECT -> CONNECTED) receives payloads
     as MESSAGE frames on the destinations it SUBSCRIBEd to (the reference's
     ``/topic/metrics`` contract); a client that never speaks STOMP receives
-    the raw JSON text frames. Dead clients are dropped on the first failed
-    send or closed read."""
+    the raw JSON text frames. SockJS HTTP sessions (xhr long-poll /
+    xhr_streaming) share the same broker state through a per-session frame
+    queue. Dead clients are dropped on the first failed send or closed
+    read.
+
+    ``poll_timeout`` is the long-poll / streaming heart-beat interval
+    (sockjs default 25 s; tests pass a small value);
+    ``streaming_limit`` is the xhr_streaming response-size bound after
+    which the connection closes and the client reconnects (sockjs default
+    128 KiB)."""
 
     def __init__(
         self,
         host: str = "127.0.0.1",
         port: int = 0,
         sockjs_prefix: str = "/metrics-feed",
+        poll_timeout: float = 25.0,
+        streaming_limit: int = 128 * 1024,
     ) -> None:
         self._srv = socket.create_server((host, port))
         self._srv.settimeout(0.2)
         self.host, self.port = self._srv.getsockname()[:2]
         self.sockjs_prefix = sockjs_prefix.rstrip("/")
+        self.poll_timeout = poll_timeout
+        self.streaming_limit = streaming_limit
         # conn -> {"stomp": bool, "sockjs": bool,
         #          "subs": {destination: subscription-id}}
         self._state: dict[socket.socket, dict[str, Any]] = {}
+        self._sessions: dict[str, _SockJSSession] = {}
         self._lock = threading.Lock()
         self._closing = threading.Event()
         self._msg_seq = 0
@@ -209,8 +245,10 @@ class MetricsPushServer:
             except (OSError, ValueError):
                 conn.close()
                 continue
-            if kind == "info":  # plain-HTTP probe answered; not a client
+            if kind == "info":  # plain-HTTP request answered; not a client
                 conn.close()
+                continue
+            if kind == "http-owned":  # a poll/stream thread owns the socket
                 continue
             if kind == "sockjs":
                 # SockJS open frame BEFORE the connection becomes visible
@@ -287,21 +325,26 @@ class MetricsPushServer:
         self._drop(conn)
 
     def _on_text(self, conn: socket.socket, text: str) -> None:
-        frame = parse_stomp_frame(text)
-        if frame is None:
-            return  # heart-beat or non-STOMP chatter: ignore
-        command, headers, _body = frame
         with self._lock:
             st = self._state.get(conn)
         if st is None:
             return
+        self._stomp_handle(st, text, lambda reply: self._send_frame(conn, reply))
+
+    def _stomp_handle(self, st: dict[str, Any], text: str, send) -> None:
+        """One STOMP broker step, transport-agnostic: mutates the client's
+        broker state and emits any reply frame through ``send`` (a
+        WebSocket frame writer or a SockJS session-queue append)."""
+        frame = parse_stomp_frame(text)
+        if frame is None:
+            return  # heart-beat or non-STOMP chatter: ignore
+        command, headers, _body = frame
         if command in ("CONNECT", "STOMP"):
             st["stomp"] = True
-            self._send_frame(
-                conn,
+            send(
                 encode_stomp_frame(
                     "CONNECTED", {"version": "1.2", "heart-beat": "0,0"}
-                ),
+                )
             )
         elif command == "SUBSCRIBE":
             dest = headers.get("destination", "")
@@ -313,9 +356,23 @@ class MetricsPushServer:
         elif command == "DISCONNECT":
             receipt = headers.get("receipt")
             if receipt:
-                self._send_frame(
-                    conn, encode_stomp_frame("RECEIPT", {"receipt-id": receipt})
-                )
+                send(encode_stomp_frame("RECEIPT", {"receipt-id": receipt}))
+
+    def _message_frame(self, payload: str, destination: str, sub_id: str) -> str:
+        with self._lock:
+            self._msg_seq += 1
+            mid = self._msg_seq
+        return encode_stomp_frame(
+            "MESSAGE",
+            {
+                "destination": destination,
+                "subscription": sub_id,
+                "message-id": f"m-{mid}",
+                "content-type": "application/json",
+                "content-length": str(len(payload.encode("utf-8"))),
+            },
+            payload,
+        )
 
     def _send_frame(self, conn: socket.socket, stomp_payload: str) -> None:
         with self._lock:
@@ -349,15 +406,48 @@ class MetricsPushServer:
             if not chunk:
                 raise ValueError("client closed before handshake completed")
             request += chunk
-        lines = request.split(b"\r\n")
+        head, _, body = request.partition(b"\r\n\r\n")
+        lines = head.split(b"\r\n")
         parts = lines[0].split()
+        method = parts[0].decode("ascii", "replace") if parts else "GET"
         path = parts[1].decode("latin-1", "replace") if len(parts) >= 2 else "/"
         path = path.split("?", 1)[0]
         key = None
+        content_length = 0
         for line in lines[1:]:
             name, _, value = line.partition(b":")
-            if name.strip().lower() == b"sec-websocket-key":
+            lname = name.strip().lower()
+            if lname == b"sec-websocket-key":
                 key = value.strip().decode("ascii")
+            elif lname == b"content-length":
+                try:
+                    content_length = int(value.strip())
+                except ValueError:
+                    content_length = 0
+        # SockJS HTTP fallback transports: POST <prefix>/<srv>/<sess>/xhr,
+        # /xhr_send, /xhr_streaming (sockjs-protocol). Dispatched before
+        # the upgrade check — these are plain HTTP.
+        if method == "POST" and path.startswith(self.sockjs_prefix + "/"):
+            seg = [s for s in path[len(self.sockjs_prefix):].split("/") if s]
+            if len(seg) == 3 and seg[2] in ("xhr", "xhr_send", "xhr_streaming"):
+                while len(body) < content_length:
+                    chunk = conn.recv(4096)
+                    if not chunk:
+                        break
+                    body += chunk
+                if seg[2] == "xhr_send":  # non-blocking: answer inline
+                    self._xhr_send(conn, seg[1], body)
+                    return "info"
+                # xhr poll and xhr_streaming BLOCK (long-poll / held
+                # response) — each gets its own thread so the accept loop
+                # keeps serving the xhr_send requests that feed them.
+                handler = (
+                    self._xhr_poll if seg[2] == "xhr" else self._xhr_streaming
+                )
+                threading.Thread(
+                    target=handler, args=(conn, seg[1]), daemon=True
+                ).start()
+                return "http-owned"
         if key is None:
             if path == f"{self.sockjs_prefix}/info":
                 body = json.dumps(
@@ -400,6 +490,166 @@ class MetricsPushServer:
             return "sockjs"
         return "ws"
 
+    # -- SockJS HTTP fallback transports (sockjs-protocol) ------------------
+
+    @staticmethod
+    def _http_respond(
+        conn: socket.socket,
+        status: str,
+        body: bytes,
+        ctype: str = "application/javascript; charset=UTF-8",
+    ) -> None:
+        head = (
+            f"HTTP/1.1 {status}\r\n"
+            f"Content-Type: {ctype}\r\n"
+            "Access-Control-Allow-Origin: *\r\n"
+            "Cache-Control: no-store, no-cache, must-revalidate, max-age=0\r\n"
+            f"Content-Length: {len(body)}\r\n"
+            "Connection: close\r\n\r\n"
+        )
+        try:
+            conn.sendall(head.encode("ascii") + body)
+        except OSError:
+            pass
+        try:
+            conn.close()
+        except OSError:
+            pass
+
+    def _session_attach(
+        self, session_id: str
+    ) -> tuple[_SockJSSession, bool, bool]:
+        """(session, created, busy): create the session on first contact;
+        busy=True when another receiver is already attached (the caller
+        answers ``c[2010]`` without touching the session)."""
+        with self._lock:
+            sess = self._sessions.get(session_id)
+            created = sess is None
+            if created:
+                sess = _SockJSSession()
+                self._sessions[session_id] = sess
+        with sess.cond:
+            if sess.receiving:
+                return sess, created, True
+            sess.receiving = True
+        return sess, created, False
+
+    def _session_detach(self, sess: _SockJSSession) -> None:
+        with sess.cond:
+            sess.receiving = False
+
+    def _next_frame(self, sess: _SockJSSession, created: bool) -> str:
+        """The next frame a receiver delivers: ``o`` for a brand-new
+        session, one ``a[...]`` batch draining the queue, or ``h`` after
+        ``poll_timeout`` with nothing to send. Returns ``c[3000,...]``
+        when the server is closing (spec: Go away!)."""
+        if created:
+            return "o"
+        deadline = time.monotonic() + self.poll_timeout
+        with sess.cond:
+            while not sess.queue and not self._closing.is_set():
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return "h"
+                sess.cond.wait(min(remaining, 0.2))
+            if self._closing.is_set():
+                return 'c[3000,"Go away!"]'
+            msgs, sess.queue = sess.queue, []
+        return "a" + json.dumps(msgs)
+
+    def _xhr_poll(self, conn: socket.socket, session_id: str) -> None:
+        """One xhr long-poll: exactly one frame per request, newline
+        -terminated (sockjs-protocol §xhr-polling)."""
+        sess, created, busy = self._session_attach(session_id)
+        if busy:
+            self._http_respond(
+                conn, "200 OK", b'c[2010,"Another connection still open"]\n'
+            )
+            return
+        try:
+            frame = self._next_frame(sess, created)
+        finally:
+            self._session_detach(sess)
+        self._http_respond(conn, "200 OK", frame.encode("utf-8") + b"\n")
+
+    def _xhr_send(self, conn: socket.socket, session_id: str, body: bytes) -> None:
+        """Client->server frames for an HTTP session: JSON array (or one
+        string) of messages, each fed through the shared STOMP broker;
+        replies (CONNECTED, RECEIPT) enqueue for the session's receiver.
+        204 on success, 404 for a session that does not exist, 500 for
+        broken JSON (spec behavior)."""
+        with self._lock:
+            sess = self._sessions.get(session_id)
+        if sess is None:
+            self._http_respond(conn, "404 Not Found", b"")
+            return
+        try:
+            decoded = json.loads(body.decode("utf-8"))
+        except (ValueError, UnicodeDecodeError):
+            self._http_respond(conn, "500 Internal Server Error", b"Broken JSON encoding.")
+            return
+        msgs = decoded if isinstance(decoded, list) else [decoded]
+
+        def enqueue(reply: str) -> None:
+            with sess.cond:
+                sess.queue.append(reply)
+                sess.cond.notify_all()
+
+        for m in msgs:
+            if isinstance(m, str) and m and m != "h":
+                self._stomp_handle(sess.st, m, enqueue)
+        self._http_respond(conn, "204 No Content", b"")
+
+    def _xhr_streaming(self, conn: socket.socket, session_id: str) -> None:
+        """Held chunked response: 2048-byte ``h`` prelude, then frames as
+        they arrive, until ``streaming_limit`` bytes have been sent —
+        then the response closes and the client reconnects
+        (sockjs-protocol §xhr-streaming)."""
+
+        def chunk(data: bytes) -> bytes:
+            return f"{len(data):x}\r\n".encode("ascii") + data + b"\r\n"
+
+        sess, created, busy = self._session_attach(session_id)
+        try:
+            conn.sendall(
+                (
+                    "HTTP/1.1 200 OK\r\n"
+                    "Content-Type: application/javascript; charset=UTF-8\r\n"
+                    "Access-Control-Allow-Origin: *\r\n"
+                    "Cache-Control: no-store, no-cache, must-revalidate, "
+                    "max-age=0\r\n"
+                    "Transfer-Encoding: chunked\r\n"
+                    "Connection: close\r\n\r\n"
+                ).encode("ascii")
+            )
+            conn.sendall(chunk(b"h" * 2048 + b"\n"))
+            if busy:
+                conn.sendall(
+                    chunk(b'c[2010,"Another connection still open"]\n')
+                )
+                conn.sendall(b"0\r\n\r\n")
+                return
+            sent = 0
+            first = created
+            while sent < self.streaming_limit and not self._closing.is_set():
+                frame = self._next_frame(sess, first)
+                first = False
+                data = frame.encode("utf-8") + b"\n"
+                conn.sendall(chunk(data))
+                sent += len(data)
+                if frame.startswith("c["):
+                    break
+            conn.sendall(b"0\r\n\r\n")
+        except OSError:
+            pass  # receiver went away; the session survives for reconnect
+        finally:
+            if not busy:
+                self._session_detach(sess)
+            try:
+                conn.close()
+            except OSError:
+                pass
+
     def broadcast(self, payload: str, destination: str = "/topic/metrics") -> int:
         """Fan one payload out to every client; returns clients reached.
         STOMP clients subscribed to ``destination`` get a MESSAGE frame
@@ -411,25 +661,13 @@ class MetricsPushServer:
         sent = 0
         with self._lock:
             clients = list(self._state.items())
+            sessions = list(self._sessions.values())
         for conn, st in clients:
             if st["stomp"]:
                 sub_id = st["subs"].get(destination)
                 if sub_id is None:
                     continue
-                with self._lock:
-                    self._msg_seq += 1
-                    mid = self._msg_seq
-                text = encode_stomp_frame(
-                    "MESSAGE",
-                    {
-                        "destination": destination,
-                        "subscription": sub_id,
-                        "message-id": f"m-{mid}",
-                        "content-type": "application/json",
-                        "content-length": str(len(payload.encode("utf-8"))),
-                    },
-                    payload,
-                )
+                text = self._message_frame(payload, destination, sub_id)
                 if st["sockjs"]:
                     text = "a" + json.dumps([text])
                 data = encode_text_frame(text)
@@ -442,6 +680,19 @@ class MetricsPushServer:
                 sent += 1
             except OSError:
                 self._drop(conn)
+        # SockJS HTTP sessions: enqueue (the attached poll/stream delivers)
+        for sess in sessions:
+            if sess.st["stomp"]:
+                sub_id = sess.st["subs"].get(destination)
+                if sub_id is None:
+                    continue
+                text = self._message_frame(payload, destination, sub_id)
+            else:
+                text = payload
+            with sess.cond:
+                sess.queue.append(text)
+                sess.cond.notify_all()
+            sent += 1
         return sent
 
     @property
@@ -455,6 +706,11 @@ class MetricsPushServer:
         with self._lock:
             conns = list(self._state)
             self._state = {}
+            sessions = list(self._sessions.values())
+            self._sessions = {}
+        for sess in sessions:  # wake held polls/streams so they answer c[3000]
+            with sess.cond:
+                sess.cond.notify_all()
         for c in conns:
             try:
                 c.close()

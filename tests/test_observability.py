@@ -569,3 +569,147 @@ def test_sockjs_websocket_subtransport_stomp_end_to_end():
         s.close()
     finally:
         srv.close()
+
+
+def _sockjs_post(host, port, path, body=b"", timeout=10):
+    """One POST against the SockJS HTTP transports; returns (head, body)
+    with chunked transfer-encoding left raw (streaming tests parse it)."""
+    import socket as _socket
+
+    s = _socket.create_connection((host, port), timeout=timeout)
+    s.sendall(
+        (
+            f"POST {path} HTTP/1.1\r\nHost: {host}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode("ascii")
+        + body
+    )
+    resp = b""
+    while True:
+        try:
+            chunk = s.recv(4096)
+        except OSError:
+            break
+        if not chunk:
+            break
+        resp += chunk
+    s.close()
+    head, _, payload = resp.partition(b"\r\n\r\n")
+    return head, payload
+
+
+def test_sockjs_xhr_polling_stomp_end_to_end():
+    """The xhr long-poll fallback transport end-to-end with a STOMP
+    session: open (o), CONNECT via xhr_send -> CONNECTED on the next
+    poll, SUBSCRIBE, broadcast -> MESSAGE frame batch, heart-beat (h) on
+    an idle poll — the full sockjs-protocol polling contract a stock
+    client exercises when WebSocket upgrades are blocked."""
+    import json as _json
+
+    from flink_stream_processing_spark.streaming.push import (
+        MetricsPushServer,
+        parse_stomp_frame,
+    )
+
+    srv = MetricsPushServer(poll_timeout=0.4)
+    import os as _os
+    base = f"/metrics-feed/000/sess{_os.getpid()}"
+    try:
+        head, body = _sockjs_post(srv.host, srv.port, f"{base}/xhr")
+        assert b"200 OK" in head and body == b"o\n"
+
+        connect = "CONNECT\naccept-version:1.2\n\n\x00"
+        head, _ = _sockjs_post(
+            srv.host, srv.port, f"{base}/xhr_send",
+            _json.dumps([connect]).encode(),
+        )
+        assert b"204" in head
+
+        head, body = _sockjs_post(srv.host, srv.port, f"{base}/xhr")
+        assert body.startswith(b"a[")
+        frames = _json.loads(body[1:].decode())
+        cmd, headers, _b = parse_stomp_frame(frames[0])
+        assert cmd == "CONNECTED" and headers["version"] == "1.2"
+
+        subscribe = "SUBSCRIBE\nid:7\ndestination:/topic/metrics\n\n\x00"
+        _sockjs_post(
+            srv.host, srv.port, f"{base}/xhr_send",
+            _json.dumps([subscribe]).encode(),
+        )
+        # idle poll while nothing is queued: heart-beat after poll_timeout
+        head, body = _sockjs_post(srv.host, srv.port, f"{base}/xhr")
+        assert body == b"h\n"
+
+        import threading as _threading
+        import time as _time
+
+        def later():
+            _time.sleep(0.15)
+            srv.broadcast('{"cnt": 1}')
+
+        t = _threading.Thread(target=later)
+        t.start()
+        head, body = _sockjs_post(srv.host, srv.port, f"{base}/xhr")
+        t.join()
+        frames = _json.loads(body[1:].decode())
+        cmd, headers, msg_body = parse_stomp_frame(frames[0])
+        assert cmd == "MESSAGE"
+        assert headers["destination"] == "/topic/metrics"
+        assert headers["subscription"] == "7"
+        assert _json.loads(msg_body) == {"cnt": 1}
+
+        # unknown session on xhr_send: 404 (spec)
+        head, _ = _sockjs_post(
+            srv.host, srv.port, "/metrics-feed/000/nosuch/xhr_send", b'["h"]'
+        )
+        assert b"404" in head
+    finally:
+        srv.close()
+
+
+def test_sockjs_xhr_streaming_prelude_open_and_frames():
+    """The xhr_streaming fallback: chunked response opening with the
+    2048-byte h prelude, then o, then broadcast frames — and a SECOND
+    concurrent receiver on the same session gets c[2010] (sockjs-protocol:
+    one receiver per session)."""
+    import json as _json
+    import socket as _socket
+    import time as _time
+
+    from flink_stream_processing_spark.streaming.push import MetricsPushServer
+
+    srv = MetricsPushServer(poll_timeout=0.3)
+    import os as _os
+    base = f"/metrics-feed/000/stream{_os.getpid()}"
+    try:
+        s = _socket.create_connection((srv.host, srv.port), timeout=10)
+        s.sendall(
+            (
+                f"POST {base}/xhr_streaming HTTP/1.1\r\nHost: {srv.host}\r\n"
+                "Content-Length: 0\r\n\r\n"
+            ).encode("ascii")
+        )
+        _time.sleep(0.2)  # let prelude + o land
+        srv.broadcast('{"v": 42}')  # raw (no STOMP handshake on this session)
+        deadline = _time.time() + 5
+        buf = b""
+        while _time.time() < deadline and b'a["' not in buf:
+            s.settimeout(1.0)
+            try:
+                chunk = s.recv(8192)
+            except OSError:
+                break
+            if not chunk:
+                break
+            buf += chunk
+        assert b"Transfer-Encoding: chunked" in buf
+        assert b"h" * 2048 in buf  # the spec prelude
+        body_after_prelude = buf.split(b"h" * 2048, 1)[1]
+        assert b"o\n" in body_after_prelude  # open frame
+        assert b'a["{\\"v\\": 42}"]' in buf  # broadcast frame
+        # concurrent second receiver: c[2010]
+        head2, body2 = _sockjs_post(srv.host, srv.port, f"{base}/xhr")
+        assert b"c[2010" in body2
+        s.close()
+    finally:
+        srv.close()
