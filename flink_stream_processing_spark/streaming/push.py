@@ -187,6 +187,12 @@ class _SockJSSession:
         self.queue: list[str] = []
         self.cond = threading.Condition()
         self.receiving = False
+        # monotonic time the last receiver detached; sessions idle past the
+        # server's disconnect window are purged on the next broadcast
+        # (sockjs-protocol: a session with no receiver expires after ~5 s —
+        # without this, every abandoned dashboard client would accumulate
+        # queued frames forever on a 24/7 streaming driver).
+        self.last_detach = time.monotonic()
         self.st: dict[str, Any] = {"stomp": False, "sockjs": True, "subs": {}}
 
 
@@ -215,6 +221,7 @@ class MetricsPushServer:
         sockjs_prefix: str = "/metrics-feed",
         poll_timeout: float = 25.0,
         streaming_limit: int = 128 * 1024,
+        disconnect_window: float = 5.0,
     ) -> None:
         self._srv = socket.create_server((host, port))
         self._srv.settimeout(0.2)
@@ -222,6 +229,7 @@ class MetricsPushServer:
         self.sockjs_prefix = sockjs_prefix.rstrip("/")
         self.poll_timeout = poll_timeout
         self.streaming_limit = streaming_limit
+        self.disconnect_window = disconnect_window
         # conn -> {"stomp": bool, "sockjs": bool,
         #          "subs": {destination: subscription-id}}
         self._state: dict[socket.socket, dict[str, Any]] = {}
@@ -537,6 +545,7 @@ class MetricsPushServer:
     def _session_detach(self, sess: _SockJSSession) -> None:
         with sess.cond:
             sess.receiving = False
+            sess.last_detach = time.monotonic()
 
     def _next_frame(self, sess: _SockJSSession, created: bool) -> str:
         """The next frame a receiver delivers: ``o`` for a brand-new
@@ -659,8 +668,20 @@ class MetricsPushServer:
         frame."""
         raw = encode_text_frame(payload)
         sent = 0
+        now = time.monotonic()
         with self._lock:
             clients = list(self._state.items())
+            # expire sessions whose last receiver detached longer ago than
+            # the disconnect window (sockjs session-expiry semantics); an
+            # expired id simply re-opens as a new session on reconnect
+            expired = [
+                sid
+                for sid, sess in self._sessions.items()
+                if not sess.receiving
+                and now - sess.last_detach > self.disconnect_window
+            ]
+            for sid in expired:
+                del self._sessions[sid]
             sessions = list(self._sessions.values())
         for conn, st in clients:
             if st["stomp"]:

@@ -713,3 +713,35 @@ def test_sockjs_xhr_streaming_prelude_open_and_frames():
         s.close()
     finally:
         srv.close()
+
+
+def test_sockjs_abandoned_sessions_expire():
+    """A session whose receiver detached longer ago than the disconnect
+    window is purged on the next broadcast — an abandoned dashboard
+    client cannot accumulate queued frames forever on a 24/7 streaming
+    driver. A live (attached or recently-detached) session survives."""
+    import time as _time
+
+    from flink_stream_processing_spark.streaming.push import MetricsPushServer
+
+    srv = MetricsPushServer(poll_timeout=0.2, disconnect_window=0.3)
+    import os as _os
+
+    base = f"/metrics-feed/000/gone{_os.getpid()}"
+    try:
+        head, body = _sockjs_post(srv.host, srv.port, f"{base}/xhr")
+        assert body == b"o\n"
+        with srv._lock:
+            assert len(srv._sessions) == 1
+        srv.broadcast("x")  # recently detached: survives, frame queued
+        with srv._lock:
+            assert len(srv._sessions) == 1
+        _time.sleep(0.5)  # idle past the window
+        srv.broadcast("y")
+        with srv._lock:
+            assert len(srv._sessions) == 0
+        # the expired id re-opens as a brand-new session (o frame again)
+        head, body = _sockjs_post(srv.host, srv.port, f"{base}/xhr")
+        assert body == b"o\n"
+    finally:
+        srv.close()
