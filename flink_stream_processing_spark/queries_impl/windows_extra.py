@@ -91,34 +91,45 @@ def _events_stream_dir(sf_dir: str) -> str:
     return d
 
 
-def _run_stream_to_table(spark: SparkSession, agg: DataFrame, output_mode: str) -> DataFrame:
+def _stream_session(spark: SparkSession) -> SparkSession:
+    """Session CLONE for one streaming query (``spark.newSession()``:
+    private SQL conf, shared SparkContext — same recipe as
+    ``file_formats.py``). State partitioning is sized to the state volume
+    (the 100 TB sizing rule): the state-partition count is fixed at
+    ``.start()`` planning time from the *stream's own session's*
+    ``spark.sql.shuffle.partitions``, and per-batch state-store commit
+    cost scales with it — 8 partitions vs a CPU-count default measured
+    2.6-7x faster on these fixtures with identical results. Setting it on
+    a clone means a concurrent query planning against the shared session
+    can never observe the swap (the conf-mutation hazard the r7 verdict
+    flagged); builder-level engine defaults (UTC timezone, nanosAsLong)
+    are inherited by the clone (pinned by
+    ``test_session_clone_isolates_conf_and_inherits_builder_defaults``)."""
+    stream_spark = spark.newSession()
+    stream_spark.conf.set("spark.sql.shuffle.partitions", "8")
+    return stream_spark
+
+
+def _run_stream_to_table(agg: DataFrame, output_mode: str) -> DataFrame:
     """Materialize a finite stream through a memory sink (availableNow) and
     return the table. awaitTermination's result is CHECKED: a timeout would
     otherwise silently return a partially-filled table.
 
-    State partitioning is sized to the state volume (the 100 TB sizing
-    rule): the partition count is fixed at .start() planning time from
-    ``spark.sql.shuffle.partitions``, and per-batch state-store commit cost
-    scales with it — 8 partitions vs a CPU-count default measured 2.6-7x
-    faster on these fixtures with identical results. The session value is
-    restored once the query has been planned and run."""
+    The read-back MUST stay on the stream's own session
+    (``agg.sparkSession``): memory-sink temp views are session-scoped, and
+    every caller builds its stream on a ``_stream_session`` clone."""
     from ..streaming.pipeline import write_memory
 
     name = f"s_{uuid.uuid4().hex[:10]}"
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    q = write_memory(agg, name, output_mode=output_mode)
     try:
-        q = write_memory(agg, name, output_mode=output_mode)
-        try:
-            finished = q.awaitTermination(300)
-            if not finished:
-                raise TimeoutError("streaming query did not finish within 300 s")
-        finally:
-            if q.isActive:
-                q.stop()
+        finished = q.awaitTermination(300)
+        if not finished:
+            raise TimeoutError("streaming query did not finish within 300 s")
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
-    return spark.table(name)
+        if q.isActive:
+            q.stop()
+    return agg.sparkSession.table(name)
 
 
 @query("streaming_window_metrics", oracle=_WINDOW_METRICS_ORACLE)
@@ -129,9 +140,9 @@ def q_streaming_window_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming/batch parity as a first-class correctness gate."""
     from ..streaming.pipeline import events_file_stream, streaming_window_metrics
 
-    tx = as_transactions(events_file_stream(spark, _events_stream_dir(sf_dir)))
+    tx = as_transactions(events_file_stream(_stream_session(spark), _events_stream_dir(sf_dir)))
     agg = streaming_window_metrics(tx, window_duration="10 seconds")
-    return _run_stream_to_table(spark, agg, "complete")
+    return _run_stream_to_table(agg, "complete")
 
 
 @query("streaming_sliding_window_counts", oracle=_SLIDING_ORACLE)
@@ -142,10 +153,8 @@ def q_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming/batch-parity gate."""
     from ..streaming.pipeline import events_file_stream
 
-    events = events_file_stream(spark, _events_stream_dir(sf_dir))
-    return _run_stream_to_table(
-        spark, sliding_window_counts(events), "complete"
-    )
+    events = events_file_stream(_stream_session(spark), _events_stream_dir(sf_dir))
+    return _run_stream_to_table(sliding_window_counts(events), "complete")
 
 
 _DEDUP_KEYS_ORACLE = """
@@ -165,11 +174,11 @@ def q_streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-emitting keys not seen within the watermark horizon."""
     from ..streaming.pipeline import events_file_stream
 
-    events = events_file_stream(spark, _events_stream_dir(sf_dir))
+    events = events_file_stream(_stream_session(spark), _events_stream_dir(sf_dir))
     deduped = events.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"]
     )
-    return _run_stream_to_table(spark, deduped, "append")
+    return _run_stream_to_table(deduped, "append")
 
 
 @query("streaming_dedup_within_watermark", oracle=_DEDUP_KEYS_ORACLE)
@@ -185,13 +194,13 @@ def q_streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> Data
 
     from ..streaming.pipeline import events_file_stream
 
-    events = events_file_stream(spark, _events_stream_dir(sf_dir))
+    events = events_file_stream(_stream_session(spark), _events_stream_dir(sf_dir))
     deduped = (
         events.withWatermark("ts", "45 days")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return _run_stream_to_table(spark, deduped, "append")
+    return _run_stream_to_table(deduped, "append")
 
 
 _RUNNING_COUNT_ORACLE = """
@@ -213,8 +222,8 @@ def q_streaming_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import events_file_stream
     from ..streaming.stateful import running_event_counts
 
-    events = events_file_stream(spark, _events_stream_dir(sf_dir))
-    return _run_stream_to_table(spark, running_event_counts(events), "append")
+    events = events_file_stream(_stream_session(spark), _events_stream_dir(sf_dir))
+    return _run_stream_to_table(running_event_counts(events), "append")
 
 
 
@@ -271,7 +280,7 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     clicks, errors, cond = _click_error_streams(
-        spark, _events_stream_dir(sf_dir), "2 hours"
+        _stream_session(spark), _events_stream_dir(sf_dir), "2 hours"
     )
     joined = clicks.join(errors, cond).select(
         "click_id",
@@ -279,7 +288,7 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_user").alias("user_id"),
         F.round("e_value", 6).alias("error_value"),
     )
-    return _run_stream_to_table(spark, joined, "append")
+    return _run_stream_to_table(joined, "append")
 
 
 _OUTER_INTERVAL_ORACLE = """
@@ -363,7 +372,7 @@ def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFra
     from pyspark.sql import functions as F
 
     clicks, errors, cond = _click_error_streams(
-        spark, _events_outer_stream_dir(spark, sf_dir), "10 minutes"
+        _stream_session(spark), _events_outer_stream_dir(spark, sf_dir), "10 minutes"
     )
     joined = clicks.join(errors, cond, "leftOuter").select(
         "click_id",
@@ -371,7 +380,7 @@ def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("c_user").alias("user_id"),
         F.round("e_value", 6).alias("error_value"),
     )
-    out = _run_stream_to_table(spark, joined, "append")
+    out = _run_stream_to_table(joined, "append")
     # batch-side sentinel removal (see docstring: NOT inside the stream)
     return out.filter(F.col("click_id") >= 0).orderBy("click_id", "error_id")
 
@@ -385,9 +394,9 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands batch oracle as the batch query."""
     from ..streaming.pipeline import events_file_stream, streaming_session_windows
 
-    events = events_file_stream(spark, _events_stream_dir(sf_dir))
+    events = events_file_stream(_stream_session(spark), _events_stream_dir(sf_dir))
     agg = streaming_session_windows(events, gap="10 minutes", watermark="5 seconds")
-    return _run_stream_to_table(spark, agg, "complete")
+    return _run_stream_to_table(agg, "complete")
 
 _CHAINED_ORACLE = """
 WITH hourly AS (
@@ -425,7 +434,7 @@ def q_streaming_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.pipeline import events_file_stream
 
-    events = events_file_stream(spark, _events_stream_dir(sf_dir))
+    events = events_file_stream(_stream_session(spark), _events_stream_dir(sf_dir))
     hourly = (
         events.withWatermark("ts", "5 seconds")
         .groupBy(F.window("ts", "1 hour").alias("w1"), "event_type")
@@ -443,7 +452,7 @@ def q_streaming_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hours",
         )
     )
-    out = _run_stream_to_table(spark, daily, "append")
+    out = _run_stream_to_table(daily, "append")
     return out.orderBy("event_type", "day_ms")
 
 
@@ -452,7 +461,9 @@ def q_streaming_running_counts_tws(spark: SparkSession, sf_dir: str) -> DataFram
     of `streaming_running_counts`: same per-key running counter, expressed
     as a StatefulProcessor with a typed ValueState handle instead of the
     applyInPandasWithState tuple contract; requires the RocksDB state-store
-    provider (set here, restored after).
+    provider (set on the stream's own clone session — like the state
+    partition count, the providerClass is read at ``.start()`` against the
+    DataFrame's session, so no shared-session swap/restore is needed).
 
     NOT registered in the driver registry: transformWithState's Python
     worker needs google.protobuf, which this container lacks (and installs
@@ -463,24 +474,13 @@ def q_streaming_running_counts_tws(spark: SparkSession, sf_dir: str) -> DataFram
     from ..streaming.pipeline import events_file_stream
     from ..streaming.stateful import running_event_counts_tws
 
-    key = "spark.sql.streaming.stateStore.providerClass"
-    old = spark.conf.get(key, None)
-    spark.conf.set(
-        key,
+    stream_spark = _stream_session(spark)
+    stream_spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    try:
-        events = events_file_stream(spark, _events_stream_dir(sf_dir))
-        out = _run_stream_to_table(
-            spark, running_event_counts_tws(events), "append"
-        )
-        out = out.localCheckpoint(eager=True)  # materialize before conf restore
-    finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
-    return out
+    events = events_file_stream(stream_spark, _events_stream_dir(sf_dir))
+    return _run_stream_to_table(running_event_counts_tws(events), "append")
 
 
 from ._shared_oracles import CEP_FUNNEL_ORACLE  # noqa: E402
@@ -498,8 +498,8 @@ def q_streaming_cep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import events_file_stream
     from ..streaming.stateful import cep_funnel_matches
 
-    events = events_file_stream(spark, _events_stream_dir(sf_dir))
-    out = _run_stream_to_table(spark, cep_funnel_matches(events), "append")
+    events = events_file_stream(_stream_session(spark), _events_stream_dir(sf_dir))
+    out = _run_stream_to_table(cep_funnel_matches(events), "append")
     return out.orderBy("user_id", "purchase_id")
 
 
@@ -517,8 +517,8 @@ def q_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import events_file_stream
     from ..streaming.stateful import ewma_events
 
-    events = events_file_stream(spark, _events_stream_dir(sf_dir))
-    out = _run_stream_to_table(spark, ewma_events(events), "append")
+    events = events_file_stream(_stream_session(spark), _events_stream_dir(sf_dir))
+    out = _run_stream_to_table(ewma_events(events), "append")
     return out.orderBy("user_id", "event_id")
 
 
@@ -548,15 +548,19 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.pipeline import events_file_stream
 
+    # Both sides on ONE clone session: a static/stream join must resolve
+    # within a single SparkSession, so the profile aggregate is built on
+    # the stream's session, not the shared one.
+    stream_spark = _stream_session(spark)
     profile = (
-        load_table(spark, sf_dir, "events")
+        load_table(stream_spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("lifetime_events"),
             F.round(F.avg("value"), 6).alias("lifetime_avg"),
         )
     )
-    stream = events_file_stream(spark, _events_stream_dir(sf_dir)).filter(
+    stream = events_file_stream(stream_spark, _events_stream_dir(sf_dir)).filter(
         F.col("event_type") == "purchase"
     )
     joined = stream.join(F.broadcast(profile), "user_id").select(
@@ -566,7 +570,7 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lifetime_events",
         "lifetime_avg",
     )
-    out = _run_stream_to_table(spark, joined, "append")
+    out = _run_stream_to_table(joined, "append")
     return out.orderBy("event_id")
 
 
@@ -584,8 +588,8 @@ def q_streaming_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import events_file_stream
     from ..streaming.stateful import zscore_anomaly_stream
 
-    events = events_file_stream(spark, _events_stream_dir(sf_dir))
-    out = _run_stream_to_table(spark, zscore_anomaly_stream(events), "append")
+    events = events_file_stream(_stream_session(spark), _events_stream_dir(sf_dir))
+    out = _run_stream_to_table(zscore_anomaly_stream(events), "append")
     return out.select("event_id", "user_id", "value", "zscore").orderBy("event_id")
 
 
@@ -615,14 +619,14 @@ def q_streaming_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     clicks, errors, cond = _click_error_streams(
-        spark, _events_stream_dir(sf_dir), "2 hours"
+        _stream_session(spark), _events_stream_dir(sf_dir), "2 hours"
     )
     joined = clicks.join(errors, cond, "left_semi").select(
         "click_id",
         F.col("c_user").alias("user_id"),
         F.unix_millis("c_ts").alias("click_ms"),
     )
-    return _run_stream_to_table(spark, joined, "append").orderBy("click_id")
+    return _run_stream_to_table(joined, "append").orderBy("click_id")
 
 
 # --- streaming shard manifest (incremental integrity fingerprint) ---------
@@ -658,7 +662,7 @@ def q_streaming_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.pipeline import events_file_stream
 
-    ev = events_file_stream(spark, _events_stream_dir(sf_dir))
+    ev = events_file_stream(_stream_session(spark), _events_stream_dir(sf_dir))
     shard = (
         F.conv(
             F.substring(
@@ -687,7 +691,7 @@ def q_streaming_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_xor("row_hash").cast("bigint").alias("content_xor"),
         )
     )
-    return _run_stream_to_table(spark, agg, "complete").orderBy("shard")
+    return _run_stream_to_table(agg, "complete").orderBy("shard")
 
 
 # --- streaming mergeable distinct-count sketch ----------------------------
@@ -716,11 +720,14 @@ def q_streaming_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.batch import load_table
     from ..streaming.pipeline import events_file_stream
 
-    ev = events_file_stream(spark, _events_stream_dir(sf_dir))
+    # Stream AND the exact-count comparison side on ONE clone session —
+    # the final join must resolve within a single SparkSession.
+    stream_spark = _stream_session(spark)
+    ev = events_file_stream(stream_spark, _events_stream_dir(sf_dir))
     agg = ev.groupBy("event_type").agg(F.theta_sketch_agg("user_id").alias("sk"))
-    tbl = _run_stream_to_table(spark, agg, "complete")
+    tbl = _run_stream_to_table(agg, "complete")
     exact = (
-        load_table(spark, sf_dir, "events")
+        load_table(stream_spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
     )

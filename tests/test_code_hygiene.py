@@ -53,18 +53,12 @@ def test_queries_never_mutate_the_shared_session_conf():
     private SQL conf, shared SparkContext) — never on the shared session
     object a concurrent query is planning against. Enforced lexically:
     every ``.conf.set(`` receiver must be a clone-named local
-    (``stream_spark`` / ``v2_spark``), not ``spark``.
-
-    windows_extra.py keeps its two try/finally-restored swaps until r9:
-    rewriting it this round would flag its 18 dependent queries "fresh"
-    in the driver sweep and displace the r02/r03 staleness burn-down the
-    r7 verdict prioritized above this cleanup (asks #2 vs #4)."""
+    (``stream_spark`` / ``v2_spark``), not ``spark``. Covers ALL of
+    queries_impl/ since r9 (windows_extra.py's two deferred swaps were
+    rewritten onto clone sessions — the last carve-out is gone)."""
     allowed_receivers = ("stream_spark", "v2_spark")
-    deferred = {"windows_extra.py"}
     offenders = []
     for path in sorted((PKG / "queries_impl").rglob("*.py")):
-        if path.name in deferred:
-            continue
         for i, line in enumerate(path.read_text().splitlines(), 1):
             stripped = line.lstrip()
             if ".conf.set(" in stripped and not stripped.startswith("#"):
