@@ -94,3 +94,77 @@ def test_calibrator_ceilings_clear_every_era_run():
     for commit, timings in collect_runs():
         offenders = budget_offenders(timings, budget, budget.get("factor", 3.0))
         assert not offenders, (commit, offenders)
+
+
+def test_calibrator_check_mode_matches_committed_budget():
+    """`--check` must pass on a freshly calibrated tree (the committed
+    gate file and the recomputed-from-history budget agree) and must not
+    rewrite the file. Run it after adopting any new bench record."""
+    import subprocess
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, "BENCH_BUDGET.json")
+    with open(path) as f:
+        before = f.read()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(here, "tools", "calibrate_bench_budget.py"), "--check"],
+        capture_output=True,
+        text=True,
+        cwd=here,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    with open(path) as f:
+        assert f.read() == before
+
+
+def test_calibrator_rejects_unknown_arguments_without_writing():
+    """Unknown argv must be an argparse error (exit 2), not a silent
+    recalibration — `--help`-style invocations used to overwrite the
+    committed gate file."""
+    import subprocess
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, "BENCH_BUDGET.json")
+    with open(path) as f:
+        before = f.read()
+    proc = subprocess.run(
+        [sys.executable, os.path.join(here, "tools", "calibrate_bench_budget.py"), "--bogus"],
+        capture_output=True,
+        text=True,
+        cwd=here,
+    )
+    assert proc.returncode == 2
+    with open(path) as f:
+        assert f.read() == before
+
+
+def test_retry_clears_unreproduced_excursion():
+    """A one-off excursion (fast on retry) must clear the gate, with both
+    measurements preserved and the min recorded — the r7/r8 rc-1 pattern."""
+    from bench import retry_over_ceiling
+
+    budget = {"queries": {"a": 2.0, "b": 2.0}, "factors": {"a": 2.0, "b": 2.0}}
+    timings = {"a": 9.0, "b": 3.5}  # a over 4.0 ceiling; b under
+    retries, offenders = retry_over_ceiling(timings, budget, 3.0, lambda n: 2.1)
+    assert retries == {"a": [9.0, 2.1]}
+    assert timings == {"a": 2.1, "b": 3.5}
+    assert offenders == []
+
+
+def test_retry_keeps_reproduced_regression_as_offender():
+    """A genuine regression reproduces on the retry and must still trip."""
+    from bench import retry_over_ceiling
+
+    budget = {"queries": {"a": 2.0}, "factors": {"a": 2.0}}
+    timings = {"a": 9.0}
+    retries, offenders = retry_over_ceiling(timings, budget, 3.0, lambda n: 8.7)
+    assert retries == {"a": [9.0, 8.7]}
+    assert offenders == [("a", 8.7, 2.0)]
+
+
+def test_retry_noop_without_budget():
+    from bench import retry_over_ceiling
+
+    timings = {"a": 9.0}
+    assert retry_over_ceiling(timings, None, 3.0, lambda n: 0.1) == ({}, [])
+    assert timings == {"a": 9.0}
