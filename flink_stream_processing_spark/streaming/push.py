@@ -180,18 +180,30 @@ class _SockJSSession:
     """State of one SockJS HTTP-transport session (xhr / xhr_streaming):
     the outbound frame queue, the STOMP broker state shared with the
     WebSocket paths, and a condition variable long-polls block on. At most
-    one RECEIVING request may be attached at a time (sockjs-protocol:
-    a second concurrent receiver gets ``c[2010]``)."""
+    one RECEIVING request may be attached at a time (sockjs-protocol: a
+    second concurrent receiver CLOSES the whole session — both receivers
+    see ``c[2010]`` and the id re-opens fresh on the next request)."""
 
     def __init__(self) -> None:
         self.queue: list[str] = []
         self.cond = threading.Condition()
         self.receiving = False
+        # The mandatory SockJS open frame is SESSION state, not caller
+        # state: whichever receiver wins the first attach consumes it. A
+        # caller-local created flag loses the 'o' when two polls hit a
+        # brand-new id concurrently and the CREATING thread loses the
+        # receiving race — the winner would long-poll without ever
+        # emitting the open frame.
+        self.open_pending = True
+        # Set on a second-receiver collision (sockjs-protocol: the whole
+        # session closes; BOTH receivers see the close frame).
+        self.closed = False
         # monotonic time the last receiver detached; sessions idle past the
-        # server's disconnect window are purged on the next broadcast
-        # (sockjs-protocol: a session with no receiver expires after ~5 s —
-        # without this, every abandoned dashboard client would accumulate
-        # queued frames forever on a 24/7 streaming driver).
+        # server's disconnect window are purged on the next broadcast AND
+        # from the accept loop's idle timeout (sockjs-protocol: a session
+        # with no receiver expires after ~5 s — without this, every
+        # abandoned dashboard client would accumulate queued frames
+        # forever on a 24/7 streaming driver).
         self.last_detach = time.monotonic()
         self.st: dict[str, Any] = {"stomp": False, "sockjs": True, "subs": {}}
 
@@ -245,6 +257,9 @@ class MetricsPushServer:
             try:
                 conn, _ = self._srv.accept()
             except socket.timeout:
+                # idle tick: expire abandoned HTTP sessions even when no
+                # broadcast traffic is flowing (stopped/idle query)
+                self._expire_sessions()
                 continue
             except OSError:
                 return
@@ -524,43 +539,77 @@ class MetricsPushServer:
         except OSError:
             pass
 
-    def _session_attach(
-        self, session_id: str
-    ) -> tuple[_SockJSSession, bool, bool]:
-        """(session, created, busy): create the session on first contact;
-        busy=True when another receiver is already attached (the caller
-        answers ``c[2010]`` without touching the session)."""
+    def _session_attach(self, session_id: str) -> tuple[_SockJSSession, bool]:
+        """(session, busy): create the session on first contact; busy=True
+        when another receiver was already attached. A collision CLOSES the
+        whole session (sockjs-protocol: both receivers see the close): the
+        attached receiver is woken to deliver ``c[2010]`` and the id is
+        dropped so a later request starts a fresh session."""
         with self._lock:
             sess = self._sessions.get(session_id)
-            created = sess is None
-            if created:
+            if sess is None:
                 sess = _SockJSSession()
                 self._sessions[session_id] = sess
         with sess.cond:
             if sess.receiving:
-                return sess, created, True
-            sess.receiving = True
-        return sess, created, False
+                sess.closed = True
+                sess.cond.notify_all()
+                busy = True
+            else:
+                sess.receiving = True
+                busy = False
+        if busy:
+            with self._lock:
+                if self._sessions.get(session_id) is sess:
+                    del self._sessions[session_id]
+        return sess, busy
 
     def _session_detach(self, sess: _SockJSSession) -> None:
         with sess.cond:
             sess.receiving = False
             sess.last_detach = time.monotonic()
 
-    def _next_frame(self, sess: _SockJSSession, created: bool) -> str:
-        """The next frame a receiver delivers: ``o`` for a brand-new
-        session, one ``a[...]`` batch draining the queue, or ``h`` after
-        ``poll_timeout`` with nothing to send. Returns ``c[3000,...]``
-        when the server is closing (spec: Go away!)."""
-        if created:
-            return "o"
+    def _expire_sessions(self) -> None:
+        """Purge sessions whose last receiver detached longer ago than the
+        disconnect window (sockjs session-expiry semantics); an expired id
+        simply re-opens as a new session on reconnect. Called from every
+        broadcast AND from the accept loop's idle timeout, so expiry does
+        not depend on streaming traffic: a stopped/idle query on a
+        long-lived driver must not pin abandoned sessions and their queued
+        frames forever."""
+        now = time.monotonic()
+        with self._lock:
+            expired = [
+                sid
+                for sid, sess in self._sessions.items()
+                if not sess.receiving
+                and now - sess.last_detach > self.disconnect_window
+            ]
+            for sid in expired:
+                del self._sessions[sid]
+
+    def _next_frame(self, sess: _SockJSSession) -> str:
+        """The next frame a receiver delivers: ``o`` exactly once per
+        session (consumed from session state under the lock — see
+        ``_SockJSSession.open_pending``), one ``a[...]`` batch draining
+        the queue, or ``h`` after ``poll_timeout`` with nothing to send.
+        Returns ``c[3000,...]`` when the server is closing (spec: Go
+        away!) and ``c[2010,...]`` when a second-receiver collision closed
+        the session while this receiver was attached."""
         deadline = time.monotonic() + self.poll_timeout
         with sess.cond:
-            while not sess.queue and not self._closing.is_set():
+            if sess.closed:
+                return 'c[2010,"Another connection still open"]'
+            if sess.open_pending:
+                sess.open_pending = False
+                return "o"
+            while not sess.queue and not self._closing.is_set() and not sess.closed:
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
                     return "h"
                 sess.cond.wait(min(remaining, 0.2))
+            if sess.closed:
+                return 'c[2010,"Another connection still open"]'
             if self._closing.is_set():
                 return 'c[3000,"Go away!"]'
             msgs, sess.queue = sess.queue, []
@@ -569,14 +618,14 @@ class MetricsPushServer:
     def _xhr_poll(self, conn: socket.socket, session_id: str) -> None:
         """One xhr long-poll: exactly one frame per request, newline
         -terminated (sockjs-protocol §xhr-polling)."""
-        sess, created, busy = self._session_attach(session_id)
+        sess, busy = self._session_attach(session_id)
         if busy:
             self._http_respond(
                 conn, "200 OK", b'c[2010,"Another connection still open"]\n'
             )
             return
         try:
-            frame = self._next_frame(sess, created)
+            frame = self._next_frame(sess)
         finally:
             self._session_detach(sess)
         self._http_respond(conn, "200 OK", frame.encode("utf-8") + b"\n")
@@ -618,7 +667,7 @@ class MetricsPushServer:
         def chunk(data: bytes) -> bytes:
             return f"{len(data):x}\r\n".encode("ascii") + data + b"\r\n"
 
-        sess, created, busy = self._session_attach(session_id)
+        sess, busy = self._session_attach(session_id)
         try:
             conn.sendall(
                 (
@@ -639,10 +688,8 @@ class MetricsPushServer:
                 conn.sendall(b"0\r\n\r\n")
                 return
             sent = 0
-            first = created
             while sent < self.streaming_limit and not self._closing.is_set():
-                frame = self._next_frame(sess, first)
-                first = False
+                frame = self._next_frame(sess)
                 data = frame.encode("utf-8") + b"\n"
                 conn.sendall(chunk(data))
                 sent += len(data)
@@ -668,20 +715,9 @@ class MetricsPushServer:
         frame."""
         raw = encode_text_frame(payload)
         sent = 0
-        now = time.monotonic()
+        self._expire_sessions()
         with self._lock:
             clients = list(self._state.items())
-            # expire sessions whose last receiver detached longer ago than
-            # the disconnect window (sockjs session-expiry semantics); an
-            # expired id simply re-opens as a new session on reconnect
-            expired = [
-                sid
-                for sid, sess in self._sessions.items()
-                if not sess.receiving
-                and now - sess.last_detach > self.disconnect_window
-            ]
-            for sid in expired:
-                del self._sessions[sid]
             sessions = list(self._sessions.values())
         for conn, st in clients:
             if st["stomp"]:

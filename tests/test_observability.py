@@ -745,3 +745,84 @@ def test_sockjs_abandoned_sessions_expire():
         assert body == b"o\n"
     finally:
         srv.close()
+
+
+def test_sockjs_open_frame_is_session_state_not_caller_state():
+    """The mandatory 'o' frame is consumed from SESSION state by the first
+    successful receiver: delivered exactly once per session id, regardless
+    of which request created the session (a caller-local created flag
+    could lose the open frame in a first-contact attach race)."""
+    from flink_stream_processing_spark.streaming.push import MetricsPushServer
+
+    srv = MetricsPushServer(poll_timeout=0.2)
+    try:
+        sess, busy = srv._session_attach("sid-open")
+        assert not busy
+        assert srv._next_frame(sess) == "o"
+        srv._session_detach(sess)
+        sess2, busy = srv._session_attach("sid-open")
+        assert sess2 is sess and not busy
+        assert srv._next_frame(sess2) == "h"  # once only — not 'o' again
+        srv._session_detach(sess2)
+    finally:
+        srv.close()
+
+
+def test_sockjs_second_receiver_collision_closes_whole_session():
+    """sockjs-protocol: a second receiving request on an attached session
+    closes the WHOLE session — the attached receiver is woken with the
+    c[2010] close frame too (not left long-polling on a half-dead
+    session), and the id is dropped so the next request starts fresh."""
+    import threading as _threading
+
+    from flink_stream_processing_spark.streaming.push import MetricsPushServer
+
+    srv = MetricsPushServer(poll_timeout=5.0)
+    try:
+        sess, busy = srv._session_attach("sid-collide")
+        assert not busy
+        assert srv._next_frame(sess) == "o"
+        got: list[str] = []
+        t = _threading.Thread(
+            target=lambda: got.append(srv._next_frame(sess))
+        )
+        t.start()  # attached receiver long-polls (5 s timeout)
+        sess2, busy2 = srv._session_attach("sid-collide")
+        assert sess2 is sess and busy2
+        t.join(timeout=3)  # woken by the collision, NOT after 5 s
+        assert not t.is_alive()
+        assert got == ['c[2010,"Another connection still open"]']
+        with srv._lock:
+            assert "sid-collide" not in srv._sessions  # id dropped
+        sess3, busy3 = srv._session_attach("sid-collide")
+        assert sess3 is not sess and not busy3  # fresh session
+        assert srv._next_frame(sess3) == "o"
+        srv._session_detach(sess3)
+    finally:
+        srv.close()
+
+
+def test_sockjs_abandoned_sessions_expire_without_broadcast():
+    """Expiry must not depend on broadcast traffic: with the streaming
+    query idle (zero broadcasts), a detached session past the disconnect
+    window is purged by the accept loop's idle tick."""
+    import os as _os
+    import time as _time
+
+    from flink_stream_processing_spark.streaming.push import MetricsPushServer
+
+    srv = MetricsPushServer(poll_timeout=0.2, disconnect_window=0.3)
+    base = f"/metrics-feed/000/idle{_os.getpid()}"
+    try:
+        head, body = _sockjs_post(srv.host, srv.port, f"{base}/xhr")
+        assert body == b"o\n"
+        deadline = _time.time() + 5
+        while _time.time() < deadline:
+            with srv._lock:
+                if not srv._sessions:
+                    break
+            _time.sleep(0.1)
+        with srv._lock:
+            assert srv._sessions == {}  # purged with NO broadcast involved
+    finally:
+        srv.close()
