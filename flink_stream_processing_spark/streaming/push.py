@@ -24,8 +24,10 @@ messages arriving as JSON-encoded strings/arrays, server messages pushed as
 spec). The STOMP broker above runs unchanged beneath that framing — exactly
 Spring's layering. The HTTP FALLBACK transports are served too (r8 —
 closing the last scoped-out residue): ``POST .../xhr`` long-polls (``o``
-open frame on the session-creating request, then one ``a[...]`` batch or
-an ``h`` heart-beat per poll, ``c[2010]`` when a second receiver attaches),
+open frame delivered once per session by its first successful receiver,
+then one ``a[...]`` batch or an ``h`` heart-beat per poll; a second
+concurrent receiver closes the whole session with ``c[2010]`` on BOTH
+requests, per sockjs-protocol),
 ``POST .../xhr_send`` carries client frames in (JSON array body, 204
 reply, 404 for unknown sessions), and ``POST .../xhr_streaming`` holds a
 chunked response open (2048-byte ``h`` prelude per spec, then the same

@@ -508,3 +508,41 @@ def test_fractional_rate_generator_runs(spark):
         if int(r.senderId.rsplit("-", 1)[-1]) >= 0  # all rows; ids by value
     }
     assert all(r.transactionId in batch_ids for r in rows)
+
+
+def test_clone_session_shuffle_partitions_reach_state_store(spark, tmp_path):
+    """The load-bearing assumption of the r9 windows_extra rewrite: a
+    streaming query built entirely on a `spark.newSession()` clone reads
+    `spark.sql.shuffle.partitions` from the CLONE at `.start()` — the
+    state-partition count in the reported progress must equal the clone's
+    value, not the shared session's, and the shared session's conf must
+    be untouched throughout."""
+    import json as _json
+
+    d = tmp_path / "events_dir"
+    d.mkdir()
+    (d / "events.parquet").symlink_to(f"{SF_SMALL}/events.parquet")
+
+    shared_before = spark.conf.get("spark.sql.shuffle.partitions")
+    stream_spark = spark.newSession()
+    stream_spark.conf.set("spark.sql.shuffle.partitions", "3")
+
+    tx = as_transactions(events_file_stream(stream_spark, str(d)))
+    agg = streaming_window_metrics(tx, window_duration="10 seconds")
+    name = f"clone_{uuid.uuid4().hex[:8]}"
+    q = write_memory(agg, name, output_mode="complete")
+    try:
+        assert q.awaitTermination(120), "stream did not finish"
+        lp = q.lastProgress
+        lp = lp if isinstance(lp, dict) else _json.loads(lp.json)
+        ops = lp.get("stateOperators") or []
+        assert ops, "no stateful operator reported progress"
+        n_parts = ops[0].get("numShufflePartitions")
+        assert n_parts == 3, f"state partitions {n_parts}, clone conf ignored"
+        # memory-sink temp view is session-scoped: visible on the clone
+        assert stream_spark.table(name).count() > 0
+        # the shared session never saw the clone's setting
+        assert spark.conf.get("spark.sql.shuffle.partitions") == shared_before
+    finally:
+        if q.isActive:
+            q.stop()
