@@ -546,3 +546,66 @@ def test_clone_session_shuffle_partitions_reach_state_store(spark, tmp_path):
     finally:
         if q.isActive:
             q.stop()
+
+
+def test_checkpoint_kill_and_restart_is_exactly_once(spark, tmp_path):
+    """Fault tolerance: a streaming query killed mid-run resumes from its
+    checkpoint and the transactional file sink delivers EXACTLY-ONCE
+    output — the killed-and-restarted run's rows equal an uninterrupted
+    run of the same pipeline, with no window duplicated or lost. This is
+    the recovery semantics a 24/7 deployment of the flagship aggregate
+    rests on (checkpoint = source offsets + state store; sink dedup via
+    the _spark_metadata commit log)."""
+    import time as _time
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    ev = load_table(spark, SF_SMALL, "events")
+    # many small files -> many micro-batches, so the mid-run kill lands
+    # between committed batches with work still outstanding
+    ev.repartition(12).write.parquet(str(src / "files"))
+
+    # state partitions sized to the workload on a session clone (the
+    # engine's own sizing rule) — 8-partition state commits keep the 12
+    # micro-batches cheap even when the suite runs under machine load
+    stream_spark = spark.newSession()
+    stream_spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+    def run(out: str, ckpt: str, kill_after_batches: int | None) -> None:
+        stream = events_file_stream(
+            stream_spark, str(src / "files"), max_files_per_trigger=1
+        )
+        agg = streaming_window_metrics(as_transactions(stream))
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if kill_after_batches is None:
+            assert q.awaitTermination(300), "uninterrupted run did not finish"
+            return
+        deadline = _time.time() + 300
+        while _time.time() < deadline:
+            if not q.isActive or len(q.recentProgress) >= kill_after_batches:
+                break
+            _time.sleep(0.05)
+        q.stop()  # crash: whatever batch is in flight is abandoned
+
+    # reference: the same pipeline, never killed
+    ref_out, ref_ckpt = str(tmp_path / "ref_out"), str(tmp_path / "ref_ckpt")
+    run(ref_out, ref_ckpt, kill_after_batches=None)
+
+    # killed run: stop after ~2 committed batches, then restart from the
+    # same checkpoint into the same sink and let it drain
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run(out, ckpt, kill_after_batches=2)
+    run(out, ckpt, kill_after_batches=None)
+
+    got = spark.read.parquet(out)
+    ref = spark.read.parquet(ref_out)
+    # exactly-once: no window appears twice despite the mid-run kill
+    assert got.groupBy("window_start").count().filter("count > 1").count() == 0
+    assert _rows(got) == _rows(ref)
