@@ -212,19 +212,20 @@ def budget_offenders(
     budget: dict,
     factor: float,
     floor: float = 1.0,
-) -> list[tuple[str, float, float]]:
-    """(name, measured, budgeted) for every query over its ceiling-factor
-    x recorded budget. The ceiling factor is per-query when
+) -> list[tuple[str, float, float, float]]:
+    """(name, measured, budgeted, factor_used) for every query over its
+    ceiling-factor x recorded budget. The ceiling factor is per-query when
     ``budget["factors"]`` has an entry (queries whose observed run-to-run
     spread across recorded runs is small get a tighter 2x ceiling; a
     genuine 2x plan regression on them must fire, not hide inside a
-    blanket 3x), falling back to the global ``factor``. Entries budgeted
-    under ``floor`` seconds are exempt — sub-second timings jitter
-    multiplicatively with scheduler noise."""
+    blanket 3x), falling back to the global ``factor``; the resolved
+    factor is returned so callers report exactly the ceiling that fired.
+    Entries budgeted under ``floor`` seconds are exempt — sub-second
+    timings jitter multiplicatively with scheduler noise."""
     q = budget.get("queries", {})
     per_query = budget.get("factors", {})
     return [
-        (name, t, q[name])
+        (name, t, q[name], float(per_query.get(name, factor)))
         for name, t in timings.items()
         if name in q
         and q[name] >= floor
@@ -246,7 +247,7 @@ def retry_over_ceiling(
     retries: dict[str, list[float]] = {}
     if not budget:
         return retries, []
-    for name, first, _b in budget_offenders(timings, budget, factor):
+    for name, first, _b, _f in budget_offenders(timings, budget, factor):
         retry = rerun(name)
         if retry is None:
             continue
@@ -526,9 +527,7 @@ def main() -> None:
     # JSON line and BENCH_LOCAL.json are already emitted above, so the
     # non-zero exit never loses the measurement.
     if offenders:
-        per_query = budget.get("factors", {}) if budget else {}
-        for name, t, b in offenders:
-            f_used = float(per_query.get(name, factor))
+        for name, t, b, f_used in offenders:
             print(
                 f"  BUDGET EXCEEDED {name}: {t:.3f}s > {f_used}x budget {b:.3f}s"
                 " (reproduced on retry)",

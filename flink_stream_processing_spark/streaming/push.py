@@ -523,7 +523,7 @@ class MetricsPushServer:
         status: str,
         body: bytes,
         ctype: str = "application/javascript; charset=UTF-8",
-    ) -> None:
+    ) -> bool:
         head = (
             f"HTTP/1.1 {status}\r\n"
             f"Content-Type: {ctype}\r\n"
@@ -532,14 +532,16 @@ class MetricsPushServer:
             f"Content-Length: {len(body)}\r\n"
             "Connection: close\r\n\r\n"
         )
+        delivered = True
         try:
             conn.sendall(head.encode("ascii") + body)
         except OSError:
-            pass
+            delivered = False
         try:
             conn.close()
         except OSError:
             pass
+        return delivered
 
     def _session_attach(self, session_id: str) -> tuple[_SockJSSession, bool]:
         """(session, busy): create the session on first contact; busy=True
@@ -547,24 +549,33 @@ class MetricsPushServer:
         whole session (sockjs-protocol: both receivers see the close): the
         attached receiver is woken to deliver ``c[2010]`` and the id is
         dropped so a later request starts a fresh session."""
-        with self._lock:
-            sess = self._sessions.get(session_id)
-            if sess is None:
-                sess = _SockJSSession()
-                self._sessions[session_id] = sess
-        with sess.cond:
-            if sess.receiving:
-                sess.closed = True
-                sess.cond.notify_all()
-                busy = True
-            else:
-                sess.receiving = True
-                busy = False
-        if busy:
+        while True:
             with self._lock:
-                if self._sessions.get(session_id) is sess:
+                sess = self._sessions.get(session_id)
+                if sess is None:
+                    sess = _SockJSSession()
+                    self._sessions[session_id] = sess
+            with sess.cond:
+                if sess.receiving:
+                    sess.closed = True
+                    sess.cond.notify_all()
+                    busy = True
+                else:
+                    sess.receiving = True
+                    busy = False
+            with self._lock:
+                registered = self._sessions.get(session_id) is sess
+                if busy and registered:
                     del self._sessions[session_id]
-        return sess, busy
+            if busy or registered:
+                return sess, busy
+            # Lost a race with _expire_sessions (the idle tick can purge
+            # the id between the dict lookup and winning the receiving
+            # flag): this receiver now holds an ORPHAN no broadcast or
+            # xhr_send can reach. Release it and attach again — the retry
+            # creates (or joins) a properly registered session.
+            with sess.cond:
+                sess.receiving = False
 
     def _session_detach(self, sess: _SockJSSession) -> None:
         with sess.cond:
@@ -630,7 +641,13 @@ class MetricsPushServer:
             frame = self._next_frame(sess)
         finally:
             self._session_detach(sess)
-        self._http_respond(conn, "200 OK", frame.encode("utf-8") + b"\n")
+        delivered = self._http_respond(conn, "200 OK", frame.encode("utf-8") + b"\n")
+        if frame == "o" and not delivered:
+            # the mandatory open frame never reached the client: restore it
+            # so the session's NEXT receiver delivers it (sockjs-protocol:
+            # the transport is unusable until the client has seen 'o')
+            with sess.cond:
+                sess.open_pending = True
 
     def _xhr_send(self, conn: socket.socket, session_id: str, body: bytes) -> None:
         """Client->server frames for an HTTP session: JSON array (or one
@@ -693,7 +710,15 @@ class MetricsPushServer:
             while sent < self.streaming_limit and not self._closing.is_set():
                 frame = self._next_frame(sess)
                 data = frame.encode("utf-8") + b"\n"
-                conn.sendall(chunk(data))
+                try:
+                    conn.sendall(chunk(data))
+                except OSError:
+                    if frame == "o":
+                        # open frame lost in flight: restore it for the
+                        # session's next receiver (see _xhr_poll)
+                        with sess.cond:
+                            sess.open_pending = True
+                    raise
                 sent += len(data)
                 if frame.startswith("c["):
                     break

@@ -20,7 +20,7 @@ def test_flags_only_real_blowups():
         "d": 99.0,  # not budgeted -> ignored
     }
     out = budget_offenders(timings, budget, factor=3.0)
-    assert out == [("a", 6.5, 2.0)]
+    assert out == [("a", 6.5, 2.0, 3.0)]
 
 
 def test_empty_when_within_budget():
@@ -48,7 +48,7 @@ def test_per_query_factors_tighten_the_ceiling():
     budget = {"queries": {"tight": 2.0, "loose": 2.0}, "factors": {"tight": 2.0}}
     timings = {"tight": 5.0, "loose": 5.0}  # both 2.5x of budget
     out = budget_offenders(timings, budget, factor=3.0)
-    assert out == [("tight", 5.0, 2.0)]
+    assert out == [("tight", 5.0, 2.0, 2.0)]
 
 
 def test_committed_factors_hold_for_all_recorded_runs():
@@ -159,7 +159,7 @@ def test_retry_keeps_reproduced_regression_as_offender():
     timings = {"a": 9.0}
     retries, offenders = retry_over_ceiling(timings, budget, 3.0, lambda n: 8.7)
     assert retries == {"a": [9.0, 8.7]}
-    assert offenders == [("a", 8.7, 2.0)]
+    assert offenders == [("a", 8.7, 2.0, 2.0)]
 
 
 def test_retry_noop_without_budget():

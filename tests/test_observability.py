@@ -724,7 +724,10 @@ def test_sockjs_abandoned_sessions_expire():
 
     from flink_stream_processing_spark.streaming.push import MetricsPushServer
 
-    srv = MetricsPushServer(poll_timeout=0.2, disconnect_window=0.3)
+    # window sized well above the accept loop's 0.2 s idle tick (which
+    # since r9 purges independently of broadcast) so the two "survives"
+    # assertions cannot flake on a scheduler stall between poll and check
+    srv = MetricsPushServer(poll_timeout=0.2, disconnect_window=2.0)
     import os as _os
 
     base = f"/metrics-feed/000/gone{_os.getpid()}"
@@ -736,7 +739,7 @@ def test_sockjs_abandoned_sessions_expire():
         srv.broadcast("x")  # recently detached: survives, frame queued
         with srv._lock:
             assert len(srv._sessions) == 1
-        _time.sleep(0.5)  # idle past the window
+        _time.sleep(2.5)  # idle past the window
         srv.broadcast("y")
         with srv._lock:
             assert len(srv._sessions) == 0
