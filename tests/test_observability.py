@@ -829,3 +829,65 @@ def test_sockjs_abandoned_sessions_expire_without_broadcast():
             assert srv._sessions == {}  # purged with NO broadcast involved
     finally:
         srv.close()
+
+
+def _mask_client_frame(opcode: int, payload: bytes, mask: bytes) -> bytes:
+    """A masked client->server frame (RFC 6455 §5.3) for codec fuzzing."""
+    n = len(payload)
+    head = bytearray([0x80 | opcode])
+    if n < 126:
+        head.append(0x80 | n)
+    elif n < 1 << 16:
+        head.append(0x80 | 126)
+        head += n.to_bytes(2, "big")
+    else:
+        head.append(0x80 | 127)
+        head += n.to_bytes(8, "big")
+    head += mask
+    return bytes(head) + bytes(c ^ mask[k % 4] for k, c in enumerate(payload))
+
+
+def test_websocket_codec_property_roundtrip_and_arbitrary_split():
+    """Property fuzz of the frame codec: any sequence of masked client
+    frames (all three length forms, arbitrary binary payloads) concatenated
+    and then CUT AT EVERY BYTE BOUNDARY must parse incrementally to exactly
+    the original (opcode, payload) sequence — the codec can never lose,
+    duplicate, or corrupt a frame because of where TCP happened to split
+    the stream."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_stream_processing_spark.streaming.push import decode_client_frames
+
+    frame_st = st.tuples(
+        st.sampled_from([0x1, 0x2, 0x8, 0x9, 0xA]),
+        st.one_of(
+            st.binary(max_size=20),
+            st.binary(min_size=126, max_size=130),  # 16-bit length form
+        ),
+        st.binary(min_size=4, max_size=4),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(frame_st, min_size=1, max_size=4), st.data())
+    def check(frames, data):
+        wire = b"".join(_mask_client_frame(o, p, m) for o, p, m in frames)
+        cut = data.draw(st.integers(min_value=0, max_value=len(wire)))
+        out, rest = decode_client_frames(wire[:cut])
+        out2, rest2 = decode_client_frames(rest + wire[cut:])
+        assert rest2 == b""
+        assert out + out2 == [(o, p) for o, p, _m in frames]
+
+    check()
+
+
+def test_websocket_codec_64bit_length_form():
+    """The 127 (64-bit) length form decodes correctly for a >64 KiB
+    payload — the form a big metrics batch would take."""
+    from flink_stream_processing_spark.streaming.push import decode_client_frames
+
+    payload = bytes(range(256)) * 300  # 76 800 bytes > 65 535
+    wire = _mask_client_frame(0x1, payload, b"\x01\x02\x03\x04")
+    out, rest = decode_client_frames(wire)
+    assert rest == b""
+    assert out == [(0x1, payload)]
