@@ -168,3 +168,33 @@ def test_retry_noop_without_budget():
     timings = {"a": 9.0}
     assert retry_over_ceiling(timings, None, 3.0, lambda n: 0.1) == ({}, [])
     assert timings == {"a": 9.0}
+
+
+def test_calibrator_ceiling_formula_term_dominance(monkeypatch):
+    """Pins ceiling = max(2*median, 1.3*max, max+1s) per query, one
+    synthetic history per dominance case: a stable multi-second query gets
+    the 2x-median ceiling, a spiky one the 1.3x-worst ceiling, a ~1s one
+    the additive +1s ceiling. recorded is always the per-query max."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(here, "tools"))
+    import calibrate_bench_budget as c
+
+    q_med, q_spike, q_small = HEADLINE[0], HEADLINE[1], HEADLINE[2]
+    runs = [
+        ("r1", {q_med: 10.0, q_spike: 2.0, q_small: 1.0}),
+        ("r2", {q_med: 10.2, q_spike: 2.1, q_small: 1.1}),
+        ("r3", {q_med: 10.4, q_spike: 9.0, q_small: 1.2}),
+    ]
+    monkeypatch.setattr(c, "collect_runs", lambda: runs)
+    budget = c.compute_budget()
+
+    def ceiling(name):
+        return budget["factors"][name] * budget["queries"][name]
+
+    assert budget["queries"][q_med] == 10.4  # recorded = max observation
+    # stable: 2*median(10.2) = 20.4 beats 1.3*10.4 and 10.4+1
+    assert abs(ceiling(q_med) - 20.4) < 0.05
+    # spiky: 1.3*9.0 = 11.7 beats 2*median(2.1)=4.2 and 9+1
+    assert abs(ceiling(q_spike) - 11.7) < 0.05
+    # small: max+1 = 2.2 beats 2*median(1.1)=2.2... use strict max term
+    assert abs(ceiling(q_small) - max(2 * 1.1, 1.3 * 1.2, 1.2 + 1.0)) < 0.05
