@@ -238,7 +238,7 @@ def retry_over_ceiling(
     budget: dict | None,
     factor: float,
     rerun,
-) -> tuple[dict[str, list[float]], list[tuple[str, float, float]]]:
+) -> tuple[dict[str, list[float]], list[tuple[str, float, float, float]]]:
     """Re-measure every over-ceiling query once via ``rerun(name)`` and
     record the MIN of the two timings (both kept in the returned retries
     map for the bench record); return the offenders that remain over their

@@ -97,9 +97,19 @@ def test_calibrator_ceilings_clear_every_era_run():
 
 
 def test_calibrator_check_mode_matches_committed_budget():
-    """`--check` must pass on a freshly calibrated tree (the committed
-    gate file and the recomputed-from-history budget agree) and must not
-    rewrite the file. Run it after adopting any new bench record."""
+    """`--check --committed-only` must pass on a freshly calibrated tree
+    (the committed gate file and the recomputed-from-committed-history
+    budget agree) and must not rewrite the file. Hermetic by design (r9
+    advice): a fresh, not-yet-adopted worktree BENCH_LOCAL.json — the
+    normal state right after running bench.py — must not turn this red;
+    only a COMMITTED record newer than the committed budget does.
+
+    This doubles as the round-start driver-record ingest gate (r9 verdict
+    ask #4): the driver commits its end-of-round BENCH_LOCAL.json, so the
+    first full pytest of the next round fails here until the budget is
+    recalibrated over it (tools/calibrate_bench_budget.py, write mode) —
+    the budget/record disagreement class is structurally loud, without
+    ever tripping on uncommitted worktree state."""
     import subprocess
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -107,7 +117,12 @@ def test_calibrator_check_mode_matches_committed_budget():
     with open(path) as f:
         before = f.read()
     proc = subprocess.run(
-        [sys.executable, os.path.join(here, "tools", "calibrate_bench_budget.py"), "--check"],
+        [
+            sys.executable,
+            os.path.join(here, "tools", "calibrate_bench_budget.py"),
+            "--check",
+            "--committed-only",
+        ],
         capture_output=True,
         text=True,
         cwd=here,
@@ -115,6 +130,32 @@ def test_calibrator_check_mode_matches_committed_budget():
     assert proc.returncode == 0, proc.stdout + proc.stderr
     with open(path) as f:
         assert f.read() == before
+
+
+def test_collect_runs_committed_only_excludes_worktree_record():
+    """committed_only=True must never surface the synthetic "worktree"
+    run id — that flag exists precisely so the agreement tests above stay
+    hermetic to uncommitted bench output — while default mode may append
+    at most that one extra (deduped) worktree record on top of the same
+    committed history."""
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(here, "tools"))
+    try:
+        from calibrate_bench_budget import collect_runs
+    except ImportError:
+        return
+    import subprocess
+
+    probe = subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=here, capture_output=True, text=True
+    )
+    if probe.returncode != 0:
+        return  # no git — calibrator would refuse too
+    committed = collect_runs(committed_only=True)
+    assert all(c != "worktree" for c, _ in committed)
+    default = collect_runs()
+    assert [r for r in default if r[0] != "worktree"] == committed
+    assert len(default) - len(committed) in (0, 1)
 
 
 def test_calibrator_rejects_unknown_arguments_without_writing():
@@ -185,7 +226,7 @@ def test_calibrator_ceiling_formula_term_dominance(monkeypatch):
         ("r2", {q_med: 10.2, q_spike: 2.1, q_small: 1.1}),
         ("r3", {q_med: 10.4, q_spike: 9.0, q_small: 1.2}),
     ]
-    monkeypatch.setattr(c, "collect_runs", lambda: runs)
+    monkeypatch.setattr(c, "collect_runs", lambda committed_only=False: runs)
     budget = c.compute_budget()
 
     def ceiling(name):

@@ -66,7 +66,7 @@ def _git(*args: str) -> str:
     return out.stdout if out.returncode == 0 else ""
 
 
-def collect_runs() -> list[tuple[str, dict[str, float]]]:
+def collect_runs(committed_only: bool = False) -> list[tuple[str, dict[str, float]]]:
     commits = _git(
         "log", "--format=%H", f"{ERA_START}~1..HEAD", "--", "BENCH_LOCAL.json"
     ).split()
@@ -79,6 +79,15 @@ def collect_runs() -> list[tuple[str, dict[str, float]]]:
             continue
         if abs(float(d.get("sf", -1)) - 0.1) < 1e-9 and d.get("queries"):
             runs.append((c[:8], d["queries"]))
+    if committed_only:
+        # Hermetic mode (r9 advice): the gate-vs-history agreement tests
+        # compare the COMMITTED budget against the COMMITTED run history
+        # only — a fresh, not-yet-adopted worktree BENCH_LOCAL.json (the
+        # normal state right after running bench.py) must not turn the
+        # suite red. The worktree record still folds into write-mode
+        # calibration, where covering the freshest observation is the
+        # point.
+        return runs
     try:
         with open(os.path.join(HERE, "BENCH_LOCAL.json")) as f:
             d = json.load(f)
@@ -95,11 +104,11 @@ def collect_runs() -> list[tuple[str, dict[str, float]]]:
     return runs
 
 
-def compute_budget() -> dict:
+def compute_budget(committed_only: bool = False) -> dict:
     sys.path.insert(0, HERE)
     from bench import HEADLINE
 
-    runs = collect_runs()
+    runs = collect_runs(committed_only)
     if len(runs) < 3:
         raise SystemExit(f"only {len(runs)} runs found — refusing to calibrate")
     obs: dict[str, list[float]] = {}
@@ -158,9 +167,20 @@ def main(argv: list[str] | None = None) -> None:
             " the committed gate no longer reflects observed history."
         ),
     )
+    parser.add_argument(
+        "--committed-only",
+        action="store_true",
+        help=(
+            "calibrate from the committed BENCH_LOCAL.json history only,"
+            " ignoring any uncommitted worktree record. With --check this"
+            " is the hermetic round-start ingest gate: it fails exactly"
+            " when a committed record is newer than the committed budget,"
+            " regardless of worktree state."
+        ),
+    )
     args = parser.parse_args(argv)
 
-    budget = compute_budget()
+    budget = compute_budget(args.committed_only)
     out = os.path.join(HERE, "BENCH_BUDGET.json")
     n_runs = budget.pop("n_runs")
     if args.check:
