@@ -639,15 +639,21 @@ class MetricsPushServer:
             return
         try:
             frame = self._next_frame(sess)
+            # Deliver while still ATTACHED: if the socket write fails the
+            # open frame is restored before any other receiver can attach,
+            # so no receiver can observe open_pending=False and deliver
+            # h/a[...] ahead of the re-queued 'o' (sockjs-protocol: 'o'
+            # must be the first frame a session ever delivers). A receiver
+            # colliding during the send closes the whole session, which is
+            # the protocol's prescribed outcome either way.
+            delivered = self._http_respond(
+                conn, "200 OK", frame.encode("utf-8") + b"\n"
+            )
+            if frame == "o" and not delivered:
+                with sess.cond:
+                    sess.open_pending = True
         finally:
             self._session_detach(sess)
-        delivered = self._http_respond(conn, "200 OK", frame.encode("utf-8") + b"\n")
-        if frame == "o" and not delivered:
-            # the mandatory open frame never reached the client: restore it
-            # so the session's NEXT receiver delivers it (sockjs-protocol:
-            # the transport is unusable until the client has seen 'o')
-            with sess.cond:
-                sess.open_pending = True
 
     def _xhr_send(self, conn: socket.socket, session_id: str, body: bytes) -> None:
         """Client->server frames for an HTTP session: JSON array (or one

@@ -891,3 +891,35 @@ def test_websocket_codec_64bit_length_form():
     out, rest = decode_client_frames(wire)
     assert rest == b""
     assert out == [(0x1, payload)]
+
+
+def test_sockjs_failed_open_frame_restored_before_detach():
+    """A failed 'o' delivery must re-queue the open frame BEFORE the
+    receiver detaches (r9 advice): restore-after-detach leaves a window
+    where a second receiver attaches, sees open_pending=False, and
+    delivers h/a[...] ahead of the re-queued 'o' — sockjs-protocol
+    requires 'o' to be the first frame a session ever delivers. Forcing
+    the send to fail on a pre-closed socket, the poll must return with
+    open_pending already True and the session detached, so the NEXT
+    receiver's first frame is 'o' again."""
+    import socket as _socket
+
+    from flink_stream_processing_spark.streaming.push import MetricsPushServer
+
+    srv = MetricsPushServer(poll_timeout=0.2)
+    try:
+        a, b = _socket.socketpair()
+        a.close()  # sendall on a closed socket raises OSError immediately
+        b.close()
+        srv._xhr_poll(a, "sid-fail-open")
+        with srv._lock:
+            sess = srv._sessions["sid-fail-open"]
+        with sess.cond:
+            assert sess.open_pending  # restored, not lost
+            assert not sess.receiving  # and the receiver did detach
+        sess2, busy = srv._session_attach("sid-fail-open")
+        assert sess2 is sess and not busy
+        assert srv._next_frame(sess2) == "o"  # redelivered first
+        srv._session_detach(sess2)
+    finally:
+        srv.close()
