@@ -54,9 +54,17 @@ import subprocess
 import sys
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-# First commit of the r5 plan-stable era: earlier runs predate the setsim /
-# allpairs plan rework and would loosen budgets with dead-plan timings.
-ERA_START = "50fdac061cc5194b6f4fe57d73d82a7c15e5f390"
+# First commit of the RETRY era (r9: bench.py re-measures each over-ceiling
+# query once and gates on the min, so one-off environment excursions clear
+# in-session). Advanced from the r5 plan-stable commit per the committed
+# r10 queue: recorded = max over era history kept pre-retry spikes (e.g.
+# map_hof_battery 12.41 s, semantic_dedup_keep 6.76 s — both measured
+# fast on re-runs of the same commits) in the ceilings forever; from this
+# commit onward the retry gate absorbs that noise class BEFORE it reaches
+# the record, so history stays clean and every ceiling re-tightens.
+# Earlier eras also predate plan reworks whose dead-plan timings would
+# loosen budgets (the original reason ERA_START exists).
+ERA_START = "5b95354717e3136e8948f697a95d520518214084"
 
 
 def _git(*args: str) -> str:
