@@ -45,9 +45,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #      inversely by how many queries they flag) — materially-reworked
 #      operators beat a tail flagged only through one shared module;
 #   2. OLDEST last-green driver row first (r8, per the r7 verdict's
-#      staleness burn-down: the freshness objective is "no green row
-#      older than 3 rounds", which least-count ordering only
-#      approximates). OLD-DRIFT changed queries (their changed blobs all
+#      staleness burn-down). The freshness INVARIANT this ordering can
+#      actually deliver (r10, restated per the r9 verdict: with 213
+#      registered queries and a 50-slot driver sweep, max green-row age
+#      cannot be held under ceil(213/50) = 5 rounds in steady state —
+#      the earlier "no row older than 3 rounds" target was unreachable
+#      arithmetic) is: every query is re-greened at least once per 5
+#      rounds, and the oldest cohort is always swept first unless a
+#      fresh code change outranks it. OLD-DRIFT changed queries (their changed blobs all
 #      sat in some prior record tree while sibling queries swept green
 #      against them) queue HERE by staleness, not by targetedness —
 #      without that split, r4-era drift through one shared module

@@ -110,6 +110,8 @@ HEADLINE = [
     "scd2_user_state",
     "bm25_lexical_topk",
     "hybrid_rrf_search",
+    "cross_encoder_rerank",
+    "url_normalize_dedup",
     "retention_cohorts",
     "funnel_conversion",
     "timeseries_gap_fill",

@@ -63,6 +63,7 @@ from .queries_impl import (  # noqa: E402,F401
     relational_olap,
     relational_tpch2,
     retrieval,
+    retrieval2,
     sql_surface,
     temporal,
     windows_extra,
@@ -92,6 +93,7 @@ _ALL_IMPL = [
     file_formats,
     governance,
     retrieval,
+    retrieval2,
     analytics_extra,
     analytics_graph2,
     sql_surface,
