@@ -203,6 +203,11 @@ HEADLINE = [
 # O(n²) exact-verification paths, timed SEPARATELY so the headline total's
 # round-over-round trend can't be read as silently shedding its slowest
 # entries: these are oracle/verification machinery, not 100 TB operations.
+# Expected cost envelope at sf0.1 (r6-r10 history): near_dup_topk_pairs
+# 9-14 s, pairwise_cosine_topk 1-2 s. Deliberately OUTSIDE the budget
+# gate (an O(n²) oracle has no 100 TB plan to protect), but an excursion
+# past ~2x the envelope top should be investigated, not shrugged off —
+# it would mean the exact-verification machinery itself regressed.
 VERIFICATION_PATHS = [
     "near_dup_topk_pairs",
     "pairwise_cosine_topk",

@@ -7,6 +7,8 @@ import json
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import HEADLINE, budget_offenders  # noqa: E402
 
@@ -143,14 +145,14 @@ def test_collect_runs_committed_only_excludes_worktree_record():
     try:
         from calibrate_bench_budget import collect_runs
     except ImportError:
-        return
+        pytest.skip("calibrate_bench_budget not importable from tools/")
     import subprocess
 
     probe = subprocess.run(
         ["git", "rev-parse", "HEAD"], cwd=here, capture_output=True, text=True
     )
     if probe.returncode != 0:
-        return  # no git — calibrator would refuse too
+        pytest.skip("no git repository — calibrator would refuse too")
     committed = collect_runs(committed_only=True)
     assert all(c != "worktree" for c, _ in committed)
     default = collect_runs()
