@@ -112,6 +112,8 @@ HEADLINE = [
     "hybrid_rrf_search",
     "cross_encoder_rerank",
     "url_normalize_dedup",
+    "streaming_url_dedup",
+    "cross_doc_duplicate_spans",
     "retention_cohorts",
     "funnel_conversion",
     "timeseries_gap_fill",

@@ -66,6 +66,7 @@ from .queries_impl import (  # noqa: E402,F401
     retrieval2,
     sql_surface,
     temporal,
+    web_dedup_stream,
     windows_extra,
 )
 
@@ -97,4 +98,5 @@ _ALL_IMPL = [
     analytics_extra,
     analytics_graph2,
     sql_surface,
+    web_dedup_stream,
 ]

@@ -175,8 +175,11 @@ _URL_DERIVE_SQL = """
   END
 """
 
-_URL_DEDUP_ORACLE = f"""
-WITH raw AS (SELECT doc_id, {_URL_DERIVE_SQL} AS url FROM documents),
+# Shared canonicalization CTE chain (derive messy url -> strip fragment ->
+# host/path/query normalization -> canonical_url). Composed — not pasted —
+# by this module's dedup oracle AND web_dedup_stream's streaming-twin
+# oracle, so the two gates can never diverge on the normalizer.
+_URL_CANON_CTES = f"""raw AS (SELECT doc_id, {_URL_DERIVE_SQL} AS url FROM documents),
 defrag AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
 parts AS (
   SELECT doc_id,
@@ -201,7 +204,10 @@ canon AS (
          'https://' || host || path
          || CASE WHEN qn = '' THEN '' ELSE '?' || qn END AS canonical_url
   FROM parts
-)
+)"""
+
+_URL_DEDUP_ORACLE = f"""
+WITH {_URL_CANON_CTES}
 SELECT canonical_url,
        CAST(count(*) AS BIGINT) AS n_variants,
        min(doc_id) AS keep_doc_id
@@ -209,21 +215,13 @@ FROM canon GROUP BY canonical_url ORDER BY canonical_url
 """
 
 
-@query("url_normalize_dedup", oracle=_URL_DEDUP_ORACLE)
-def q_url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """URL canonicalization + exact dedup on the canonical key: strip
-    fragment; lowercase host; drop default ports and a leading ``www.``;
-    canonicalize the scheme to https (http/https variants of one page
-    are duplicates for crawl dedup); strip ``/index.html`` and trailing
-    slashes; drop ``utm_*`` tracking params and sort the survivors.
-    Keep policy: min doc_id per canonical URL, with the variant count.
-    Every step is a JVM regex/array expression inside one whole-stage
-    -codegen projection; the dedup is a single hash aggregate on the
-    canonical key (map-side partials, no skew — the key is the full
-    URL)."""
-    docs = load_table(spark, sf_dir, "documents")
+def derived_url_col():
+    """The deterministic messy-URL derivation (Spark twin of
+    ``_URL_DERIVE_SQL``) as a Column over (doc_id, source, lang) — shared
+    with web_dedup_stream's streaming twin so both queries derive
+    byte-identical raw URLs."""
     page = (F.col("doc_id") % 10).cast("string")
-    raw = (
+    return (
         F.when(
             (F.col("doc_id") % 4) == 0,
             F.concat(
@@ -258,6 +256,15 @@ def q_url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+def canonical_url_col(raw):
+    """Canonicalize a raw URL Column (Spark twin of the ``_URL_CANON_CTES``
+    normalization): strip fragment; lowercase host; drop default ports and
+    a leading ``www.``; scheme to https; strip ``/index.html`` and trailing
+    slashes; drop ``utm_*`` params and sort the survivors. Pure JVM
+    regex/array expressions — one whole-stage-codegen projection, usable
+    identically in batch and streaming plans."""
     u = F.regexp_replace(raw, "#.*$", "")
     host = F.regexp_replace(
         F.regexp_replace(
@@ -282,10 +289,22 @@ def q_url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "&",
     )
-    canonical = F.concat(
+    return F.concat(
         F.lit("https://"), host, path,
         F.when(qn == "", F.lit("")).otherwise(F.concat(F.lit("?"), qn)),
     )
+
+
+@query("url_normalize_dedup", oracle=_URL_DEDUP_ORACLE)
+def q_url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + exact dedup on the canonical key (see
+    ``canonical_url_col`` for the normalization steps). Keep policy: min
+    doc_id per canonical URL, with the variant count. Every step is a JVM
+    regex/array expression inside one whole-stage-codegen projection; the
+    dedup is a single hash aggregate on the canonical key (map-side
+    partials, no skew — the key is the full URL)."""
+    docs = load_table(spark, sf_dir, "documents")
+    canonical = canonical_url_col(derived_url_col())
     return (
         docs.select("doc_id", canonical.alias("canonical_url"))
         .groupBy("canonical_url")

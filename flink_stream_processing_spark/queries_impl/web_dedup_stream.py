@@ -1,0 +1,290 @@
+"""Streaming canonical-URL dedup + cross-document duplicate spans (LLM
+extension, r11):
+
+- ``streaming_url_dedup``: the 24/7 form of ``url_normalize_dedup``
+  (retrieval2.py) — a documents file stream is canonicalized with the
+  SAME JVM expression chain (imported, not re-derived) and deduped in
+  flight with ``dropDuplicatesWithinWatermark`` on the canonical key.
+  Composes two proven parts: the r10 URL normalizer (oracle-green) and
+  the watermark-bounded streaming dedup state machine
+  (``streaming_dedup_within_watermark``, windows_extra.py). Event time
+  is a deterministic synthetic timestamp (epoch + doc_id seconds — the
+  corpus has no crawl-time column); the watermark horizon (365 days) is
+  wider than the corpus' synthetic time span, so no row can be dropped
+  as late and the append-mode output equals the batch DISTINCT oracle.
+  An unbounded deployment picks the horizon as its dedup-guarantee
+  window and trades re-emission beyond it for bounded state.
+
+- ``cross_doc_duplicate_spans``: the span-level generalization of
+  ``duplicate_ngram_spans`` (llm_dedup.py) past its fixed window — the
+  suffix-array-style MAXIMAL shared token runs between document PAIRS
+  ("Deduplicating Training Data Makes Language Models Better": their
+  suffix-array duplicate spans, realized relationally). Two windows at
+  the same (doc_a, doc_b) diagonal offset within W of each other force
+  the whole interval to match, so matched windows on one diagonal form
+  contiguous runs; merging each run yields the maximal span exactly —
+  (doc_a, doc_b, start_a, start_b, len_tokens), len >= W.
+
+Scale design (100 TB):
+- streaming_url_dedup: the canonicalization is one whole-stage-codegen
+  projection per micro-batch (zero Python lane); dedup state is one
+  entry per canonical key within the watermark horizon, hash-partitioned
+  on the full canonical URL (hosts shard naturally), and RocksDB-backed
+  state + changelog checkpointing (proven on this repo's streaming
+  stress rung) bounds executor memory.
+- cross_doc_duplicate_spans: window hashes build doc-locally (narrow
+  O(total tokens) rows; text never shuffles); ONE groupBy shuffle on
+  the window hash buckets them, and matched pairs are generated
+  IN-ARRAY inside each bucket (the lsh_candidate_pairs idiom — a
+  self-join would evaluate the whole window-hash pipeline twice, since
+  the build side cannot reuse the probe side's exchange), guarded by
+  the LOUD hot-bucket assert (a boilerplate hash with thousands of
+  occurrences means upstream exact-dedup is owed, and silently
+  exploding O(cnt²) would hide it); the diagonal island merge is one
+  further shuffle on (doc_a, doc_b). sf0.1: 8.7k pairs from 178k
+  windows. Never all-pairs, never O(corpus²).
+
+No reference twin (the Flink app has no corpus operators; LLM extension
+scope per SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.window import Window
+
+from ..operators.text import TOKEN_SPLIT_RE
+from ..queries import query
+from ..sources.batch import load_table
+from .retrieval2 import _URL_CANON_CTES, canonical_url_col, derived_url_col
+from .windows_extra import _run_stream_to_table, _stream_session
+
+# One symlink dir per sf_dir, created once and reused across invocations
+# (same leak-avoidance shape as windows_extra._events_stream_dir).
+_DOC_STREAM_DIRS: dict[str, str] = {}
+
+
+def _documents_stream_dir(sf_dir: str) -> str:
+    d = _DOC_STREAM_DIRS.get(sf_dir)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="documents_stream_")
+        os.symlink(
+            f"{sf_dir}/documents.parquet", os.path.join(d, "documents.parquet")
+        )
+        _DOC_STREAM_DIRS[sf_dir] = d
+    return d
+
+
+_DOCUMENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def documents_file_stream(spark: SparkSession, path: str) -> DataFrame:
+    """The ``documents`` table as a file stream (test stand-in for a crawl
+    feed). Explicit schema — a streaming source must never pay an
+    inference pass, and the driver's parquet layout is pinned."""
+    return spark.readStream.schema(_DOCUMENTS_STREAM_SCHEMA).parquet(path)
+
+
+_STREAM_URL_DEDUP_ORACLE = f"""
+WITH {_URL_CANON_CTES}
+SELECT DISTINCT canonical_url FROM canon ORDER BY canonical_url
+"""
+
+
+@query("streaming_url_dedup", oracle=_STREAM_URL_DEDUP_ORACLE)
+def q_streaming_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight crawl dedup: canonicalize each document's URL (the r10
+    normalizer, imported) and emit each canonical URL once, on first
+    sight, with state bounded to the watermark horizon
+    (dropDuplicatesWithinWatermark). Output is the key alone — WHICH
+    variant arrives first is a race in any parallel source, so a
+    deterministic gate can only assert the key set, which equals the
+    batch DISTINCT oracle because the horizon out-spans the corpus."""
+    stream = documents_file_stream(
+        _stream_session(spark), _documents_stream_dir(sf_dir)
+    )
+    # Synthetic deterministic event time: the corpus has no crawl-time
+    # column; epoch + doc_id seconds spans ~14 h at sf0.1 — far inside
+    # the 365-day horizon, so the no-late-drop precondition holds at
+    # every test SF.
+    canon = stream.select(
+        canonical_url_col(derived_url_col()).alias("canonical_url"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")).alias("ts"),
+    )
+    deduped = (
+        canon.withWatermark("ts", "365 days")
+        .dropDuplicatesWithinWatermark(["canonical_url"])
+        .select("canonical_url")
+    )
+    return _run_stream_to_table(deduped, "append")
+
+
+# Window length of the seed n-gram match. A shared run of L >= _SPAN_W
+# tokens produces exactly L - _SPAN_W + 1 consecutive window matches on
+# one (doc_a, doc_b, start_a - start_b) diagonal, so merging contiguous
+# runs reconstructs maximal spans exactly.
+_SPAN_W = 20
+# Loud-fail ceiling on per-hash multiplicity (max observed at sf0.1: 4).
+_SPAN_MAX_MULT = 10_000
+
+_CROSS_SPAN_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+w AS (
+  SELECT doc_id, unnest(range(0, greatest(n_tokens - {_SPAN_W} + 1, 0))) AS s, toks
+  FROM b
+),
+h AS (
+  SELECT doc_id, s, md5(array_to_string(toks[s+1:s+{_SPAN_W}], ' ')) AS h FROM w
+),
+c AS (SELECT doc_id, s, h, count(*) OVER (PARTITION BY h) AS cnt FROM h),
+d AS (SELECT doc_id, s, h FROM c WHERE cnt >= 2),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+  FROM d a JOIN d b USING (h)
+  WHERE a.doc_id < b.doc_id
+),
+i1 AS (
+  SELECT doc_a, doc_b, sa, sb,
+         CASE WHEN lag(sa) OVER win IS NULL OR sa - lag(sa) OVER win > 1
+              THEN 1 ELSE 0 END AS new_run
+  FROM p WINDOW win AS (PARTITION BY doc_a, doc_b, sa - sb ORDER BY sa)
+),
+i2 AS (
+  SELECT doc_a, doc_b, sa, sb,
+         sum(new_run) OVER (PARTITION BY doc_a, doc_b, sa - sb ORDER BY sa
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM i1
+)
+SELECT doc_a, doc_b, min(sa) AS start_a, min(sb) AS start_b,
+       CAST(max(sa) - min(sa) + {_SPAN_W} AS BIGINT) AS len_tokens
+FROM i2 GROUP BY doc_a, doc_b, sa - sb, run_id
+ORDER BY len_tokens DESC, doc_a, doc_b, start_a, start_b
+"""
+
+
+# Pairs within one window-hash bucket, generated INSIDE the collected
+# array (same shape as operators/dedup._BUCKET_PAIR_EXPR, carrying both
+# start offsets): cross-document only (doc_a < doc_b).
+_SPAN_PAIR_EXPR = """
+flatten(transform(ds, x ->
+  filter(transform(ds, y -> IF(x.doc_id < y.doc_id,
+           struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+                  x.s AS sa, y.s AS sb), null)),
+         z -> z IS NOT NULL)))
+"""
+
+
+@query("cross_doc_duplicate_spans", oracle=_CROSS_SPAN_ORACLE)
+def q_cross_doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal shared token spans between document pairs: hash every
+    W-token window (doc-locally, text never shuffled), bucket by window
+    hash in ONE groupBy shuffle, generate cross-document matches in-array
+    inside each bucket (a self-join would run the whole window-hash
+    pipeline twice; this is the lsh_candidate_pairs shape, with a loud
+    hot-bucket guard), and merge contiguous matches per
+    (doc_a, doc_b, diagonal) into maximal spans with the classic
+    lag/running-sum island pass. Exactness: two same-diagonal window
+    matches within W of each other force the whole covering interval
+    equal, so runs are contiguous and the merged interval is the maximal
+    shared span (md5 collisions could only ever ADD a window; none exist
+    on these corpora and any would have to align on a diagonal run to
+    alter a span)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), TOKEN_SPLIT_RE)
+    base = docs.select(F.col("doc_id"), toks.alias("toks")).withColumn(
+        "n_tokens", F.size("toks").cast("long")
+    )
+    starts = F.when(
+        F.col("n_tokens") >= _SPAN_W,
+        F.sequence(F.lit(0), (F.col("n_tokens") - _SPAN_W).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda s: F.struct(
+                    s.cast("long").alias("s"),
+                    F.md5(
+                        F.concat_ws(" ", F.slice("toks", s + F.lit(1), _SPAN_W))
+                    ).alias("h"),
+                ),
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.s").alias("s"), F.col("w.h").alias("h"))
+
+    # One groupBy shuffle on the hash; buckets of size 1 drop before the
+    # pair expansion. Loud-fail hot-hash guard (LSH hot-bucket idiom): a
+    # window hash with huge multiplicity means O(cnt²) in-array pair
+    # expansion — that corpus owes an upstream exact-dedup pass, and
+    # failing beats an opaque OOM. Woven into the exploded column so the
+    # optimizer cannot prune it.
+    buckets = (
+        wins.groupBy("h")
+        .agg(F.collect_list(F.struct("doc_id", "s")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    guarded = buckets.withColumn(
+        "ds",
+        F.when(
+            F.assert_true(
+                F.size("ds") <= _SPAN_MAX_MULT,
+                F.concat(
+                    F.lit(
+                        "cross_doc_duplicate_spans: window-hash multiplicity over "
+                    ),
+                    F.lit(str(_SPAN_MAX_MULT)),
+                    F.lit(": cnt="),
+                    F.size("ds").cast("string"),
+                    F.lit(" — run exact dedup upstream or raise _SPAN_MAX_MULT"),
+                ),
+            ).isNull(),
+            F.col("ds"),
+        ),
+    )
+    pairs = guarded.select(
+        F.explode(F.expr(_SPAN_PAIR_EXPR)).alias("p")
+    ).select("p.doc_a", "p.doc_b", "p.sa", "p.sb")
+
+    diag = Window.partitionBy("doc_a", "doc_b", F.col("sa") - F.col("sb"))
+    run_win = diag.orderBy("sa")
+    marked = pairs.withColumn(
+        "new_run",
+        F.when(
+            F.lag("sa").over(run_win).isNull()
+            | ((F.col("sa") - F.lag("sa").over(run_win)) > 1),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "run_id",
+        F.sum("new_run").over(run_win.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        marked.groupBy("doc_a", "doc_b", (F.col("sa") - F.col("sb")).alias("d"), "run_id")
+        .agg(
+            F.min("sa").alias("start_a"),
+            F.min("sb").alias("start_b"),
+            (F.max("sa") - F.min("sa") + _SPAN_W).cast("long").alias("len_tokens"),
+        )
+        .select("doc_a", "doc_b", "start_a", "start_b", "len_tokens")
+        .orderBy(
+            F.col("len_tokens").desc(), "doc_a", "doc_b", "start_a", "start_b"
+        )
+    )

@@ -1,0 +1,63 @@
+"""Semantic tests for the r11 web-dedup additions beyond the driver's
+oracle gate: span exactness/maximality recomputed from raw text, and
+streaming/batch agreement on the canonical-URL key set."""
+
+from __future__ import annotations
+
+import re
+
+from flink_stream_processing_spark.queries import QUERIES
+
+from .conftest import SF_DIR
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_cross_doc_spans_are_exact_and_maximal(spark):
+    """Every reported span must be an EXACT shared token run between the
+    two documents, and MAXIMAL: extending one token left or right either
+    leaves a document's bounds or breaks equality. Recomputed from the
+    raw text in Python — independent of both the Spark plan and the
+    DuckDB oracle construction."""
+    spans = QUERIES["cross_doc_duplicate_spans"](spark, SF_DIR).collect()
+    assert len(spans) > 0, "fixture corpus is known to contain shared spans"
+
+    docs = {
+        r["doc_id"]: re.split(r"\s+", r["text"].strip().lower())
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    for row in spans:
+        a, b = docs[row["doc_a"]], docs[row["doc_b"]]
+        sa, sb, ln = row["start_a"], row["start_b"], row["len_tokens"]
+        assert ln >= 20
+        assert a[sa : sa + ln] == b[sb : sb + ln], row
+        left_open = sa > 0 and sb > 0
+        if left_open:
+            assert a[sa - 1] != b[sb - 1], f"span extends left: {row}"
+        right_open = sa + ln < len(a) and sb + ln < len(b)
+        if right_open:
+            assert a[sa + ln] != b[sb + ln], f"span extends right: {row}"
+
+
+def test_cross_doc_spans_pairs_are_cross_document(spark):
+    for row in QUERIES["cross_doc_duplicate_spans"](spark, SF_DIR).collect():
+        assert row["doc_a"] < row["doc_b"]
+
+
+def test_streaming_url_dedup_matches_batch_key_set(spark):
+    """The streamed first-sight key set must equal the batch canonical-URL
+    key set (the composition contract: the same normalizer expression
+    feeds both plans, and the watermark horizon out-spans the corpus so
+    no key can be dropped or re-emitted)."""
+    streamed = {
+        r["canonical_url"]
+        for r in QUERIES["streaming_url_dedup"](spark, SF_SMALL).collect()
+    }
+    batch = {
+        r["canonical_url"]
+        for r in QUERIES["url_normalize_dedup"](spark, SF_SMALL).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
