@@ -114,6 +114,9 @@ HEADLINE = [
     "url_normalize_dedup",
     "streaming_url_dedup",
     "cross_doc_duplicate_spans",
+    "duplicate_span_texts",
+    "streaming_content_dedup",
+    "streaming_hot_hosts",
     "retention_cohorts",
     "funnel_conversion",
     "timeseries_gap_fill",

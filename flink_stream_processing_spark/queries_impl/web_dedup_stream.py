@@ -140,8 +140,11 @@ _SPAN_W = 20
 # Loud-fail ceiling on per-hash multiplicity (max observed at sf0.1: 4).
 _SPAN_MAX_MULT = 10_000
 
-_CROSS_SPAN_ORACLE = rf"""
-WITH t AS (
+# The full span reconstruction as a CTE chain (window hashes -> global
+# multiplicity -> cross-doc matches -> diagonal islands -> maximal spans),
+# composed by BOTH the span oracle and the span-text oracle below so the
+# two gates share one construction.
+_CROSS_SPAN_CTES = rf"""t AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
   FROM documents
 ),
@@ -171,10 +174,17 @@ i2 AS (
          sum(new_run) OVER (PARTITION BY doc_a, doc_b, sa - sb ORDER BY sa
                             ROWS UNBOUNDED PRECEDING) AS run_id
   FROM i1
-)
-SELECT doc_a, doc_b, min(sa) AS start_a, min(sb) AS start_b,
-       CAST(max(sa) - min(sa) + {_SPAN_W} AS BIGINT) AS len_tokens
-FROM i2 GROUP BY doc_a, doc_b, sa - sb, run_id
+),
+spans AS (
+  SELECT doc_a, doc_b, min(sa) AS start_a, min(sb) AS start_b,
+         CAST(max(sa) - min(sa) + {_SPAN_W} AS BIGINT) AS len_tokens
+  FROM i2 GROUP BY doc_a, doc_b, sa - sb, run_id
+)"""
+
+_CROSS_SPAN_ORACLE = f"""
+WITH {_CROSS_SPAN_CTES}
+SELECT doc_a, doc_b, start_a, start_b, len_tokens
+FROM spans
 ORDER BY len_tokens DESC, doc_a, doc_b, start_a, start_b
 """
 
@@ -191,26 +201,21 @@ flatten(transform(ds, x ->
 """
 
 
-@query("cross_doc_duplicate_spans", oracle=_CROSS_SPAN_ORACLE)
-def q_cross_doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal shared token spans between document pairs: hash every
-    W-token window (doc-locally, text never shuffled), bucket by window
-    hash in ONE groupBy shuffle, generate cross-document matches in-array
-    inside each bucket (a self-join would run the whole window-hash
-    pipeline twice; this is the lsh_candidate_pairs shape, with a loud
-    hot-bucket guard), and merge contiguous matches per
-    (doc_a, doc_b, diagonal) into maximal spans with the classic
-    lag/running-sum island pass. Exactness: two same-diagonal window
-    matches within W of each other force the whole covering interval
-    equal, so runs are contiguous and the merged interval is the maximal
-    shared span (md5 collisions could only ever ADD a window; none exist
-    on these corpora and any would have to align on a diagonal run to
-    alter a span)."""
+def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, toks, n_tokens) under the corpus tokenization convention."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), TOKEN_SPLIT_RE)
-    base = docs.select(F.col("doc_id"), toks.alias("toks")).withColumn(
+    return docs.select(F.col("doc_id"), toks.alias("toks")).withColumn(
         "n_tokens", F.size("toks").cast("long")
     )
+
+
+def _span_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered maximal-span frame (doc_a, doc_b, start_a, start_b,
+    len_tokens) — the Spark twin of the ``spans`` CTE, shared by the span
+    and span-text queries. Plan shape documented on
+    ``q_cross_doc_duplicate_spans``."""
+    base = _tokenized_docs(spark, sf_dir)
     starts = F.when(
         F.col("n_tokens") >= _SPAN_W,
         F.sequence(F.lit(0), (F.col("n_tokens") - _SPAN_W).cast("int")),
@@ -284,7 +289,139 @@ def q_cross_doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("sa") - F.min("sa") + _SPAN_W).cast("long").alias("len_tokens"),
         )
         .select("doc_a", "doc_b", "start_a", "start_b", "len_tokens")
-        .orderBy(
-            F.col("len_tokens").desc(), "doc_a", "doc_b", "start_a", "start_b"
+    )
+
+
+@query("cross_doc_duplicate_spans", oracle=_CROSS_SPAN_ORACLE)
+def q_cross_doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal shared token spans between document pairs: hash every
+    W-token window (doc-locally, text never shuffled), bucket by window
+    hash in ONE groupBy shuffle, generate cross-document matches in-array
+    inside each bucket (a self-join would run the whole window-hash
+    pipeline twice; this is the lsh_candidate_pairs shape, with a loud
+    hot-bucket guard), and merge contiguous matches per
+    (doc_a, doc_b, diagonal) into maximal spans with the classic
+    lag/running-sum island pass. Exactness: two same-diagonal window
+    matches within W of each other force the whole covering interval
+    equal, so runs are contiguous and the merged interval is the maximal
+    shared span (md5 collisions could only ever ADD a window; none exist
+    on these corpora and any would have to align on a diagonal run to
+    alter a span)."""
+    return _span_frame(spark, sf_dir).orderBy(
+        F.col("len_tokens").desc(), "doc_a", "doc_b", "start_a", "start_b"
+    )
+
+
+_SPAN_TEXT_ORACLE = f"""
+WITH {_CROSS_SPAN_CTES}
+SELECT s.doc_a, s.doc_b, s.start_a, s.len_tokens,
+       array_to_string(t.toks[s.start_a + 1 : s.start_a + s.len_tokens], ' ')
+         AS span_text
+FROM spans s JOIN t ON t.doc_id = s.doc_a
+ORDER BY s.len_tokens DESC, s.doc_a, s.doc_b, s.start_a, s.start_b
+"""
+
+
+@query("duplicate_span_texts", oracle=_SPAN_TEXT_ORACLE)
+def q_duplicate_span_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The strip/down-weight payload: each maximal cross-document span
+    joined back to doc_a's tokens to surface the duplicated text itself
+    (what a pipeline would excise or down-weight). The span frame is tiny
+    (sf0.1: 221 rows) and BROADCASTS into one narrow join against the
+    token projection — surfacing the text adds zero wide operations on
+    top of the span plan."""
+    spans = _span_frame(spark, sf_dir)
+    toks = _tokenized_docs(spark, sf_dir).select(
+        F.col("doc_id").alias("doc_a"), "toks"
+    )
+    return (
+        toks.join(F.broadcast(spans), "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            "start_a",
+            "len_tokens",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "toks", F.col("start_a").cast("int") + 1,
+                    F.col("len_tokens").cast("int"),
+                ),
+            ).alias("span_text"),
+        )
+        .orderBy(F.col("len_tokens").desc(), "doc_a", "doc_b", "start_a")
+    )
+
+
+_CONTENT_FP_ORACLE = r"""
+SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+  AS content_fp
+FROM documents ORDER BY content_fp
+"""
+
+
+@query("streaming_content_dedup", oracle=_CONTENT_FP_ORACLE)
+def q_streaming_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other half of crawl dedup: content-FINGERPRINT dedup in flight
+    (md5 of whitespace-normalized lowercased text — the key exact_dedup
+    uses batch-side), same watermark-bounded state machine as
+    ``streaming_url_dedup``. A page served under two URLs dedups here;
+    two pages under one URL dedup there — production crawls run both."""
+    stream = documents_file_stream(
+        _stream_session(spark), _documents_stream_dir(sf_dir)
+    )
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    keyed = stream.select(
+        fp.alias("content_fp"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")).alias("ts"),
+    )
+    deduped = (
+        keyed.withWatermark("ts", "365 days")
+        .dropDuplicatesWithinWatermark(["content_fp"])
+        .select("content_fp")
+    )
+    return _run_stream_to_table(deduped, "append")
+
+
+_HOT_HOSTS_ORACLE = f"""
+WITH {_URL_CANON_CTES},
+tc AS (
+  SELECT make_timestamp((1700000000 + doc_id) * 1000000) AS ts,
+         regexp_extract(canonical_url, '^https://([^/?]+)', 1) AS host
+  FROM canon
+)
+SELECT epoch_ms(time_bucket(INTERVAL 10 MINUTES, ts)) AS window_start,
+       host, CAST(count(*) AS BIGINT) AS n_docs
+FROM tc GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("streaming_hot_hosts", oracle=_HOT_HOSTS_ORACLE)
+def q_streaming_hot_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-host monitoring: per-host crawl volume in 10-minute tumbling
+    event-time windows over the streaming canonical-URL projection — the
+    signal a crawler's politeness/skew controller consumes. Complete-mode
+    windowed count through the real streaming path, hash-checked against
+    the batch time_bucket oracle (both window systems align to the epoch
+    origin, so bucket boundaries agree by construction)."""
+    stream = documents_file_stream(
+        _stream_session(spark), _documents_stream_dir(sf_dir)
+    )
+    canon = stream.select(
+        canonical_url_col(derived_url_col()).alias("canonical_url"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")).alias("ts"),
+    )
+    hosts = canon.select(
+        F.regexp_extract("canonical_url", r"^https://([^/?]+)", 1).alias("host"),
+        "ts",
+    )
+    agg = (
+        hosts.groupBy(F.window("ts", "10 minutes"), "host")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start"),
+            "host",
+            "n_docs",
         )
     )
+    return _run_stream_to_table(agg, "complete")

@@ -46,6 +46,62 @@ def test_cross_doc_spans_pairs_are_cross_document(spark):
         assert row["doc_a"] < row["doc_b"]
 
 
+def test_duplicate_span_texts_match_both_documents(spark):
+    """The surfaced span_text must equal the corresponding token slice of
+    BOTH documents (the query reconstructs from doc_a only; equality with
+    doc_b is the cross-document guarantee the span stands for)."""
+    rows = QUERIES["duplicate_span_texts"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    spans = {
+        (r["doc_a"], r["doc_b"], r["start_a"]): r
+        for r in QUERIES["cross_doc_duplicate_spans"](spark, SF_DIR).collect()
+    }
+    docs = {
+        r["doc_id"]: re.split(r"\s+", r["text"].strip().lower())
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    for r in rows:
+        key = (r["doc_a"], r["doc_b"], r["start_a"])
+        assert key in spans, f"span_text row without a span: {r}"
+        s = spans[key]
+        a_slice = docs[r["doc_a"]][r["start_a"] : r["start_a"] + r["len_tokens"]]
+        b_slice = docs[s["doc_b"]][s["start_b"] : s["start_b"] + s["len_tokens"]]
+        assert r["span_text"] == " ".join(a_slice) == " ".join(b_slice)
+
+
+def test_streaming_hot_hosts_partitions_the_corpus(spark):
+    """Windowed per-host counts must partition the corpus exactly: summing
+    n_docs over all (window, host) cells recovers the document count, and
+    every host is a canonicalized one (no scheme/www./port residue)."""
+    rows = QUERIES["streaming_hot_hosts"](spark, SF_SMALL).collect()
+    total = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == total
+    for r in rows:
+        assert not r["host"].startswith("www.")
+        assert ":" not in r["host"]
+        assert r["host"] == r["host"].lower()
+
+
+def test_streaming_content_dedup_matches_batch_fingerprints(spark):
+    streamed = {
+        r["content_fp"]
+        for r in QUERIES["streaming_content_dedup"](spark, SF_SMALL).collect()
+    }
+    import hashlib
+
+    batch = {
+        hashlib.md5(
+            re.sub(r"\s+", " ", r["text"].strip().lower()).encode()
+        ).hexdigest()
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("text")
+        .collect()
+    }
+    assert streamed == batch
+
+
 def test_streaming_url_dedup_matches_batch_key_set(spark):
     """The streamed first-sight key set must equal the batch canonical-URL
     key set (the composition contract: the same normalizer expression
