@@ -379,3 +379,32 @@ def test_no_headline_query_plans_a_cartesian_product(spark):
         ):
             offenders.append(f"{name}: BroadcastNestedLoopJoin")
     assert not offenders, "\n".join(offenders)
+
+
+def test_cross_doc_spans_single_scan_no_join(spark):
+    """The span plan must stay the one-pass bucket-collect shape: exactly
+    ONE parquet scan (a self-join formulation would re-run the whole
+    window-hash pipeline on the build side) and ZERO join nodes — pairs
+    are generated in-array inside the hash buckets."""
+    import re
+
+    from flink_stream_processing_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["cross_doc_duplicate_spans"](spark, SF_DIR))
+    # one scan NODE (each node id shows once in the tree + once in the
+    # details section of explain("formatted"))
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
+    assert len(scan_ids) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_duplicate_span_texts_broadcasts_span_frame(spark):
+    """Surfacing span text adds exactly one broadcast join of the tiny
+    span frame against the token projection — never a shuffle join, and
+    the token side scans only (doc_id, text)."""
+    df = QUERIES["duplicate_span_texts"](spark, SF_DIR)
+    assert has_broadcast_join(df)
+    from flink_stream_processing_spark.plans import formatted_plan
+
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
