@@ -211,11 +211,18 @@ def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _span_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unordered maximal-span frame (doc_a, doc_b, start_a, start_b,
-    len_tokens) — the Spark twin of the ``spans`` CTE, shared by the span
-    and span-text queries. Plan shape documented on
+    """Unordered maximal-span frame over the documents table — the Spark
+    twin of the ``spans`` CTE, shared by the span and span-text queries."""
+    return maximal_shared_spans(_tokenized_docs(spark, sf_dir))
+
+
+def maximal_shared_spans(base: DataFrame) -> DataFrame:
+    """Maximal cross-document shared token runs over a
+    (doc_id, toks, n_tokens) frame: (doc_a, doc_b, start_a, start_b,
+    len_tokens), unordered. Exposed on the tokenized frame (not the
+    table path) so the opt-in planted-span scale rung can drive the same
+    operator over a synthetic corpus. Plan shape documented on
     ``q_cross_doc_duplicate_spans``."""
-    base = _tokenized_docs(spark, sf_dir)
     starts = F.when(
         F.col("n_tokens") >= _SPAN_W,
         F.sequence(F.lit(0), (F.col("n_tokens") - _SPAN_W).cast("int")),

@@ -376,6 +376,84 @@ def _run_metrics_stream(spark, src: str, qname: str, provider: str | None):
             )
 
 
+def test_cross_doc_planted_spans_50k(spark):
+    """Planted-recall rung for the span operator (r11): each base doc gets
+    a per-base UNIQUE 30-token passage appended to replica 0 (original
+    text) and replica 1 (token-salted text — shingle-disjoint from
+    replica 0 except the passage), so exactly one cross-document span of
+    exactly 30 tokens is planted per base doc and its flanks can never
+    extend (original vs salted prefixes differ token-by-token). Replicas
+    2+ are salted bulk with no passage. The operator must recover EVERY
+    planted span at exactly len 30 — recall 1.0 by construction, length
+    exactness by the diagonal-island merge — at 10x the driver-gate
+    corpus. Per-base passages keep every passage-window multiplicity at
+    2, far under the hot-bucket guard (a single global passage would
+    trip it by design). Natural spans between replica-0 originals (and
+    their salted echoes within a replica) are expected extra rows and
+    not asserted."""
+    from flink_stream_processing_spark.operators.text import TOKEN_SPLIT_RE
+    from flink_stream_processing_spark.queries_impl.web_dedup_stream import (
+        maximal_shared_spans,
+    )
+
+    replicas = REPLICAS
+    # base_id is renamed EXPLICITLY: the output projection aliases the
+    # composite id back to "doc_id", and a passage expression written
+    # against F.col("doc_id") in the same select resolves against that
+    # new alias inside the HOF lambda — silently planting per-OUTPUT-doc
+    # (i.e. disjoint) passages. Caught live; keep the rename.
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("doc_id").alias("base_id"), "text"
+    )
+    n_base = base.count()
+    reps = spark.range(replicas).select(F.col("id").cast("int").alias("replica"))
+    words = F.split(F.col("text"), " ")
+    salted = F.transform(
+        words, lambda w: F.concat(w, F.lit("_"), F.col("replica").cast("string"))
+    )
+    passage = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(29)),
+            lambda i: F.concat(
+                F.lit("p"),
+                F.col("base_id").cast("string"),
+                F.lit("_"),
+                i.cast("string"),
+            ),
+        ),
+    )
+    corpus = base.crossJoin(reps).select(
+        (F.col("base_id") * replicas + F.col("replica")).alias("doc_id"),
+        F.when(F.col("replica") == 0, F.concat(F.col("text"), F.lit(" "), passage))
+        .when(
+            F.col("replica") == 1,
+            F.concat(F.array_join(salted, " "), F.lit(" "), passage),
+        )
+        .otherwise(F.array_join(salted, " "))
+        .alias("text"),
+    ).repartition(32, "doc_id")
+
+    toks = F.split(F.lower(F.trim(F.col("text"))), TOKEN_SPLIT_RE)
+    tokenized = corpus.select("doc_id", toks.alias("toks")).withColumn(
+        "n_tokens", F.size("toks").cast("long")
+    )
+    rows = _timed(
+        "cross_doc_spans planted", lambda: maximal_shared_spans(tokenized).collect()
+    )
+    planted = {
+        (r["doc_a"], r["doc_b"]): r["len_tokens"]
+        for r in rows
+        if r["doc_b"] == r["doc_a"] + 1 and r["doc_a"] % replicas == 0
+    }
+    missing = [
+        b for b in range(n_base) if (b * replicas, b * replicas + 1) not in planted
+    ]
+    assert not missing, f"{len(missing)} planted spans missed: {missing[:5]}"
+    wrong_len = {k: v for k, v in planted.items() if v != 30}
+    assert not wrong_len, f"planted spans with wrong length: {list(wrong_len.items())[:5]}"
+
+
 def test_streaming_1m_rows_default_vs_rocksdb(spark, tmp_path):
     """One rung past the bench's 100k-row streaming run (round-5 verdict
     ask #6): 1M rows / 10x the window-state volume through the full
