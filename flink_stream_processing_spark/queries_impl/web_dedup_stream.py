@@ -216,13 +216,15 @@ def _span_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maximal_shared_spans(_tokenized_docs(spark, sf_dir))
 
 
-def maximal_shared_spans(base: DataFrame) -> DataFrame:
+def maximal_shared_spans(
+    base: DataFrame, max_mult: int = _SPAN_MAX_MULT
+) -> DataFrame:
     """Maximal cross-document shared token runs over a
     (doc_id, toks, n_tokens) frame: (doc_a, doc_b, start_a, start_b,
     len_tokens), unordered. Exposed on the tokenized frame (not the
-    table path) so the opt-in planted-span scale rung can drive the same
-    operator over a synthetic corpus. Plan shape documented on
-    ``q_cross_doc_duplicate_spans``."""
+    table path) so the opt-in planted-span scale rung and the guard
+    tests can drive the same operator over synthetic corpora. Plan
+    shape documented on ``q_cross_doc_duplicate_spans``."""
     starts = F.when(
         F.col("n_tokens") >= _SPAN_W,
         F.sequence(F.lit(0), (F.col("n_tokens") - _SPAN_W).cast("int")),
@@ -257,12 +259,12 @@ def maximal_shared_spans(base: DataFrame) -> DataFrame:
         "ds",
         F.when(
             F.assert_true(
-                F.size("ds") <= _SPAN_MAX_MULT,
+                F.size("ds") <= max_mult,
                 F.concat(
                     F.lit(
                         "cross_doc_duplicate_spans: window-hash multiplicity over "
                     ),
-                    F.lit(str(_SPAN_MAX_MULT)),
+                    F.lit(str(max_mult)),
                     F.lit(": cnt="),
                     F.size("ds").cast("string"),
                     F.lit(" — run exact dedup upstream or raise _SPAN_MAX_MULT"),

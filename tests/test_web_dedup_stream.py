@@ -117,3 +117,84 @@ def test_streaming_url_dedup_matches_batch_key_set(spark):
     }
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def _tok_df(spark, rows):
+    """(doc_id, text) fixture -> the (doc_id, toks, n_tokens) frame
+    maximal_shared_spans consumes, under the corpus tokenization."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return df.select("doc_id", toks.alias("toks")).withColumn(
+        "n_tokens", F.size("toks").cast("long")
+    )
+
+
+def _words(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_maximal_shared_spans_fixture_exact(spark):
+    """A planted 25-token run flanked by differing tokens must come back
+    as exactly one span row with exact offsets and length."""
+    from flink_stream_processing_spark.queries_impl.web_dedup_stream import (
+        maximal_shared_spans,
+    )
+
+    shared = _words("s", 25)
+    rows = [
+        (1, _words("a", 3) + " " + shared + " " + _words("z", 4)),
+        (2, _words("b", 7) + " " + shared + " " + _words("y", 2)),
+        (3, _words("c", 40)),  # no overlap with anyone
+    ]
+    out = maximal_shared_spans(_tok_df(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert (r["start_a"], r["start_b"], r["len_tokens"]) == (3, 7, 25)
+
+
+def test_maximal_shared_spans_two_runs_same_diagonal(spark):
+    """Two distinct shared runs on the SAME alignment diagonal, separated
+    by a differing gap, must stay two spans (the island split on gap>1)."""
+    from flink_stream_processing_spark.queries_impl.web_dedup_stream import (
+        maximal_shared_spans,
+    )
+
+    run1, run2 = _words("p", 22), _words("q", 20)
+    rows = [
+        (1, run1 + " gapone1 " + run2),
+        (2, run1 + " gaptwo2 " + run2),
+    ]
+    out = sorted(
+        maximal_shared_spans(_tok_df(spark, rows)).collect(),
+        key=lambda r: r["start_a"],
+    )
+    assert [(r["start_a"], r["len_tokens"]) for r in out] == [(0, 22), (23, 20)]
+
+
+def test_maximal_shared_spans_short_docs_empty(spark):
+    """Docs below the window length produce no windows and no spans (the
+    sequence() guard — an unguarded descending sequence would throw)."""
+    from flink_stream_processing_spark.queries_impl.web_dedup_stream import (
+        maximal_shared_spans,
+    )
+
+    rows = [(1, _words("a", 19)), (2, _words("a", 19)), (3, "one")]
+    assert maximal_shared_spans(_tok_df(spark, rows)).collect() == []
+
+
+def test_maximal_shared_spans_hot_bucket_guard_fires(spark):
+    """A window hash whose multiplicity exceeds max_mult must fail LOUDLY
+    with the remediation message, never expand O(cnt^2) silently."""
+    import pytest
+
+    from flink_stream_processing_spark.queries_impl.web_dedup_stream import (
+        maximal_shared_spans,
+    )
+
+    boiler = _words("w", 20)
+    rows = [(i, boiler) for i in range(5)]  # multiplicity 5 > max_mult 4
+    with pytest.raises(Exception, match="multiplicity over 4"):
+        maximal_shared_spans(_tok_df(spark, rows), max_mult=4).collect()
