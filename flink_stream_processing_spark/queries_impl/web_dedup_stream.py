@@ -58,11 +58,24 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 from pyspark.sql.window import Window
 
-from ..operators.text import TOKEN_SPLIT_RE
+from ..operators.text import tokens_col
 from ..queries import query
 from ..sources.batch import load_table
 from .retrieval2 import _URL_CANON_CTES, canonical_url_col, derived_url_col
 from .windows_extra import _run_stream_to_table, _stream_session
+
+# Synthetic deterministic event time shared by every streaming query in
+# this module AND (as a literal, interpolated below) by the hot-hosts
+# oracle's time_bucket: the corpus has no crawl-time column, so event
+# time is epoch + doc_id seconds. ONE definition — editing the epoch or
+# the formula in one site but not the others would silently desynchronize
+# a streaming query from its oracle.
+_EVENT_EPOCH = 1_700_000_000
+
+
+def _event_ts():
+    return F.timestamp_seconds(F.lit(_EVENT_EPOCH) + F.col("doc_id"))
+
 
 # One symlink dir per sf_dir, created once and reused across invocations
 # (same leak-avoidance shape as windows_extra._events_stream_dir).
@@ -122,7 +135,7 @@ def q_streaming_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every test SF.
     canon = stream.select(
         canonical_url_col(derived_url_col()).alias("canonical_url"),
-        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")).alias("ts"),
+        _event_ts().alias("ts"),
     )
     deduped = (
         canon.withWatermark("ts", "365 days")
@@ -138,7 +151,12 @@ def q_streaming_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # runs reconstructs maximal spans exactly.
 _SPAN_W = 20
 # Loud-fail ceiling on per-hash multiplicity (max observed at sf0.1: 4).
-_SPAN_MAX_MULT = 10_000
+# Tighter than dedup.py's MAX_BUCKET_SIZE (10k): that expansion carries
+# id-only arrays, this one 4-field (doc_a, doc_b, sa, sb) structs, so the
+# O(cnt^2) blow-up reaches the multi-GB single-row range around ~5k
+# members — the guard must fire FIRST to serve its purpose. 1k members
+# = ~500k pair structs = tens of MB, still 250x observed headroom.
+_SPAN_MAX_MULT = 1_000
 
 # The full span reconstruction as a CTE chain (window hashes -> global
 # multiplicity -> cross-doc matches -> diagonal islands -> maximal spans),
@@ -202,10 +220,10 @@ flatten(transform(ds, x ->
 
 
 def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, toks, n_tokens) under the corpus tokenization convention."""
+    """(doc_id, toks, n_tokens) via ``text.tokens_col`` — the one
+    tokenization convention shared by every token surface and oracle."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), TOKEN_SPLIT_RE)
-    return docs.select(F.col("doc_id"), toks.alias("toks")).withColumn(
+    return docs.select(F.col("doc_id"), tokens_col().alias("toks")).withColumn(
         "n_tokens", F.size("toks").cast("long")
     )
 
@@ -224,7 +242,15 @@ def maximal_shared_spans(
     len_tokens), unordered. Exposed on the tokenized frame (not the
     table path) so the opt-in planted-span scale rung and the guard
     tests can drive the same operator over synthetic corpora. Plan
-    shape documented on ``q_cross_doc_duplicate_spans``."""
+    shape documented on ``q_cross_doc_duplicate_spans``.
+
+    NOTE: the starts-guard + window-hash explode below intentionally
+    mirrors operators/dedup.duplicate_ngram_spans (same window hashing,
+    different downstream: per-doc coverage there, cross-doc span pairs
+    here). Extracting the shared block into dedup.py is queued for a
+    round where dedup.py's 39-query closure cohort is stale anyway
+    (OPERATORS.md r12 queue) — an edit there this round would displace
+    the freshness sweep."""
     starts = F.when(
         F.col("n_tokens") >= _SPAN_W,
         F.sequence(F.lit(0), (F.col("n_tokens") - _SPAN_W).cast("int")),
@@ -372,8 +398,11 @@ FROM documents ORDER BY content_fp
 @query("streaming_content_dedup", oracle=_CONTENT_FP_ORACLE)
 def q_streaming_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The other half of crawl dedup: content-FINGERPRINT dedup in flight
-    (md5 of whitespace-normalized lowercased text — the key exact_dedup
-    uses batch-side), same watermark-bounded state machine as
+    (md5 of whitespace-collapsed lowercased text — ``text.fingerprint``'s
+    ``fp_md5`` key; DELIBERATELY not the exact_dedup family's
+    whitespace-preserving key — see dedup.py's NORMALIZATION CONTRACT:
+    the two are different keys and a store built with one must never be
+    probed with the other), same watermark-bounded state machine as
     ``streaming_url_dedup``. A page served under two URLs dedups here;
     two pages under one URL dedup there — production crawls run both."""
     stream = documents_file_stream(
@@ -382,7 +411,7 @@ def q_streaming_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
     keyed = stream.select(
         fp.alias("content_fp"),
-        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")).alias("ts"),
+        _event_ts().alias("ts"),
     )
     deduped = (
         keyed.withWatermark("ts", "365 days")
@@ -395,7 +424,7 @@ def q_streaming_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HOT_HOSTS_ORACLE = f"""
 WITH {_URL_CANON_CTES},
 tc AS (
-  SELECT make_timestamp((1700000000 + doc_id) * 1000000) AS ts,
+  SELECT make_timestamp(({_EVENT_EPOCH} + doc_id) * 1000000) AS ts,
          regexp_extract(canonical_url, '^https://([^/?]+)', 1) AS host
   FROM canon
 )
@@ -418,7 +447,7 @@ def q_streaming_hot_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     canon = stream.select(
         canonical_url_col(derived_url_col()).alias("canonical_url"),
-        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")).alias("ts"),
+        _event_ts().alias("ts"),
     )
     hosts = canon.select(
         F.regexp_extract("canonical_url", r"^https://([^/?]+)", 1).alias("host"),

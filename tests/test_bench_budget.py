@@ -85,12 +85,12 @@ def test_calibrator_ceilings_clear_every_era_run():
     try:
         from calibrate_bench_budget import collect_runs
     except ImportError:
-        return
+        pytest.skip("calibrate_bench_budget not importable from tools/")
     probe = subprocess.run(
         ["git", "rev-parse", "HEAD"], cwd=here, capture_output=True, text=True
     )
     if probe.returncode != 0:
-        return  # no git — calibrator would refuse too
+        pytest.skip("no git repository — calibrator would refuse too")
     with open(os.path.join(here, "BENCH_BUDGET.json")) as f:
         budget = json.load(f)
     for commit, timings in collect_runs():
