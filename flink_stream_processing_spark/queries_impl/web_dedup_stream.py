@@ -440,8 +440,12 @@ def q_streaming_hot_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-time windows over the streaming canonical-URL projection — the
     signal a crawler's politeness/skew controller consumes. Complete-mode
     windowed count through the real streaming path, hash-checked against
-    the batch time_bucket oracle (both window systems align to the epoch
-    origin, so bucket boundaries agree by construction)."""
+    the batch time_bucket oracle. Boundary agreement: Spark tumbling
+    windows align to the Unix epoch; DuckDB time_bucket aligns to its
+    2000-01-01 origin — the two coincide exactly when the bucket width
+    divides the 946 684 800 s offset between the origins, which 600 s
+    does (and any width that doesn't would hash-mismatch loudly in the
+    driver gate, not silently drift)."""
     stream = documents_file_stream(
         _stream_session(spark), _documents_stream_dir(sf_dir)
     )
