@@ -46,9 +46,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #      operators beat a tail flagged only through one shared module;
 #   2. OLDEST last-green driver row first (r8, per the r7 verdict's
 #      staleness burn-down). The freshness INVARIANT this ordering can
-#      actually deliver (r10, restated per the r9 verdict: with 213
-#      registered queries and a 50-slot driver sweep, max green-row age
-#      cannot be held under ceil(213/50) = 5 rounds in steady state —
+#      actually deliver (r10, restated per the r9 verdict; counts as of
+#      r11: with 220 registered queries and a 50-slot driver sweep, max
+#      green-row age cannot be held under ceil(220/50) = 5 rounds —
 #      the earlier "no row older than 3 rounds" target was unreachable
 #      arithmetic) is: every query is re-greened at least once per 5
 #      rounds, and the oldest cohort is always swept first unless a
