@@ -81,3 +81,84 @@ FROM w
 WHERE n_prior = 20 AND sigma > 0 AND abs((value - mu) / sigma) > 2.5
 ORDER BY event_id
 """
+
+# --- shared across sibling modules (r12 extraction; see _shared_exprs's
+# docstring for the import-order contract these leaf homes enforce) -------
+
+# Exact word-3-gram Jaccard: the CTE chain shared by llm_dedup's exact
+# top-k/threshold oracles and the recall oracles in llm_dedup2 /
+# llm_pipeline5. DuckDB mirrors the same shingle construction as
+# operators/dedup.word_shingles.
+JACCARD_CTES = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents
+  WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b,
+         round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+"""
+
+# BM25 with Lucene idf ln(1 + (N - df + 0.5)/(df + 0.5)), k1=1.2, b=0.75;
+# query = the token set of doc 0. Scores round to 4dp BEFORE ranking on
+# both sides (cross-engine sum-order stability), ties break on doc_id.
+# ``{k}`` placeholder: callers .format(k=...) the candidate depth (shared
+# by retrieval's BM25 oracles and retrieval2's hybrid-RRF oracle).
+BM25_CTE = """
+t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+lens AS (SELECT doc_id, len(toks) AS dl FROM t),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens),
+post AS (
+  SELECT doc_id, dl, token, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM t)
+  GROUP BY doc_id, dl, token
+),
+qterms AS (SELECT DISTINCT unnest(toks) AS token FROM t WHERE doc_id = 0),
+matched AS (
+  SELECT p.doc_id, p.dl, p.token, p.tf,
+         CAST(count(*) OVER (PARTITION BY p.token) AS DOUBLE) AS df
+  FROM post p JOIN qterms USING (token)
+),
+bm AS (
+  SELECT doc_id,
+         round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * 2.2
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+  FROM matched, stats
+  GROUP BY doc_id
+),
+lex AS (
+  SELECT doc_id, bm25,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS lex_rank
+  FROM bm ORDER BY bm25 DESC, doc_id LIMIT {k}
+)
+"""
+
+# (click, error) pairs for the same user within ±1 hour — shared by the
+# batch interval join (temporal) and its stream-stream twin (windows_extra).
+INTERVAL_ORACLE = """
+SELECT c.event_id AS click_id, e.event_id AS error_id,
+       c.user_id AS user_id, round(e.value, 6) AS error_value
+FROM events c
+JOIN events e
+  ON c.user_id = e.user_id
+ AND e.ts >= c.ts - INTERVAL 1 HOUR
+ AND e.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND e.event_type = 'error'
+ORDER BY click_id, error_id
+"""

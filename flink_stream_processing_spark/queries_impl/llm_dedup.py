@@ -41,32 +41,11 @@ from ..operators.dedup import (
 from ..queries import query
 from ..sources.batch import load_table
 
-# Exact word-3-gram Jaccard: top-20 most similar pairs (deterministic order:
-# jaccard desc, then pair ids). DuckDB mirrors the same shingle construction.
-_JACCARD_CTES = r"""
-WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-  FROM documents
-  WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 3
-),
-sh AS (
-  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-jac AS (
-  SELECT doc_a, doc_b,
-         round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
-  FROM common
-  JOIN sizes sa ON sa.doc_id = doc_a
-  JOIN sizes sb ON sb.doc_id = doc_b
-)
-"""
+# Exact word-3-gram Jaccard (CTE chain in _shared_oracles — also the
+# recall oracle base for llm_dedup2 / llm_pipeline5): top-20 most similar
+# pairs (deterministic order: jaccard desc, then pair ids). DuckDB
+# mirrors the same shingle construction.
+from ._shared_oracles import JACCARD_CTES as _JACCARD_CTES  # noqa: E402
 
 _JACCARD_ORACLE = (
     _JACCARD_CTES

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..operators.setsim import allpairs_jaccard_join
 from ..queries import query
 from ..sources.batch import load_table
-from .llm_dedup import _JACCARD_CTES
+from ._shared_oracles import JACCARD_CTES as _JACCARD_CTES
 
 _ALLPAIRS_ORACLE = (
     _JACCARD_CTES

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..queries import query
 from ..sources.batch import load_table
-from .llm_dedup import _JACCARD_CTES
+from ._shared_oracles import JACCARD_CTES as _JACCARD_CTES
 
 # Oracle: exact all-pairs Jaccard — COMPOSED from the shared _JACCARD_CTES
 # constant (llm_dedup.py), not a pasted copy, so the shingle convention

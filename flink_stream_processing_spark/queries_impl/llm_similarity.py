@@ -19,17 +19,7 @@ from ..queries import query
 from ..sources.batch import load_table
 
 
-def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
-    """The query vector: embedding of vec_id 0 (deterministic lookup; a
-    single-row collect, not a driver-side loop)."""
-    row = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == 0)
-        .select("embedding")
-        .head()
-    )
-    return [float(x) for x in row[0]]
-
+from ._shared_exprs import query_vec as _query_vec  # noqa: E402
 
 _COSINE_ORACLE = """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)

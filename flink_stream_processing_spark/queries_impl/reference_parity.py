@@ -19,34 +19,13 @@ from ..queries import query
 from ..schemas import PROPS_SCHEMA
 from ..sources.batch import load_table
 
-# Shared CASE fragment: event_type -> exchange rate (mirrors
-# RemittanceGenerator.java:65-74's currency map; 'error' is the CNY-style
-# zero-rate poison).
-RATE_CASE_SQL = (
-    "CASE event_type "
-    + " ".join(f"WHEN '{k}' THEN {v!r}" for k, v in EVENT_TYPE_RATES.items())
-    + " ELSE 1.0 END"
+# The rate CASE fragment and the flagship window-metrics oracle live in
+# _shared_exprs (built from EVENT_TYPE_RATES, the RemittanceGenerator
+# currency map) — windows_extra's streaming twin consumes the same text.
+from ._shared_exprs import (  # noqa: E402
+    RATE_CASE_SQL,  # noqa: F401  (re-export for parity readers)
+    WINDOW_METRICS_ORACLE as _WINDOW_METRICS_ORACLE,
 )
-
-_WINDOW_METRICS_ORACLE = f"""
-WITH tx AS (
-  SELECT value AS amount, {RATE_CASE_SQL} AS rate, ts FROM events
-)
-SELECT
-  epoch_ms(time_bucket(INTERVAL 10 SECONDS, ts)) AS window_start,
-  epoch_ms(time_bucket(INTERVAL 10 SECONDS, ts)) + 10000 AS window_end,
-  CAST(count(*) AS BIGINT) AS cnt,
-  CAST(sum(CASE WHEN rate <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS success_count,
-  CAST(sum(CASE WHEN rate <> 0 THEN 0 ELSE 1 END) AS BIGINT) AS failure_count,
-  round(coalesce(sum(CASE WHEN rate <> 0 THEN amount END)
-        / nullif(sum(CASE WHEN rate <> 0 THEN 1 ELSE 0 END), 0), 0.0), 6) AS avg_amount,
-  round(coalesce(sum(CASE WHEN rate <> 0 THEN rate END)
-        / nullif(sum(CASE WHEN rate <> 0 THEN 1 ELSE 0 END), 0), 0.0), 6) AS avg_exchange_rate,
-  coalesce(min(CASE WHEN rate <> 0 THEN amount END), 0.0) AS min_amount,
-  coalesce(max(CASE WHEN rate <> 0 THEN amount END), 0.0) AS max_amount
-FROM tx
-GROUP BY 1
-"""
 
 
 @query("window_metrics", oracle=_WINDOW_METRICS_ORACLE)

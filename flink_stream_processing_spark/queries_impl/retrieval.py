@@ -23,42 +23,11 @@ from ..operators.similarity import cosine_topk
 from ..operators.text import bm25_topk
 from ..queries import query
 from ..sources.batch import load_table
-from .llm_similarity import _query_vec
+from ._shared_exprs import query_vec as _query_vec
 
-_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
-
-# BM25 with Lucene idf ln(1 + (N - df + 0.5)/(df + 0.5)), k1=1.2, b=0.75;
-# query = the token set of doc 0. Scores round to 4dp BEFORE ranking on
-# both sides (cross-engine sum-order stability), ties break on doc_id.
-_BM25_CTE = f"""
-t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-lens AS (SELECT doc_id, len(toks) AS dl FROM t),
-stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens),
-post AS (
-  SELECT doc_id, dl, token, CAST(count(*) AS DOUBLE) AS tf
-  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM t)
-  GROUP BY doc_id, dl, token
-),
-qterms AS (SELECT DISTINCT unnest(toks) AS token FROM t WHERE doc_id = 0),
-matched AS (
-  SELECT p.doc_id, p.dl, p.token, p.tf,
-         CAST(count(*) OVER (PARTITION BY p.token) AS DOUBLE) AS df
-  FROM post p JOIN qterms USING (token)
-),
-bm AS (
-  SELECT doc_id,
-         round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-                   * tf * 2.2
-                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
-  FROM matched, stats
-  GROUP BY doc_id
-),
-lex AS (
-  SELECT doc_id, bm25,
-         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS lex_rank
-  FROM bm ORDER BY bm25 DESC, doc_id LIMIT {{k}}
-)
-"""
+# BM25 CTE chain lives in _shared_oracles (also consumed by retrieval2's
+# hybrid-RRF oracle); ``{k}`` is the candidate depth placeholder.
+from ._shared_oracles import BM25_CTE as _BM25_CTE  # noqa: E402
 
 _BM25_ORACLE = (
     "WITH "

@@ -48,7 +48,12 @@ from pyspark.sql.window import Window
 from ..operators.text import bm25_topk, tokens_col
 from ..queries import query
 from ..sources.batch import load_table
-from .retrieval import _BM25_CTE
+from ._shared_exprs import (
+    URL_CANON_CTES as _URL_CANON_CTES,
+    canonical_url_col,
+    derived_url_col,
+)
+from ._shared_oracles import BM25_CTE as _BM25_CTE
 
 # LTR weights of the cross-encoder stand-in. A model-served reranker
 # would replace this with a broadcast (feature -> weight) table or an
@@ -151,60 +156,10 @@ def q_cross_encoder_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Deterministic messy-URL derivation shared (textually) by the Spark query
-# and the oracle — four variants per page identity (source, lang,
-# doc_id % 10): mixed-case scheme/host + default port + utm param +
-# fragment; plain https + www; http + :80 + /index.html + trailing utm
-# param; https + trailing slash + NO query (stays a distinct canonical —
-# ?id=N pages and query-less pages must not collapse).
-_URL_DERIVE_SQL = """
-  CASE CAST(doc_id % 4 AS INTEGER)
-    WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.COM:443/' || lang
-                || '/page' || CAST(doc_id % 10 AS VARCHAR)
-                || '/?utm_source=feed&id=' || CAST(doc_id % 10 AS VARCHAR)
-                || '#frag'
-    WHEN 1 THEN 'https://www.' || source || '.example.com/' || lang
-                || '/page' || CAST(doc_id % 10 AS VARCHAR)
-                || '?id=' || CAST(doc_id % 10 AS VARCHAR)
-    WHEN 2 THEN 'http://' || source || '.example.com:80/' || lang
-                || '/page' || CAST(doc_id % 10 AS VARCHAR)
-                || '/index.html?id=' || CAST(doc_id % 10 AS VARCHAR)
-                || '&utm_campaign=x'
-    ELSE 'https://' || source || '.example.com/' || lang
-         || '/page' || CAST(doc_id % 10 AS VARCHAR) || '/'
-  END
-"""
-
-# Shared canonicalization CTE chain (derive messy url -> strip fragment ->
-# host/path/query normalization -> canonical_url). Composed — not pasted —
-# by this module's dedup oracle AND web_dedup_stream's streaming-twin
-# oracle, so the two gates can never diverge on the normalizer.
-_URL_CANON_CTES = f"""raw AS (SELECT doc_id, {_URL_DERIVE_SQL} AS url FROM documents),
-defrag AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
-parts AS (
-  SELECT doc_id,
-         regexp_replace(
-           regexp_replace(
-             lower(regexp_extract(u, '^(?i)[a-z]+://([^/?#]+)', 1)),
-             ':(80|443)$', ''),
-           '^www\\.', '') AS host,
-         regexp_replace(
-           regexp_replace(
-             regexp_extract(u, '^(?i)[a-z]+://[^/?#]+([^?]*)', 1),
-             '/index\\.html$', ''),
-           '/+$', '') AS path,
-         coalesce(array_to_string(
-           list_sort(list_filter(
-             string_split(regexp_extract(u, '\\?(.*)$', 1), '&'),
-             x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&'), '') AS qn
-  FROM defrag
-),
-canon AS (
-  SELECT doc_id,
-         'https://' || host || path
-         || CASE WHEN qn = '' THEN '' ELSE '?' || qn END AS canonical_url
-  FROM parts
-)"""
+# Messy-URL derivation + canonicalization (SQL CTEs AND the Spark Column
+# twins) live in _shared_exprs — ONE definition consumed by this module's
+# batch dedup and web_dedup_stream's streaming twin, so the two gates can
+# never diverge on the normalizer.
 
 _URL_DEDUP_ORACLE = f"""
 WITH {_URL_CANON_CTES}
@@ -213,86 +168,6 @@ SELECT canonical_url,
        min(doc_id) AS keep_doc_id
 FROM canon GROUP BY canonical_url ORDER BY canonical_url
 """
-
-
-def derived_url_col():
-    """The deterministic messy-URL derivation (Spark twin of
-    ``_URL_DERIVE_SQL``) as a Column over (doc_id, source, lang) — shared
-    with web_dedup_stream's streaming twin so both queries derive
-    byte-identical raw URLs."""
-    page = (F.col("doc_id") % 10).cast("string")
-    return (
-        F.when(
-            (F.col("doc_id") % 4) == 0,
-            F.concat(
-                F.lit("HTTPS://WWW."), F.col("source"),
-                F.lit(".Example.COM:443/"), F.col("lang"),
-                F.lit("/page"), page,
-                F.lit("/?utm_source=feed&id="), page, F.lit("#frag"),
-            ),
-        )
-        .when(
-            (F.col("doc_id") % 4) == 1,
-            F.concat(
-                F.lit("https://www."), F.col("source"),
-                F.lit(".example.com/"), F.col("lang"),
-                F.lit("/page"), page, F.lit("?id="), page,
-            ),
-        )
-        .when(
-            (F.col("doc_id") % 4) == 2,
-            F.concat(
-                F.lit("http://"), F.col("source"),
-                F.lit(".example.com:80/"), F.col("lang"),
-                F.lit("/page"), page,
-                F.lit("/index.html?id="), page, F.lit("&utm_campaign=x"),
-            ),
-        )
-        .otherwise(
-            F.concat(
-                F.lit("https://"), F.col("source"),
-                F.lit(".example.com/"), F.col("lang"),
-                F.lit("/page"), page, F.lit("/"),
-            )
-        )
-    )
-
-
-def canonical_url_col(raw):
-    """Canonicalize a raw URL Column (Spark twin of the ``_URL_CANON_CTES``
-    normalization): strip fragment; lowercase host; drop default ports and
-    a leading ``www.``; scheme to https; strip ``/index.html`` and trailing
-    slashes; drop ``utm_*`` params and sort the survivors. Pure JVM
-    regex/array expressions — one whole-stage-codegen projection, usable
-    identically in batch and streaming plans."""
-    u = F.regexp_replace(raw, "#.*$", "")
-    host = F.regexp_replace(
-        F.regexp_replace(
-            F.lower(F.regexp_extract(u, r"^(?i)[a-z]+://([^/?#]+)", 1)),
-            ":(80|443)$", "",
-        ),
-        r"^www\.", "",
-    )
-    path = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_extract(u, r"^(?i)[a-z]+://[^/?#]+([^?]*)", 1),
-            r"/index\.html$", "",
-        ),
-        "/+$", "",
-    )
-    qn = F.array_join(
-        F.array_sort(
-            F.filter(
-                F.split(F.regexp_extract(u, r"\?(.*)$", 1), "&"),
-                lambda x: (x != "") & ~x.startswith("utm_"),
-            )
-        ),
-        "&",
-    )
-    return F.concat(
-        F.lit("https://"), host, path,
-        F.when(qn == "", F.lit("")).otherwise(F.concat(F.lit("?"), qn)),
-    )
 
 
 @query("url_normalize_dedup", oracle=_URL_DEDUP_ORACLE)

@@ -61,17 +61,9 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
-_INTERVAL_ORACLE = """
-SELECT c.event_id AS click_id, e.event_id AS error_id,
-       c.user_id AS user_id, round(e.value, 6) AS error_value
-FROM events c
-JOIN events e
-  ON c.user_id = e.user_id
- AND e.ts >= c.ts - INTERVAL 1 HOUR
- AND e.ts <= c.ts + INTERVAL 1 HOUR
-WHERE c.event_type = 'click' AND e.event_type = 'error'
-ORDER BY click_id, error_id
-"""
+# Shared with the stream-stream twin in windows_extra (leaf home:
+# _shared_oracles, per the r12 import-order contract).
+from ._shared_oracles import INTERVAL_ORACLE as _INTERVAL_ORACLE  # noqa: E402
 
 
 @query("interval_join_click_errors", oracle=_INTERVAL_ORACLE)

@@ -50,9 +50,6 @@ scope per SURVEY.md §2).
 
 from __future__ import annotations
 
-import os
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -61,8 +58,12 @@ from pyspark.sql.window import Window
 from ..operators.text import tokens_col
 from ..queries import query
 from ..sources.batch import load_table
-from .retrieval2 import _URL_CANON_CTES, canonical_url_col, derived_url_col
-from .windows_extra import _run_stream_to_table, _stream_session
+from ._stream_helpers import _run_stream_to_table, _stream_session, table_stream_dir
+from ._shared_exprs import (
+    URL_CANON_CTES as _URL_CANON_CTES,
+    canonical_url_col,
+    derived_url_col,
+)
 
 # Synthetic deterministic event time shared by every streaming query in
 # this module AND (as a literal, interpolated below) by the hot-hosts
@@ -77,20 +78,8 @@ def _event_ts():
     return F.timestamp_seconds(F.lit(_EVENT_EPOCH) + F.col("doc_id"))
 
 
-# One symlink dir per sf_dir, created once and reused across invocations
-# (same leak-avoidance shape as windows_extra._events_stream_dir).
-_DOC_STREAM_DIRS: dict[str, str] = {}
-
-
 def _documents_stream_dir(sf_dir: str) -> str:
-    d = _DOC_STREAM_DIRS.get(sf_dir)
-    if d is None or not os.path.isdir(d):
-        d = tempfile.mkdtemp(prefix="documents_stream_")
-        os.symlink(
-            f"{sf_dir}/documents.parquet", os.path.join(d, "documents.parquet")
-        )
-        _DOC_STREAM_DIRS[sf_dir] = d
-    return d
+    return table_stream_dir(sf_dir, "documents")
 
 
 _DOCUMENTS_STREAM_SCHEMA = StructType(

@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import os
 import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -19,8 +18,9 @@ from ..operators.window_metrics import (
 )
 from ..queries import query
 from ..sources.batch import load_table
-from .reference_parity import _WINDOW_METRICS_ORACLE
-from .temporal import _INTERVAL_ORACLE
+from ._stream_helpers import _run_stream_to_table, _stream_session, table_stream_dir
+from ._shared_exprs import WINDOW_METRICS_ORACLE as _WINDOW_METRICS_ORACLE
+from ._shared_oracles import INTERVAL_ORACLE as _INTERVAL_ORACLE
 
 # Sliding window 30s/10s: each event belongs to 3 windows; the oracle
 # expands explicitly (time_bucket minus k*slide covers exactly the Spark
@@ -77,59 +77,14 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_windows(load_table(spark, sf_dir, "events"))
 
 
-# One symlink dir per sf_dir, created once and reused across invocations
-# (the round-1 version leaked a fresh mkdtemp + symlink per call).
-_STREAM_DIRS: dict[str, str] = {}
+# Stream-harness plumbing (session clone, memory-sink materializer,
+# symlink stream dirs) lives in the registry-free ``_stream_helpers``
+# leaf module so that alphabetically-earlier siblings (web_dedup_stream)
+# can share it without a circular import through ``..queries``.
 
 
 def _events_stream_dir(sf_dir: str) -> str:
-    d = _STREAM_DIRS.get(sf_dir)
-    if d is None or not os.path.isdir(d):
-        d = tempfile.mkdtemp(prefix="events_stream_")
-        os.symlink(f"{sf_dir}/events.parquet", os.path.join(d, "events.parquet"))
-        _STREAM_DIRS[sf_dir] = d
-    return d
-
-
-def _stream_session(spark: SparkSession) -> SparkSession:
-    """Session CLONE for one streaming query (``spark.newSession()``:
-    private SQL conf, shared SparkContext — same recipe as
-    ``file_formats.py``). State partitioning is sized to the state volume
-    (the 100 TB sizing rule): the state-partition count is fixed at
-    ``.start()`` planning time from the *stream's own session's*
-    ``spark.sql.shuffle.partitions``, and per-batch state-store commit
-    cost scales with it — 8 partitions vs a CPU-count default measured
-    2.6-7x faster on these fixtures with identical results. Setting it on
-    a clone means a concurrent query planning against the shared session
-    can never observe the swap (the conf-mutation hazard the r7 verdict
-    flagged); builder-level engine defaults (UTC timezone, nanosAsLong)
-    are inherited by the clone (pinned by
-    ``test_session_clone_isolates_conf_and_inherits_builder_defaults``)."""
-    stream_spark = spark.newSession()
-    stream_spark.conf.set("spark.sql.shuffle.partitions", "8")
-    return stream_spark
-
-
-def _run_stream_to_table(agg: DataFrame, output_mode: str) -> DataFrame:
-    """Materialize a finite stream through a memory sink (availableNow) and
-    return the table. awaitTermination's result is CHECKED: a timeout would
-    otherwise silently return a partially-filled table.
-
-    The read-back MUST stay on the stream's own session
-    (``agg.sparkSession``): memory-sink temp views are session-scoped, and
-    every caller builds its stream on a ``_stream_session`` clone."""
-    from ..streaming.pipeline import write_memory
-
-    name = f"s_{uuid.uuid4().hex[:10]}"
-    q = write_memory(agg, name, output_mode=output_mode)
-    try:
-        finished = q.awaitTermination(300)
-        if not finished:
-            raise TimeoutError("streaming query did not finish within 300 s")
-    finally:
-        if q.isActive:
-            q.stop()
-    return agg.sparkSession.table(name)
+    return table_stream_dir(sf_dir, "events")
 
 
 @query("streaming_window_metrics", oracle=_WINDOW_METRICS_ORACLE)
