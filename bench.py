@@ -117,6 +117,11 @@ HEADLINE = [
     "duplicate_span_texts",
     "streaming_content_dedup",
     "streaming_hot_hosts",
+    "streaming_crawl_pipeline",
+    "strip_duplicate_spans",
+    "span_coverage_profile",
+    "streaming_host_sessions",
+    "url_frontier_topk",
     "retention_cohorts",
     "funnel_conversion",
     "timeseries_gap_fill",

@@ -707,6 +707,44 @@ def connected_components(
     return labels
 
 
+def token_window_hashes(
+    base: DataFrame,
+    window: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hash every ``window``-token sliding window of a tokenized frame —
+    the shared first stage of both substring-level dedup consumers
+    (``duplicate_ngram_spans``' per-doc coverage and web_dedup_stream's
+    cross-document ``maximal_shared_spans``; one construction, per the
+    r11-queued extraction).
+
+    Input: (id_col, toks: array<string>, n_tokens: long). Output: one
+    narrow (id_col, s: long, h: string) row per window — built
+    DOC-LOCALLY (split -> sequence -> transform -> explode), O(total
+    tokens) rows, the text itself never shuffles; every downstream
+    bucketing/counting shuffle moves only the 8-byte offset plus the
+    32-char hash. Docs shorter than ``window`` contribute zero rows (the
+    starts guard; F.sequence with a negative stop would throw)."""
+    starts = F.when(
+        F.col("n_tokens") >= window,
+        F.sequence(F.lit(0), (F.col("n_tokens") - window).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
+    return base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                starts,
+                lambda s: F.struct(
+                    s.cast("long").alias("s"),
+                    F.md5(
+                        F.concat_ws(" ", F.slice("toks", s + F.lit(1), window))
+                    ).alias("h"),
+                ),
+            )
+        ).alias("w"),
+    ).select(id_col, F.col("w.s").alias("s"), F.col("w.h").alias("h"))
+
+
 def duplicate_ngram_spans(
     df: DataFrame,
     text: str = "text",
@@ -745,24 +783,7 @@ def duplicate_ngram_spans(
         F.col(id_col), toks.alias("toks")
     ).withColumn("n_tokens", F.size("toks").cast("long"))
 
-    starts = F.when(
-        F.col("n_tokens") >= window,
-        F.sequence(F.lit(0), (F.col("n_tokens") - window).cast("int")),
-    ).otherwise(F.array().cast("array<int>"))
-    wins = base.select(
-        id_col,
-        F.explode(
-            F.transform(
-                starts,
-                lambda s: F.struct(
-                    s.cast("long").alias("s"),
-                    F.md5(
-                        F.concat_ws(" ", F.slice("toks", s + F.lit(1), window))
-                    ).alias("h"),
-                ),
-            )
-        ).alias("w"),
-    ).select(id_col, F.col("w.s").alias("s"), F.col("w.h").alias("h"))
+    wins = token_window_hashes(base, window, id_col=id_col)
 
     counted = wins.withColumn("cnt", F.count(F.lit(1)).over(W.partitionBy("h")))
     dup = counted.filter(F.col("cnt") >= 2)

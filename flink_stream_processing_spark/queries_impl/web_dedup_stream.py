@@ -55,6 +55,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 from pyspark.sql.window import Window
 
+from ..operators.dedup import token_window_hashes
 from ..operators.text import tokens_col
 from ..queries import query
 from ..sources.batch import load_table
@@ -73,9 +74,32 @@ from ._shared_exprs import (
 # a streaming query from its oracle.
 _EVENT_EPOCH = 1_700_000_000
 
+# Watermark horizon used by every streaming dedup below, in seconds. The
+# no-late-drop precondition (streamed set == batch DISTINCT oracle) is
+# that the synthetic event times span LESS than this horizon, i.e.
+# max(doc_id) < _HORIZON_S. Enforced in-plan (r11 advice): a fixture
+# grown past ~31.5M docs trips the named assertion below instead of
+# surfacing as an opaque gate hash-mismatch.
+_HORIZON_S = 365 * 86_400
+_HORIZON = f"{_HORIZON_S} seconds"  # the withWatermark string, same one definition
+
 
 def _event_ts():
-    return F.timestamp_seconds(F.lit(_EVENT_EPOCH) + F.col("doc_id"))
+    return F.when(
+        F.assert_true(
+            F.col("doc_id") < _HORIZON_S,
+            F.concat(
+                F.lit(
+                    "web_dedup_stream: doc_id seconds exceed the watermark "
+                    "horizon — late drops would desynchronize the streaming "
+                    "dedups from their batch oracles; widen the horizon or "
+                    "rescale the synthetic event time. doc_id="
+                ),
+                F.col("doc_id").cast("string"),
+            ),
+        ).isNull(),
+        F.timestamp_seconds(F.lit(_EVENT_EPOCH) + F.col("doc_id")),
+    )
 
 
 def _documents_stream_dir(sf_dir: str) -> str:
@@ -127,11 +151,13 @@ def q_streaming_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _event_ts().alias("ts"),
     )
     deduped = (
-        canon.withWatermark("ts", "365 days")
+        canon.withWatermark("ts", _HORIZON)
         .dropDuplicatesWithinWatermark(["canonical_url"])
         .select("canonical_url")
     )
-    return _run_stream_to_table(deduped, "append")
+    # orderBy matches the oracle's ORDER BY (module convention shared with
+    # windows_extra's streaming queries; the gate itself is order-insensitive)
+    return _run_stream_to_table(deduped, "append").orderBy("canonical_url")
 
 
 # Window length of the seed n-gram match. A shared run of L >= _SPAN_W
@@ -233,31 +259,10 @@ def maximal_shared_spans(
     tests can drive the same operator over synthetic corpora. Plan
     shape documented on ``q_cross_doc_duplicate_spans``.
 
-    NOTE: the starts-guard + window-hash explode below intentionally
-    mirrors operators/dedup.duplicate_ngram_spans (same window hashing,
-    different downstream: per-doc coverage there, cross-doc span pairs
-    here). Extracting the shared block into dedup.py is queued for a
-    round where dedup.py's 39-query closure cohort is stale anyway
-    (OPERATORS.md r12 queue) — an edit there this round would displace
-    the freshness sweep."""
-    starts = F.when(
-        F.col("n_tokens") >= _SPAN_W,
-        F.sequence(F.lit(0), (F.col("n_tokens") - _SPAN_W).cast("int")),
-    ).otherwise(F.array().cast("array<int>"))
-    wins = base.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                starts,
-                lambda s: F.struct(
-                    s.cast("long").alias("s"),
-                    F.md5(
-                        F.concat_ws(" ", F.slice("toks", s + F.lit(1), _SPAN_W))
-                    ).alias("h"),
-                ),
-            )
-        ).alias("w"),
-    ).select("doc_id", F.col("w.s").alias("s"), F.col("w.h").alias("h"))
+    Window hashing is ``dedup.token_window_hashes`` — ONE construction
+    shared with ``duplicate_ngram_spans`` (per-doc coverage there,
+    cross-doc span pairs here; the r11-queued extraction, paid r12)."""
+    wins = token_window_hashes(base, _SPAN_W)
 
     # One groupBy shuffle on the hash; buckets of size 1 drop before the
     # pair expansion. Loud-fail hot-hash guard (LSH hot-bucket idiom): a
@@ -403,11 +408,11 @@ def q_streaming_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _event_ts().alias("ts"),
     )
     deduped = (
-        keyed.withWatermark("ts", "365 days")
+        keyed.withWatermark("ts", _HORIZON)
         .dropDuplicatesWithinWatermark(["content_fp"])
         .select("content_fp")
     )
-    return _run_stream_to_table(deduped, "append")
+    return _run_stream_to_table(deduped, "append").orderBy("content_fp")
 
 
 _HOT_HOSTS_ORACLE = f"""
@@ -455,4 +460,358 @@ def q_streaming_hot_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
         )
     )
-    return _run_stream_to_table(agg, "complete")
+    return _run_stream_to_table(agg, "complete").orderBy("window_start", "host")
+
+
+# ---------------------------------------------------------------------------
+# r12 adds: the crawl operators COMPOSED (chained stateful streaming), the
+# strip payload (the downstream half of duplicate_span_texts), a variable-
+# window span profile, per-host crawl sessions, and the frontier ranker.
+
+# Deterministic per-URL schedule time for the composed pipeline: WHICH
+# messy variant wins the dedup race is nondeterministic in any parallel
+# source, so downstream stages may only depend on the canonical KEY. The
+# repo's cross-engine seeded-hash recipe (Spark conv(md5[:8], 16, 10) ==
+# DuckDB ('0x' || substr(md5, 1, 8))::BIGINT) spreads each URL over a
+# one-day schedule window.
+_SCHED_SPAN_S = 86_400
+
+
+def _sched_ts(url_col):
+    h = F.conv(F.substring(F.md5(url_col), 1, 8), 16, 10).cast("long")
+    return F.timestamp_seconds(F.lit(_EVENT_EPOCH) + h % _SCHED_SPAN_S)
+
+
+_CRAWL_PIPELINE_ORACLE = f"""
+WITH {_URL_CANON_CTES},
+u AS (SELECT DISTINCT canonical_url FROM canon),
+tc AS (
+  SELECT make_timestamp(({_EVENT_EPOCH}
+           + (('0x' || substr(md5(canonical_url), 1, 8))::BIGINT % {_SCHED_SPAN_S}))
+           * 1000000) AS ts,
+         regexp_extract(canonical_url, '^https://([^/?]+)', 1) AS host
+  FROM u
+),
+mx AS (SELECT max(ts) AS max_ts FROM tc)
+SELECT epoch_ms(time_bucket(INTERVAL 10 MINUTES, ts)) AS window_start, host,
+       CAST(count(*) AS BIGINT) AS n_urls
+FROM tc, mx
+WHERE time_bucket(INTERVAL 10 MINUTES, ts) + INTERVAL 10 MINUTES
+        <= max_ts - INTERVAL 10 MINUTES
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("streaming_crawl_pipeline", oracle=_CRAWL_PIPELINE_ORACLE)
+def q_streaming_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl operators COMPOSED in ONE streaming query — two chained
+    stateful operators (canonical-URL dedup -> per-host windowed distinct-
+    URL counts) under a single watermark, proving the r11 parts compose
+    rather than merely run side by side. Append mode: the availableNow
+    run's trailing no-data batch advances the watermark to max_ts - delay
+    and flushes every closed window (the chained-agg idiom;
+    windows_extra.q_streaming_chained_agg pins the <= boundary).
+
+    Determinism: which messy URL variant survives the dedup race is
+    arbitrary, so every downstream column derives from the canonical KEY
+    alone — host by regexp, event time by the seeded-md5 schedule hash
+    (both engines compute the identical value; see _sched_ts).
+
+    Scale: state = one dedup entry per canonical key within the horizon
+    plus one open-window pane per (window, host); both watermark-bounded,
+    RocksDB-backed. The politeness controller reads the output as its
+    per-host discovery-rate signal."""
+    stream = documents_file_stream(
+        _stream_session(spark), _documents_stream_dir(sf_dir)
+    )
+    canon = (
+        stream.select(canonical_url_col(derived_url_col()).alias("canonical_url"))
+        .withColumn("ts", _sched_ts(F.col("canonical_url")))
+        .withColumn(
+            "host", F.regexp_extract("canonical_url", r"^https://([^/?]+)", 1)
+        )
+    )
+    deduped = canon.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["canonical_url"]
+    )
+    agg = (
+        deduped.groupBy(F.window("ts", "10 minutes"), "host")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start"),
+            "host",
+            "n_urls",
+        )
+    )
+    return _run_stream_to_table(agg, "append").orderBy("window_start", "host")
+
+
+_STRIP_SPANS_ORACLE = f"""
+WITH {_CROSS_SPAN_CTES},
+iv AS (SELECT doc_b AS doc_id, start_b AS st, start_b + len_tokens AS en FROM spans),
+aff AS (SELECT DISTINCT doc_id FROM iv),
+poss AS (
+  SELECT t.doc_id, u.i AS pos, t.toks[CAST(u.i AS INTEGER) + 1] AS tok
+  FROM t JOIN aff USING (doc_id), UNNEST(range(0, len(t.toks))) AS u(i)
+),
+p2 AS (
+  SELECT poss.*,
+         EXISTS (SELECT 1 FROM iv
+                 WHERE iv.doc_id = poss.doc_id
+                   AND poss.pos >= iv.st AND poss.pos < iv.en) AS cov
+  FROM poss
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN cov THEN 1 ELSE 0 END) AS BIGINT) AS removed_tokens,
+       coalesce(string_agg(CASE WHEN NOT cov THEN tok END, ' ' ORDER BY pos), '')
+         AS clean_text
+FROM p2 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("strip_duplicate_spans", oracle=_STRIP_SPANS_ORACLE)
+def q_strip_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level STRIP — the downstream half of ``duplicate_span_texts``
+    ("Deduplicating Training Data" §4: keep one copy, excise the rest):
+    every document appearing as doc_b in a maximal cross-doc span is
+    rewritten with the covered token positions removed (doc_a — the lower
+    id — keeps its copy). Output is the AFFECTED docs only: (doc_id,
+    n_tokens, removed_tokens, clean_text).
+
+    Plan: the span frame is tiny (sf0.1: 221 rows) — its per-doc interval
+    lists aggregate narrowly and BROADCAST into the token projection; the
+    excision itself is one in-array filter (positions covered by any
+    interval) inside whole-stage codegen, no extra wide op beyond the
+    span plan. No interval merging is needed: `exists` over raw intervals
+    is coverage-equivalent and removed_tokens falls out as
+    n_tokens - size(kept)."""
+    spans = _span_frame(spark, sf_dir)
+    ivs = (
+        spans.select(
+            F.col("doc_b").alias("doc_id"),
+            F.struct(
+                F.col("start_b").alias("st"),
+                (F.col("start_b") + F.col("len_tokens")).alias("en"),
+            ).alias("iv"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list("iv").alias("ivs"))
+    )
+    toks = _tokenized_docs(spark, sf_dir)
+    kept = F.expr(
+        """
+        filter(transform(toks, (x, i) -> struct(x AS tok, i AS pos)),
+               p -> NOT exists(ivs, iv -> p.pos >= iv.st AND p.pos < iv.en))
+        """
+    )
+    return (
+        toks.join(F.broadcast(ivs), "doc_id")
+        .withColumn("kept", kept)
+        .select(
+            "doc_id",
+            F.col("n_tokens"),
+            (F.col("n_tokens") - F.size("kept")).cast("long").alias("removed_tokens"),
+            F.concat_ws(" ", F.expr("transform(kept, p -> p.tok)")).alias(
+                "clean_text"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SPAN_PROFILE_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+h AS (
+  SELECT doc_id, ws.w AS w,
+         md5(array_to_string(toks[CAST(u.s AS INTEGER) + 1
+                                  : CAST(u.s AS INTEGER) + ws.w], ' ')) AS h
+  FROM b,
+       UNNEST([10, 20, 40]) AS ws(w),
+       UNNEST(range(0, greatest(n_tokens - ws.w + 1, 0))) AS u(s)
+),
+c AS (SELECT doc_id, w, h, count(*) OVER (PARTITION BY w, h) AS cnt FROM h)
+SELECT CAST(w AS BIGINT) AS window_w,
+       CAST(count(*) AS BIGINT) AS total_windows,
+       CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows,
+       CAST(count(DISTINCT CASE WHEN cnt >= 2 THEN h END) AS BIGINT) AS dup_hashes,
+       CAST(count(DISTINCT CASE WHEN cnt >= 2 THEN doc_id END) AS BIGINT)
+         AS docs_affected
+FROM c GROUP BY w ORDER BY window_w
+"""
+
+
+@query("span_coverage_profile", oracle=_SPAN_PROFILE_ORACLE)
+def q_span_coverage_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-window profile at W = 10/20/40 in ONE corpus pass — the
+    knob-tuning view for the span operators (how much duplication each
+    window size would flag before committing to one). Windows for all
+    three sizes are generated in a single nested in-array transform over
+    each doc's tokens (one scan; at 100 TB the scan dominates, so tripling
+    the explode beats tripling the scan), then ONE analytic shuffle on
+    (w, hash) counts multiplicities and one final 3-row aggregate folds
+    the profile."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(F.col("doc_id"), tokens_col().alias("toks")).withColumn(
+        "n_tokens", F.size("toks").cast("long")
+    )
+    wexpr = """
+    flatten(transform(array(10, 20, 40), w ->
+      CASE WHEN n_tokens >= w THEN
+        transform(sequence(0, cast(n_tokens - w AS int)),
+                  s -> struct(cast(w AS long) AS w,
+                              md5(concat_ws(' ', slice(toks, s + 1, w))) AS h))
+      ELSE cast(array() AS array<struct<w: long, h: string>>) END))
+    """
+    wins = base.select(
+        "doc_id", F.explode(F.expr(wexpr)).alias("x")
+    ).select("doc_id", F.col("x.w").alias("w"), F.col("x.h").alias("h"))
+    counted = wins.withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("w", "h"))
+    )
+    return (
+        counted.groupBy(F.col("w").alias("window_w"))
+        .agg(
+            F.count(F.lit(1)).alias("total_windows"),
+            F.sum(F.when(F.col("cnt") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_windows"),
+            F.countDistinct(F.when(F.col("cnt") >= 2, F.col("h"))).alias(
+                "dup_hashes"
+            ),
+            F.countDistinct(F.when(F.col("cnt") >= 2, F.col("doc_id"))).alias(
+                "docs_affected"
+            ),
+        )
+        .orderBy("window_w")
+    )
+
+
+# New session when the per-host inter-arrival gap is >= 15 s (Spark's
+# session window end is exclusive: an event exactly at last + gap starts a
+# new session — same boundary convention as windows_extra._SESSION_ORACLE).
+_HOST_SESSION_GAP_S = 15
+
+_HOST_SESSIONS_ORACLE = f"""
+WITH {_URL_CANON_CTES},
+tc AS (
+  SELECT make_timestamp(({_EVENT_EPOCH} + doc_id) * 1000000) AS ts,
+         regexp_extract(canonical_url, '^https://([^/?]+)', 1) AS host
+  FROM canon
+),
+o AS (
+  SELECT host, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY host ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY host ORDER BY ts)
+                   >= INTERVAL {_HOST_SESSION_GAP_S} SECONDS
+              THEN 1 ELSE 0 END AS new_sess
+  FROM tc
+),
+s AS (
+  SELECT host, ts,
+         sum(new_sess) OVER (PARTITION BY host ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM o
+)
+SELECT host,
+       epoch_ms(min(ts)) AS session_start,
+       epoch_ms(max(ts)) + {_HOST_SESSION_GAP_S * 1000} AS session_end,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM s
+GROUP BY host, sess_id
+ORDER BY host, session_start
+"""
+
+
+@query("streaming_host_sessions", oracle=_HOST_SESSIONS_ORACLE)
+def q_streaming_host_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl SESSIONS through the real streaming path: bursts of
+    fetches against one host separated by >= 15 s of quiet — the pacing
+    signal a politeness controller alternates against (windows_extra's
+    session machinery, applied to the crawl feed; event time here is the
+    arrival clock epoch + doc_id, NOT the schedule hash, so sessions
+    reflect actual feed order). Complete mode over the finite stream,
+    hash-checked against the gaps-and-islands batch oracle."""
+    stream = documents_file_stream(
+        _stream_session(spark), _documents_stream_dir(sf_dir)
+    )
+    hosts = stream.select(
+        F.regexp_extract(
+            canonical_url_col(derived_url_col()), r"^https://([^/?]+)", 1
+        ).alias("host"),
+        _event_ts().alias("ts"),
+    )
+    agg = (
+        hosts.withWatermark("ts", "5 seconds")
+        .groupBy(
+            F.session_window("ts", f"{_HOST_SESSION_GAP_S} seconds"), "host"
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "host",
+            F.unix_millis(F.col("session_window.start")).alias("session_start"),
+            F.unix_millis(F.col("session_window.end")).alias("session_end"),
+            "n_docs",
+        )
+    )
+    return _run_stream_to_table(agg, "complete").orderBy("host", "session_start")
+
+
+_FRONTIER_ORACLE = f"""
+WITH {_URL_CANON_CTES},
+u AS (
+  SELECT canonical_url, min(doc_id) AS discovered_doc_id
+  FROM canon GROUP BY canonical_url
+),
+r AS (
+  SELECT regexp_extract(canonical_url, '^https://([^/?]+)', 1) AS host,
+         canonical_url,
+         ('0x' || substr(md5(canonical_url), 1, 8))::BIGINT AS priority
+  FROM u
+),
+k AS (
+  SELECT host, canonical_url, priority,
+         CAST(row_number() OVER (PARTITION BY host
+                                 ORDER BY priority, canonical_url) AS BIGINT)
+           AS rank
+  FROM r
+)
+SELECT host, canonical_url, priority, rank FROM k
+WHERE rank <= 3 ORDER BY host, rank
+"""
+
+
+@query("url_frontier_topk", oracle=_FRONTIER_ORACLE)
+def q_url_frontier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-frontier scheduler: the next <= 3 canonical URLs per host by a
+    deterministic priority (the seeded-md5 hash as the crawl-priority
+    proxy; a production frontier plugs in freshness/PageRank here). Plan:
+    the canonical dedup's single hash aggregate, then ONE shuffle on host
+    for the per-host rank — a top-k-per-group that never materializes
+    more than k rows per host past the rank filter. Host count scales
+    with the web, so the partition-by-host window has natural parallelism
+    and no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        docs.select(canonical_url_col(derived_url_col()).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .drop("_n")
+    )
+    r = u.select(
+        F.regexp_extract("canonical_url", r"^https://([^/?]+)", 1).alias("host"),
+        "canonical_url",
+        F.conv(F.substring(F.md5("canonical_url"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("priority"),
+    )
+    wr = Window.partitionBy("host").orderBy("priority", "canonical_url")
+    return (
+        r.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .orderBy("host", "rank")
+    )

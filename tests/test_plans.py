@@ -408,3 +408,39 @@ def test_duplicate_span_texts_broadcasts_span_frame(spark):
 
     plan = formatted_plan(df)
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_strip_duplicate_spans_broadcasts_interval_lists(spark):
+    """The excision join must broadcast the tiny per-doc interval frame
+    into the token projection (the duplicate_span_texts precedent) — a
+    shuffle join here would move every document's tokens for a 200-row
+    build side."""
+    df = QUERIES["strip_duplicate_spans"](spark, SF_DIR)
+    assert has_broadcast_join(df)
+    from flink_stream_processing_spark.plans import formatted_plan
+
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_span_coverage_profile_single_scan(spark):
+    """All three window sizes must ride ONE parquet scan (the in-array
+    nested transform) — a UNION formulation would scan the corpus three
+    times."""
+    import re
+
+    from flink_stream_processing_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["span_coverage_profile"](spark, SF_DIR))
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
+    assert len(scan_ids) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_url_frontier_topk_prunes_columns(spark):
+    """The frontier rank must read only the columns the canonicalizer
+    needs (doc_id, source, lang) — never the text payload."""
+    from flink_stream_processing_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["url_frontier_topk"](spark, SF_DIR))
+    assert "text" not in plan.split("ReadSchema")[1][:300], plan

@@ -54,19 +54,48 @@ def test_queries_is_complete_permutation():
     assert len(names) == len(set(names))
 
 
-def test_fresh_queries_sweep_before_everything_else():
+def _critical(rounds: dict[str, int]) -> set[str]:
+    """Mirror of the tier-0 computation in entry_mod._sweep_order."""
+    next_round = 1 + max(rounds.values(), default=0)
+    ceiling = -(-len(q.QUERIES) // entry_mod._SWEEP_CAP)
+    return {n for n, r in rounds.items() if next_round - r >= ceiling}
+
+
+def test_invariant_critical_rows_lead_the_sweep_oldest_first():
+    """Tier 0 (r12): any query whose last green row would reach the
+    ceil(N/50)-round freshness ceiling if the upcoming sweep skipped it
+    precedes EVERYTHING — fresh code changes included (the r12 wide
+    refactor flagged 113 fresh closures; strict fresh-first would have
+    stranded the 22-row r7 cohort past the invariant). Oldest last-green
+    first within the tier."""
+    counts, last, rounds = _green_rows()
+    critical = _critical(rounds)
+    names = list(entry_mod.queries())
+    if not critical:
+        return  # freshly swept tree — nothing at the boundary
+    last_crit = max(names.index(n) for n in critical)
+    assert last_crit == len(critical) - 1, (
+        "critical rows must occupy a contiguous leading block"
+    )
+    crit_rounds = [rounds[n] for n in names[: len(critical)]]
+    assert crit_rounds == sorted(crit_rounds)
+
+
+def test_fresh_queries_sweep_before_everything_else_except_critical():
     """Every FRESH query (a closure blob no driver record tree has seen —
     an edit since the last sweep, or never-green) precedes every non-fresh
-    query. Old drift deliberately does NOT get this priority: it merges
-    with the unchanged tail in staleness order (an unchanged query with an
-    r4 green row needs the slot more than a drift query re-greened in
-    r6)."""
+    query outside the invariant-critical tier. Old drift deliberately does
+    NOT get this priority: it merges with the unchanged tail in staleness
+    order (an unchanged query with an r4 green row needs the slot more
+    than a drift query re-greened in r6)."""
     counts, last, rounds = _green_rows()
     changed, fresh = entry_mod._changed_and_fresh(list(q.QUERIES), last)
     for n in q.QUERIES:
         if counts.get(n, 0) == 0:
             fresh.add(n)
-    names = list(entry_mod.queries())
+    critical = _critical(rounds)
+    names = [n for n in entry_mod.queries() if n not in critical]
+    fresh -= critical
     if not fresh:
         return  # nothing edited since the last sweep — nothing to pin
     last_fresh = max(names.index(n) for n in fresh)
@@ -77,15 +106,17 @@ def test_fresh_queries_sweep_before_everything_else():
 
 
 def test_order_is_sorted_by_the_priority_key():
-    """The emitted order is exactly the documented key: (not-fresh,
-    -targetedness-if-fresh, last-green-round, -targetedness,
-    checked-count, seniority, registry position)."""
+    """The emitted order is exactly the documented key: (not-critical,
+    round-if-critical, not-fresh, -targetedness-if-fresh,
+    last-green-round, -targetedness, checked-count, seniority, registry
+    position)."""
     counts, last, rounds = _green_rows()
     changed, fresh = entry_mod._changed_and_fresh(list(q.QUERIES), last)
     for n in q.QUERIES:  # never-green queries outrank everything (inf score)
         if counts.get(n, 0) == 0:
             changed[n] = float("inf")
             fresh.add(n)
+    critical = _critical(rounds)
     here = os.path.dirname(os.path.abspath(entry_mod.__file__))
     with open(os.path.join(here, "QUERY_LEDGER.json")) as f:
         seniority = {n: i for i, n in enumerate(json.load(f))}
@@ -93,6 +124,8 @@ def test_order_is_sorted_by_the_priority_key():
     names = list(entry_mod.queries())
     keys = [
         (
+            n not in critical,
+            rounds.get(n, 0) if n in critical else 0,
             n not in fresh,
             -changed.get(n, 0.0) if n in fresh else 0.0,
             rounds.get(n, 0),
@@ -265,13 +298,17 @@ def test_synthetic_change_flags_exactly_the_dependent_queries(monkeypatch):
     if changed:
         # the synthetic blob ("0"*40 in every fake record tree) is FRESH,
         # so the flagged queries must jump ahead of every other query
-        order = entry_mod._sweep_order(list(q.QUERIES))
+        # outside the invariant-critical tier (which outranks fresh by
+        # design — see test_invariant_critical_rows_lead_the_sweep)
+        critical = _critical(rounds)
+        order = [n for n in entry_mod._sweep_order(list(q.QUERIES)) if n not in critical]
+        flagged = [c for c in changed if c not in critical]
         others = [
             n for n in order if n not in changed and counts.get(n, 0) > 0
         ]
-        if others:
+        if others and flagged:
             first_other = min(order.index(n) for n in others)
-            assert max(order.index(c) for c in changed) < first_other
+            assert max(order.index(c) for c in flagged) < first_other
 
 
 def test_deleted_closure_file_flags_queries_fresh(monkeypatch):
