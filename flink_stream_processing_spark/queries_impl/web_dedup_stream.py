@@ -763,10 +763,7 @@ def q_streaming_host_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FRONTIER_ORACLE = f"""
 WITH {_URL_CANON_CTES},
-u AS (
-  SELECT canonical_url, min(doc_id) AS discovered_doc_id
-  FROM canon GROUP BY canonical_url
-),
+u AS (SELECT DISTINCT canonical_url FROM canon),
 r AS (
   SELECT regexp_extract(canonical_url, '^https://([^/?]+)', 1) AS host,
          canonical_url,
@@ -796,12 +793,9 @@ def q_url_frontier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the web, so the partition-by-host window has natural parallelism
     and no global sort."""
     docs = load_table(spark, sf_dir, "documents")
-    u = (
-        docs.select(canonical_url_col(derived_url_col()).alias("canonical_url"))
-        .groupBy("canonical_url")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .drop("_n")
-    )
+    u = docs.select(
+        canonical_url_col(derived_url_col()).alias("canonical_url")
+    ).distinct()
     r = u.select(
         F.regexp_extract("canonical_url", r"^https://([^/?]+)", 1).alias("host"),
         "canonical_url",
