@@ -586,7 +586,18 @@ def q_strip_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     span plan. No interval merging is needed: `exists` over raw intervals
     is coverage-equivalent and removed_tokens falls out as
     n_tokens - size(kept)."""
-    spans = _span_frame(spark, sf_dir)
+    return strip_spans(
+        _tokenized_docs(spark, sf_dir), _span_frame(spark, sf_dir)
+    ).orderBy("doc_id")
+
+
+def strip_spans(base: DataFrame, spans: DataFrame) -> DataFrame:
+    """Excise every doc_b-side span from a (doc_id, toks, n_tokens) frame:
+    the operator behind ``strip_duplicate_spans``, exposed on frames so the
+    opt-in planted-span scale rung drives the same construction over
+    synthetic corpora (the ``maximal_shared_spans`` convention). Unordered
+    output: (doc_id, n_tokens, removed_tokens, clean_text) for the
+    affected docs only."""
     ivs = (
         spans.select(
             F.col("doc_b").alias("doc_id"),
@@ -598,7 +609,6 @@ def q_strip_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.collect_list("iv").alias("ivs"))
     )
-    toks = _tokenized_docs(spark, sf_dir)
     kept = F.expr(
         """
         filter(transform(toks, (x, i) -> struct(x AS tok, i AS pos)),
@@ -606,7 +616,7 @@ def q_strip_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return (
-        toks.join(F.broadcast(ivs), "doc_id")
+        base.join(F.broadcast(ivs), "doc_id")
         .withColumn("kept", kept)
         .select(
             "doc_id",
@@ -616,7 +626,6 @@ def q_strip_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "clean_text"
             ),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -651,10 +660,17 @@ def q_span_coverage_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     knob-tuning view for the span operators (how much duplication each
     window size would flag before committing to one). Windows for all
     three sizes are generated in a single nested in-array transform over
-    each doc's tokens (one scan; at 100 TB the scan dominates, so tripling
-    the explode beats tripling the scan), then ONE analytic shuffle on
-    (w, hash) counts multiplicities and one final 3-row aggregate folds
-    the profile."""
+    each doc's tokens, then ONE analytic shuffle on (w, hash) counts
+    multiplicities and one final 3-row aggregate folds the profile.
+
+    Shape A/B (r12, sf0.1 local[32], identical results): a 3-scan UNION
+    of token_window_hashes runs is WARM-FASTER here (2.1-2.3 s vs
+    2.9-3.2 s — the 60k-row fixture scan is page-cached and nearly free,
+    so the nested CASE/flatten's codegen overhead dominates). Single-scan
+    is kept anyway: the profile's target regime is a petabyte text corpus
+    where the scan IS the cost and 3x I/O loses by far more than 0.8 s of
+    expression overhead — the plan pin (test_span_coverage_profile_single_scan)
+    encodes that choice deliberately."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(F.col("doc_id"), tokens_col().alias("toks")).withColumn(
         "n_tokens", F.size("toks").cast("long")

@@ -454,6 +454,86 @@ def test_cross_doc_planted_spans_50k(spark):
     assert not wrong_len, f"planted spans with wrong length: {list(wrong_len.items())[:5]}"
 
 
+def test_strip_planted_spans_50k(spark):
+    """Scale rung for strip_spans (r12): on the same planted-span corpus,
+    stripping must remove EVERY planted passage from its doc_b (the
+    replica-1 doc, higher id) while replica 0 keeps its copy — i.e. after
+    the strip, no planted passage token survives in any affected
+    replica-1 doc, and removed_tokens >= 30 for each. Timing records the
+    excision's cost on top of the span plan at 10x the driver-gate
+    corpus."""
+    from flink_stream_processing_spark.operators.text import TOKEN_SPLIT_RE
+    from flink_stream_processing_spark.queries_impl.web_dedup_stream import (
+        maximal_shared_spans,
+        strip_spans,
+    )
+
+    replicas = REPLICAS
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("doc_id").alias("base_id"), "text"
+    )
+    n_base = base.count()
+    reps = spark.range(replicas).select(F.col("id").cast("int").alias("replica"))
+    words = F.split(F.col("text"), " ")
+    salted = F.transform(
+        words, lambda w: F.concat(w, F.lit("_"), F.col("replica").cast("string"))
+    )
+    passage = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(29)),
+            lambda i: F.concat(
+                F.lit("p"),
+                F.col("base_id").cast("string"),
+                F.lit("_"),
+                i.cast("string"),
+            ),
+        ),
+    )
+    corpus = base.crossJoin(reps).select(
+        (F.col("base_id") * replicas + F.col("replica")).alias("doc_id"),
+        F.when(F.col("replica") == 0, F.concat(F.col("text"), F.lit(" "), passage))
+        .when(
+            F.col("replica") == 1,
+            F.concat(F.array_join(salted, " "), F.lit(" "), passage),
+        )
+        .otherwise(F.array_join(salted, " "))
+        .alias("text"),
+    ).repartition(32, "doc_id")
+
+    toks = F.split(F.lower(F.trim(F.col("text"))), TOKEN_SPLIT_RE)
+    tokenized = corpus.select("doc_id", toks.alias("toks")).withColumn(
+        "n_tokens", F.size("toks").cast("long")
+    )
+    spans = maximal_shared_spans(tokenized)
+    stripped = _timed(
+        "strip_spans planted",
+        lambda: {r["doc_id"]: r for r in strip_spans(tokenized, spans).collect()},
+    )
+    missing, survivors, under = [], [], []
+    for b in range(n_base):
+        db = b * replicas + 1  # replica 1 = doc_b of the planted pair
+        row = stripped.get(db)
+        if row is None:
+            missing.append(db)
+            continue
+        if f"p{b}_0" in row["clean_text"]:
+            survivors.append(db)
+        if row["removed_tokens"] < 30:
+            under.append(db)
+    assert not missing, f"{len(missing)} doc_b docs never stripped: {missing[:5]}"
+    assert not survivors, f"passage survived the strip in: {survivors[:5]}"
+    assert not under, f"removed_tokens < 30 in: {under[:5]}"
+    # replica 0 keeps its copy unless a NATURAL span also covers it as a
+    # doc_b; planted passages alone never flag replica 0 (doc_a side).
+    kept_copy = [
+        b for b in range(n_base)
+        if b * replicas not in stripped
+        or f"p{b}_0" in stripped[b * replicas]["clean_text"]
+    ]
+    assert len(kept_copy) == n_base, "some replica-0 doc lost its kept copy"
+
+
 def test_streaming_1m_rows_default_vs_rocksdb(spark, tmp_path):
     """One rung past the bench's 100k-row streaming run (round-5 verdict
     ask #6): 1M rows / 10x the window-state volume through the full
