@@ -353,6 +353,7 @@ def _sweep_order(names: list[str]) -> list[str]:
     checked: dict[str, int] = {}
     last_green_file: dict[str, str] = {}
     last_green_round: dict[str, int] = {}
+    max_record_round = 0
     for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
@@ -364,6 +365,7 @@ def _sweep_order(names: list[str]) -> list[str]:
             rnd = int(base[len("CORRECTNESS_r") : -len(".json")])
         except ValueError:
             rnd = 0
+        max_record_round = max(max_record_round, rnd)
         for name, row in rows.items():
             # Only GREEN rows count as "checked": a failed row (hash/rows/
             # schema mismatch) means the query still needs a verifying
@@ -419,7 +421,10 @@ def _sweep_order(names: list[str]) -> list[str]:
     # refactor (113 fresh closures in r12) strands the oldest cohort.
     # Never-green names are absent from last_green_round, so they stay in
     # the fresh tier with infinite targetedness, directly after critical.
-    next_round = 1 + max(last_green_round.values(), default=0)
+    # next_round derives from the newest record FILE, not the newest green
+    # row — an all-red record (infra-failure round) must still age every
+    # cohort by one, or the ceiling guard fires a round late (r12 review).
+    next_round = 1 + max_record_round
     age_ceiling = -(-len(names) // _SWEEP_CAP)  # ceil division
     critical = {
         n

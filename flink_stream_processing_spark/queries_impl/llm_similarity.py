@@ -19,7 +19,7 @@ from ..queries import query
 from ..sources.batch import load_table
 
 
-from ._shared_exprs import query_vec as _query_vec  # noqa: E402
+from ._shared_exprs import query_vec as _query_vec
 
 _COSINE_ORACLE = """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)

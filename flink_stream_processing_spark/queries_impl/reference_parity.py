@@ -22,7 +22,7 @@ from ..sources.batch import load_table
 # The rate CASE fragment and the flagship window-metrics oracle live in
 # _shared_exprs (built from EVENT_TYPE_RATES, the RemittanceGenerator
 # currency map) — windows_extra's streaming twin consumes the same text.
-from ._shared_exprs import (  # noqa: E402
+from ._shared_exprs import (
     RATE_CASE_SQL,  # noqa: F401  (re-export for parity readers)
     WINDOW_METRICS_ORACLE as _WINDOW_METRICS_ORACLE,
 )

@@ -27,7 +27,7 @@ from ._shared_exprs import query_vec as _query_vec
 
 # BM25 CTE chain lives in _shared_oracles (also consumed by retrieval2's
 # hybrid-RRF oracle); ``{k}`` is the candidate depth placeholder.
-from ._shared_oracles import BM25_CTE as _BM25_CTE  # noqa: E402
+from ._shared_oracles import BM25_CTE as _BM25_CTE
 
 _BM25_ORACLE = (
     "WITH "

@@ -517,6 +517,19 @@ def q_streaming_crawl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     alone — host by regexp, event time by the seeded-md5 schedule hash
     (both engines compute the identical value; see _sched_ts).
 
+    PRECONDITION (r12 review): the schedule span (1 day) is WIDER than
+    the dedup horizon (10 min) — the opposite of the 365-day queries —
+    so oracle equality additionally requires the finite fixture to
+    arrive in ONE micro-batch (no inter-batch watermark advance, hence
+    no late drops or state evictions mid-corpus). The harness
+    guarantees it structurally: each stream dir holds exactly one
+    parquet FILE (table_stream_dir symlinks the single fixture file; a
+    file source cannot split one file across batches) and no
+    maxFilesPerTrigger is set. Pinned by
+    test_crawl_pipeline_single_batch_precondition; an unbounded
+    deployment instead picks a horizon >= its reordering bound, like
+    any watermark choice.
+
     Scale: state = one dedup entry per canonical key within the horizon
     plus one open-window pane per (window, host); both watermark-bounded,
     RocksDB-backed. The politeness controller reads the output as its

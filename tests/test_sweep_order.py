@@ -54,9 +54,23 @@ def test_queries_is_complete_permutation():
     assert len(names) == len(set(names))
 
 
+def _max_record_round() -> int:
+    """Newest CORRECTNESS file round by FILENAME (not newest green row —
+    an all-red record must still age every cohort; r12 review fix)."""
+    here = os.path.dirname(os.path.abspath(entry_mod.__file__))
+    rounds = [0]
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        base = os.path.basename(path)
+        try:
+            rounds.append(int(base[len("CORRECTNESS_r") : -len(".json")]))
+        except ValueError:
+            pass
+    return max(rounds)
+
+
 def _critical(rounds: dict[str, int]) -> set[str]:
     """Mirror of the tier-0 computation in entry_mod._sweep_order."""
-    next_round = 1 + max(rounds.values(), default=0)
+    next_round = 1 + _max_record_round()
     ceiling = -(-len(q.QUERIES) // entry_mod._SWEEP_CAP)
     return {n for n, r in rounds.items() if next_round - r >= ceiling}
 

@@ -305,3 +305,24 @@ def test_url_frontier_topk_is_top3_per_host_by_priority(spark):
         assert len(lst) <= 3
         pris = [r["priority"] for r in lst]
         assert pris == sorted(pris)
+
+
+def test_crawl_pipeline_single_batch_precondition():
+    """streaming_crawl_pipeline's dedup horizon (10 min) is narrower than
+    its md5 schedule span (1 day), so its oracle equality requires the
+    finite fixture to arrive in ONE micro-batch (see the query docstring).
+    Pin the structural guarantees: the stream dir holds exactly one
+    parquet FILE (a file source cannot split one file across batches),
+    it resolves to a regular file (not a multi-part directory), and the
+    fixture itself is a single file at every test SF."""
+    import os
+
+    from flink_stream_processing_spark.queries_impl._stream_helpers import (
+        table_stream_dir,
+    )
+
+    for sf in (SF_SMALL, SF_DIR):
+        d = table_stream_dir(sf, "documents")
+        entries = sorted(e for e in os.listdir(d) if not e.startswith("."))
+        assert entries == ["documents.parquet"], entries
+        assert os.path.isfile(os.path.join(d, "documents.parquet"))
