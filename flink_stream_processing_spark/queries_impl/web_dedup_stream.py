@@ -44,6 +44,14 @@ Scale design (100 TB):
   further shuffle on (doc_a, doc_b). sf0.1: 8.7k pairs from 178k
   windows. Never all-pairs, never O(corpus²).
 
+r12 additions (see each query's docstring): ``streaming_crawl_pipeline``
+(the dedup and window operators CHAINED — two stateful operators in one
+streaming query), ``strip_duplicate_spans`` / ``strip_spans`` (the
+keep-one-copy excision payload), ``span_coverage_profile`` (W=10/20/40
+duplication profile in one scan), ``streaming_host_sessions`` (per-host
+crawl session windows), and ``url_frontier_topk`` (per-host frontier
+ranking).
+
 No reference twin (the Flink app has no corpus operators; LLM extension
 scope per SURVEY.md §2).
 """
