@@ -50,6 +50,48 @@ def test_queries_impl_module_imports_in_fresh_process(mod):
     )
 
 
+def _package_modules() -> list[str]:
+    """Every importable module in the package OUTSIDE queries_impl (those
+    are parametrized above): operators, sources, streaming, plans, and the
+    top-level leaves."""
+    import os
+
+    import flink_stream_processing_spark as pkg
+
+    root = os.path.dirname(pkg.__file__)
+    mods = []
+    for dirpath, _dirs, files in os.walk(root):
+        rel = os.path.relpath(dirpath, root)
+        if "queries_impl" in rel or "__pycache__" in rel:
+            continue
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            parts = [] if rel == "." else rel.split(os.sep)
+            name = ".".join(
+                ["flink_stream_processing_spark", *parts]
+                + ([] if f == "__init__.py" else [f[:-3]])
+            )
+            mods.append(name)
+    return sorted(set(mods))
+
+
+@pytest.mark.parametrize("mod", _package_modules())
+def test_package_module_imports_in_fresh_process(mod):
+    """The same first-import guarantee for the rest of the package
+    (operators/sources/streaming/plans/top-level) — completes the class
+    the queries_impl gate covers."""
+    proc = subprocess.run(
+        [sys.executable, "-c", f"import {mod}"],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 0, (
+        f"fresh-process import of {mod} failed:\n{proc.stderr}"
+    )
+
+
 def test_stream_helpers_module_never_imports_the_registry():
     """The structural fix: the shared stream harness lives in a leaf module
     with no ``queries`` dependency, so no import order can recurse."""
