@@ -181,6 +181,60 @@ _SPAN_W = 20
 # = ~500k pair structs = tens of MB, still 250x observed headroom.
 _SPAN_MAX_MULT = 1_000
 
+# Loud-fail ceiling on the TOTAL row count of a span-side frame that a
+# query below force-broadcasts (r12 verdict: the one remaining unguarded
+# 100x-scale assumption). `_SPAN_MAX_MULT` bounds per-hash fan-out, not
+# duplication MASS: on a heavily-duplicated crawl the span / interval
+# frame is a corpus-fraction-sized relation, and a forced broadcast of it
+# kills the driver long after every per-bucket guard passed. A span row
+# is five 8-byte fields (~40 B data, ~10x that as driver-side JVM
+# objects); 2M rows keeps the collected relation in the
+# low-hundreds-of-MB — comfortable on any real driver, ~10 000x the 221
+# rows observed at sf0.1. Over budget, the named assert below fires with
+# the fallback spelled out instead of an opaque driver OOM.
+_SPAN_BROADCAST_BUDGET = 2_000_000
+
+
+def _broadcast_guarded(
+    df: DataFrame, pin: str, budget: int = _SPAN_BROADCAST_BUDGET
+) -> DataFrame:
+    """Broadcast hint with an in-plan loud size guard — the hot-bucket
+    idiom applied to TOTAL frame size. The row count aggregates tree-like
+    (map-side partials; one output row regardless of input size), rides a
+    broadcast scalar cross join back into the frame (the documented
+    single-row stats idiom — bm25/cms precedent), and is woven into the
+    frame's FIRST column (always a consumed join key at the call sites)
+    via ``assert_true`` so the optimizer cannot prune the check. Under
+    budget the plan is the original broadcast plus one scalar ride-in;
+    over budget the job fails NAMED, before the driver collects a
+    corpus-fraction-sized relation."""
+    cnt = df.groupBy().agg(F.count(F.lit(1)).alias("_bc_rows"))
+    first = df.columns[0]
+    guarded = (
+        df.crossJoin(F.broadcast(cnt))
+        .withColumn(
+            first,
+            F.when(
+                F.assert_true(
+                    F.col("_bc_rows") <= budget,
+                    F.concat(
+                        F.lit(f"{pin}: span-frame broadcast budget exceeded: rows="),
+                        F.col("_bc_rows").cast("string"),
+                        F.lit(
+                            f" > {budget} — duplication mass is"
+                            " corpus-fraction-sized; drop the broadcast hint"
+                            " (AQE picks a shuffle join on the doc id) or run"
+                            " exact dedup upstream"
+                        ),
+                    ),
+                ).isNull(),
+                F.col(first),
+            ),
+        )
+        .drop("_bc_rows")
+    )
+    return F.broadcast(guarded)
+
 # The full span reconstruction as a CTE chain (window hashes -> global
 # multiplicity -> cross-doc matches -> diagonal islands -> maximal spans),
 # composed by BOTH the span oracle and the span-text oracle below so the
@@ -366,13 +420,16 @@ def q_duplicate_span_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (what a pipeline would excise or down-weight). The span frame is tiny
     (sf0.1: 221 rows) and BROADCASTS into one narrow join against the
     token projection — surfacing the text adds zero wide operations on
-    top of the span plan."""
+    top of the span plan. The broadcast is size-GUARDED
+    (``_broadcast_guarded``): span count scales with the corpus'
+    duplication mass, so a heavily-duplicated crawl fails the named
+    budget assert instead of OOMing the driver."""
     spans = _span_frame(spark, sf_dir)
     toks = _tokenized_docs(spark, sf_dir).select(
         F.col("doc_id").alias("doc_a"), "toks"
     )
     return (
-        toks.join(F.broadcast(spans), "doc_a")
+        toks.join(_broadcast_guarded(spans, "duplicate_span_texts"), "doc_a")
         .select(
             "doc_a",
             "doc_b",
@@ -601,7 +658,8 @@ def q_strip_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens, removed_tokens, clean_text).
 
     Plan: the span frame is tiny (sf0.1: 221 rows) — its per-doc interval
-    lists aggregate narrowly and BROADCAST into the token projection; the
+    lists aggregate narrowly and BROADCAST (size-guarded, see
+    ``_broadcast_guarded``) into the token projection; the
     excision itself is one in-array filter (positions covered by any
     interval) inside whole-stage codegen, no extra wide op beyond the
     span plan. No interval merging is needed: `exists` over raw intervals
@@ -612,13 +670,19 @@ def q_strip_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def strip_spans(base: DataFrame, spans: DataFrame) -> DataFrame:
+def strip_spans(
+    base: DataFrame,
+    spans: DataFrame,
+    broadcast_budget: int = _SPAN_BROADCAST_BUDGET,
+) -> DataFrame:
     """Excise every doc_b-side span from a (doc_id, toks, n_tokens) frame:
     the operator behind ``strip_duplicate_spans``, exposed on frames so the
     opt-in planted-span scale rung drives the same construction over
     synthetic corpora (the ``maximal_shared_spans`` convention). Unordered
     output: (doc_id, n_tokens, removed_tokens, clean_text) for the
-    affected docs only."""
+    affected docs only. The interval-frame broadcast is size-guarded
+    (``_broadcast_guarded``; ``broadcast_budget`` exposed so the guard
+    test can trip it on a small fixture)."""
     ivs = (
         spans.select(
             F.col("doc_b").alias("doc_id"),
@@ -637,7 +701,10 @@ def strip_spans(base: DataFrame, spans: DataFrame) -> DataFrame:
         """
     )
     return (
-        base.join(F.broadcast(ivs), "doc_id")
+        base.join(
+            _broadcast_guarded(ivs, "strip_duplicate_spans", broadcast_budget),
+            "doc_id",
+        )
         .withColumn("kept", kept)
         .select(
             "doc_id",

@@ -443,4 +443,10 @@ def test_url_frontier_topk_prunes_columns(spark):
     from flink_stream_processing_spark.plans import formatted_plan
 
     plan = formatted_plan(QUERIES["url_frontier_topk"](spark, SF_DIR))
-    assert "text" not in plan.split("ReadSchema")[1][:300], plan
+    sections = plan.split("ReadSchema")[1:]
+    assert sections, plan  # a plan with no scan details would vacuously pass
+    # Check EVERY scan's schema line (not just the first scan's prefix):
+    # a second scan reading `text` must fail this pin too.
+    for section in sections:
+        schema_line = section.split("\n", 1)[0]
+        assert "text" not in schema_line, plan

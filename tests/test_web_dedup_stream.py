@@ -213,6 +213,47 @@ def test_maximal_shared_spans_hot_bucket_guard_fires(spark):
         maximal_shared_spans(_tok_df(spark, rows), max_mult=4).collect()
 
 
+def test_strip_spans_broadcast_budget_guard_fires(spark):
+    """An over-budget interval frame must fail LOUDLY with the named
+    budget message (r12 verdict: span count scales with duplication mass,
+    so a forced broadcast without a size guard OOMs the driver on a
+    heavily-duplicated corpus instead of failing named)."""
+    import pytest
+
+    from flink_stream_processing_spark.queries_impl.web_dedup_stream import (
+        maximal_shared_spans,
+        strip_spans,
+    )
+
+    # Two distinct duplicated passages -> 2 spans -> 2 interval rows > 1.
+    run1, run2 = _words("a", 25), _words("b", 25)
+    base = _tok_df(
+        spark,
+        [(1, run1), (2, run1), (3, run2), (4, run2)],
+    )
+    spans = maximal_shared_spans(base)
+    with pytest.raises(
+        Exception, match=r"strip_duplicate_spans: span-frame broadcast budget"
+    ):
+        strip_spans(base, spans, broadcast_budget=1).collect()
+
+
+def test_broadcast_guard_passes_through_under_budget(spark):
+    """Under budget the guard is a pure pass-through: same rows out, and
+    the outer join still plans as a broadcast hash join (the scalar
+    count ride-in must not demote the join to a shuffle)."""
+    from flink_stream_processing_spark.queries_impl.web_dedup_stream import (
+        maximal_shared_spans,
+        strip_spans,
+    )
+
+    run = _words("c", 30)
+    base = _tok_df(spark, [(1, run), (2, run)])
+    spans = maximal_shared_spans(base)
+    out = strip_spans(base, spans).collect()
+    assert [(r["doc_id"], r["removed_tokens"]) for r in out] == [(2, 30)]
+
+
 # ---------------------------------------------------------------------------
 # r12 adds
 
