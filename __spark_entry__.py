@@ -44,9 +44,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #      signal on edits; when a wide refactor flags more fresh closures
 #      than one sweep can absorb (r12: the circular-import extraction
 #      flagged 113), strict fresh-first would silently strand the oldest
-#      cohort past the ceiling. Oldest last-green first within the tier;
-#      at most ceil(N/50)-worth exist per round by construction, so the
-#      tier can never crowd out the whole budget.
+#      cohort past the ceiling. Oldest last-green first within the tier.
+#      In steady state at most one ~50-row cohort reaches the boundary
+#      per round, but a multi-round backlog (consecutive all-red infra
+#      rounds that land records without re-greening rows) can grow the
+#      tier past the sweep budget — then the ordering degrades to pure
+#      oldest-first across the whole budget and the backlog drains one
+#      50-row cohort per round while fresh-change slots wait; the
+#      invariant is violated for exactly the backlog rounds and
+#      self-heals, which is the intended failure mode (r12 advice).
 #   1. FRESH impl changes (some closure file's working-tree blob appears
 #      in NO driver-record commit tree — the edit landed after the last
 #      sweep and nothing has a green row against it; never-checked

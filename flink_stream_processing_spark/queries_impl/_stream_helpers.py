@@ -58,6 +58,18 @@ def _stream_session(spark: SparkSession) -> SparkSession:
     return stream_spark
 
 
+# Per-run progress record of the LAST _run_stream_to_table call: the
+# numInputRows of every micro-batch the run executed (data batches carry
+# > 0; the trailing watermark-flush batch carries 0). Tests use it to
+# assert batch-count preconditions BEHAVIORALLY — e.g. the crawl
+# pipeline's "whole fixture in ONE data micro-batch" requirement is
+# pinned structurally (one parquet file, no maxFilesPerTrigger) AND on
+# what the run actually did, so a future change to availableNow admission
+# for file sources (byte-based splitting, say) fails a named assert
+# instead of silently desyncing an oracle (r12 advice).
+last_stream_batches: list[int] = []
+
+
 def _run_stream_to_table(agg: DataFrame, output_mode: str) -> DataFrame:
     """Materialize a finite stream through a memory sink (availableNow) and
     return the table. awaitTermination's result is CHECKED: a timeout would
@@ -74,6 +86,7 @@ def _run_stream_to_table(agg: DataFrame, output_mode: str) -> DataFrame:
         finished = q.awaitTermination(300)
         if not finished:
             raise TimeoutError("streaming query did not finish within 300 s")
+        last_stream_batches[:] = [p["numInputRows"] for p in q.recentProgress]
     finally:
         if q.isActive:
             q.stop()

@@ -10,11 +10,7 @@ from pyspark.sql.types import DoubleType, LongType, StringType, StructField, Str
 
 from ..operators.json_ops import parse_json, roundtrip_json
 from ..operators.risk import format_risk_lines, label_risk
-from ..operators.window_metrics import (
-    EVENT_TYPE_RATES,
-    as_transactions,
-    window_metrics_over_events,
-)
+from ..operators.window_metrics import as_transactions, window_metrics_over_events
 from ..queries import query
 from ..schemas import PROPS_SCHEMA
 from ..sources.batch import load_table

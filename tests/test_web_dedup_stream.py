@@ -367,3 +367,18 @@ def test_crawl_pipeline_single_batch_precondition():
         entries = sorted(e for e in os.listdir(d) if not e.startswith("."))
         assert entries == ["documents.parquet"], entries
         assert os.path.isfile(os.path.join(d, "documents.parquet"))
+
+
+def test_crawl_pipeline_runs_exactly_one_data_batch(spark):
+    """The behavioral half of the single-batch precondition (r12 advice):
+    the structural pin above cannot catch a future Spark change to
+    availableNow admission for file sources (e.g. byte-based file
+    splitting), so also assert what the run actually DID — exactly one
+    micro-batch carried input rows (the trailing zero-row batch only
+    advances the watermark to flush closed windows)."""
+    from flink_stream_processing_spark.queries_impl import _stream_helpers as sh
+
+    n = QUERIES["streaming_crawl_pipeline"](spark, SF_SMALL).count()
+    assert n > 0
+    data_batches = [b for b in sh.last_stream_batches if b > 0]
+    assert len(data_batches) == 1, sh.last_stream_batches
