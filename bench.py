@@ -122,6 +122,8 @@ HEADLINE = [
     "span_coverage_profile",
     "streaming_host_sessions",
     "url_frontier_topk",
+    "politeness_frontier_schedule",
+    "incremental_strip_spans",
     "retention_cohorts",
     "funnel_conversion",
     "timeseries_gap_fill",

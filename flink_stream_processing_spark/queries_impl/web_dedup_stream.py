@@ -694,6 +694,19 @@ def strip_spans(
         .groupBy("doc_id")
         .agg(F.collect_list("iv").alias("ivs"))
     )
+    return _excise_covered_positions(
+        base, _broadcast_guarded(ivs, "strip_duplicate_spans", broadcast_budget)
+    )
+
+
+def _excise_covered_positions(base: DataFrame, ivs: DataFrame) -> DataFrame:
+    """The excision tail shared by ``strip_spans`` (broadcast-guarded
+    corpus-span path) and ``incremental_strip_new_docs`` (batch-scaled
+    interval frame; plain doc_id join, AQE picks the strategy): join a
+    (doc_id, ivs: array<struct<st, en>>) interval frame into the token
+    projection and drop every covered position with ONE in-array codegen
+    filter. Overlapping intervals are fine — coverage is the exists-union
+    and removed_tokens counts each position once."""
     kept = F.expr(
         """
         filter(transform(toks, (x, i) -> struct(x AS tok, i AS pos)),
@@ -701,10 +714,7 @@ def strip_spans(
         """
     )
     return (
-        base.join(
-            _broadcast_guarded(ivs, "strip_duplicate_spans", broadcast_budget),
-            "doc_id",
-        )
+        base.join(ivs, "doc_id")
         .withColumn("kept", kept)
         .select(
             "doc_id",
@@ -913,3 +923,270 @@ def q_url_frontier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .orderBy("host", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# r13 adds: the politeness controller (the crawl family's capstone — the
+# hot-hosts volume signal JOINED to the frontier ranking) and the
+# incremental span strip (the incremental_exact_dedup shape applied to
+# passages: strip NEW docs against a persisted corpus window-hash store
+# without re-touching the old corpus).
+
+# Per-host politeness quota: how many frontier fetches a host may absorb
+# per 10-minute window. 2 splits the rank<=3 frontier into two schedule
+# slots at every SF (rank 1-2 -> slot 1, rank 3 -> slot 2), so the gate
+# exercises the pacing arithmetic, not just the join.
+_POLITENESS_QUOTA = 2
+
+_POLITENESS_ORACLE = f"""
+WITH {_URL_CANON_CTES},
+tc AS (
+  SELECT canonical_url,
+         make_timestamp(({_EVENT_EPOCH} + doc_id) * 1000000) AS ts,
+         regexp_extract(canonical_url, '^https://([^/?]+)', 1) AS host
+  FROM canon
+),
+w AS (
+  SELECT epoch_ms(time_bucket(INTERVAL 10 MINUTES, ts)) AS window_start,
+         host, count(*) AS n_docs
+  FROM tc GROUP BY 1, 2
+),
+hl AS (
+  SELECT host, max(window_start) AS last_window_start,
+         CAST(sum(n_docs) AS BIGINT) AS observed_docs
+  FROM w GROUP BY host
+),
+u AS (SELECT DISTINCT canonical_url FROM canon),
+r AS (
+  SELECT regexp_extract(canonical_url, '^https://([^/?]+)', 1) AS host,
+         canonical_url,
+         ('0x' || substr(md5(canonical_url), 1, 8))::BIGINT AS priority
+  FROM u
+),
+k AS (
+  SELECT host, canonical_url, priority,
+         CAST(row_number() OVER (PARTITION BY host
+                                 ORDER BY priority, canonical_url) AS BIGINT)
+           AS rank
+  FROM r
+)
+SELECT k.host, k.canonical_url, k.priority, k.rank, hl.observed_docs,
+       CAST(hl.last_window_start
+            + 600000 * CAST(floor((k.rank + {_POLITENESS_QUOTA} - 1)
+                                  / {_POLITENESS_QUOTA}) AS BIGINT) AS BIGINT)
+         AS scheduled_start
+FROM k JOIN hl ON k.host = hl.host
+WHERE k.rank <= 3
+ORDER BY k.host, k.rank
+"""
+
+
+@query("politeness_frontier_schedule", oracle=_POLITENESS_ORACLE)
+def q_politeness_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness controller — the crawl family COMPOSED at the host
+    level: the frontier's next <=3 URLs per host (url_frontier_topk's
+    ranking) are paced against the host's observed crawl volume
+    (streaming_hot_hosts' windowed counts, batch form), _POLITENESS_QUOTA
+    fetches per host per 10-minute window. Each entry's scheduled_start =
+    the host's LAST observed crawl window plus ceil(rank / quota) full
+    windows — new fetches start after the host's busy period and drain
+    quota-at-a-time, the textbook per-host rate limit. (The oracle
+    interpolates the quota as a literal; both engines spell ceil as
+    floor((rank + Q - 1) / Q) so the idiom cannot drift.)
+
+    Plan (100 TB): the volume side aggregates to ONE row per (window,
+    host) then one per host (partial aggregation map-side; never carries
+    URLs), the frontier side is the rank<=3-per-host window — both sides
+    end up keyed on host, so the final join is a host-keyed shuffle join
+    of two already-narrow relations (host count scales with the web;
+    neither side is driver-collected or force-broadcast — AQE picks the
+    strategy). ceil is spelled floor((rank+1)/2) in BOTH engines: integer
+    ceil-division idioms differ, a shared closed form cannot drift."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = docs.select(
+        canonical_url_col(derived_url_col()).alias("canonical_url"),
+        _event_ts().alias("ts"),
+    )
+    host = F.regexp_extract("canonical_url", r"^https://([^/?]+)", 1).alias("host")
+    wins = (
+        canon.select(host, "ts")
+        .groupBy(F.window("ts", "10 minutes"), "host")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start"),
+            "host",
+            "n_docs",
+        )
+    )
+    host_load = wins.groupBy("host").agg(
+        F.max("window_start").alias("last_window_start"),
+        F.sum("n_docs").cast("long").alias("observed_docs"),
+    )
+    frontier = (
+        canon.select("canonical_url")
+        .distinct()
+        .select(
+            host,
+            "canonical_url",
+            F.conv(F.substring(F.md5("canonical_url"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("priority"),
+        )
+    )
+    wr = Window.partitionBy("host").orderBy("priority", "canonical_url")
+    ranked = (
+        frontier.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )
+    slot = F.floor(
+        (F.col("rank") + _POLITENESS_QUOTA - 1) / F.lit(_POLITENESS_QUOTA)
+    ).cast("long")
+    return (
+        ranked.join(host_load, "host")
+        .select(
+            "host",
+            "canonical_url",
+            "priority",
+            "rank",
+            "observed_docs",
+            (F.col("last_window_start") + F.lit(600_000) * slot)
+            .cast("long")
+            .alias("scheduled_start"),
+        )
+        .orderBy("host", "rank")
+    )
+
+
+def span_hash_store(corpus: DataFrame, window: int = _SPAN_W) -> DataFrame:
+    """The persisted side of ``incremental_strip_new_docs``: the DISTINCT
+    W-token window hashes of the existing corpus — at 100 TB a bucketed
+    parquet/Delta table keyed on the hash, written once and appended per
+    ingest batch (the ``exact_fingerprint_store`` convention, one level
+    below whole-document granularity). Input is a tokenized
+    (doc_id, toks, n_tokens) frame; output is a single-column (h) set."""
+    return token_window_hashes(corpus, window).select("h").distinct()
+
+
+def incremental_strip_new_docs(
+    new_batch: DataFrame, store: DataFrame, window: int = _SPAN_W
+) -> DataFrame:
+    """Strip a NEW batch against the persisted span store WITHOUT
+    re-touching the old corpus — the ``incremental_exact_dedup`` shape at
+    passage granularity ("Deduplicating Training Data" §4 as a daily
+    operation): every W-token window of a new doc whose hash already
+    exists in the corpus store is a duplicated passage; covered positions
+    are excised and the corpus keeps its copy. Batch-internal duplication
+    is deliberately out of scope (that is the batch's own strip pass);
+    the store side of every match is corpus-by-construction.
+
+    Plan: new-batch window hashes build DOC-LOCALLY (text never
+    shuffles); the store probe is one LEFT SEMI join carrying only
+    (doc_id, s, h) rows against the hash-bucketed store; matched starts
+    merge into per-doc intervals with the lag/running-sum island pass
+    (one shuffle on doc_id — contiguous starts merge, overlapping
+    intervals from gapped starts are fine, coverage is the
+    exists-union); the excision join is doc_id-keyed against the
+    batch-scaled interval frame (plain join — NOT force-broadcast; the
+    r12 span-broadcast lesson) and the corpus never appears in the plan
+    at all: its text was consumed once, when the store was written.
+    Output: (doc_id, n_tokens, removed_tokens, clean_text), affected
+    new docs only, unordered."""
+    wins = token_window_hashes(new_batch, window)
+    matched = wins.join(store.select("h"), "h", "semi").select("doc_id", "s")
+    run_win = Window.partitionBy("doc_id").orderBy("s")
+    marked = matched.withColumn(
+        "new_run",
+        F.when(
+            F.lag("s").over(run_win).isNull()
+            | ((F.col("s") - F.lag("s").over(run_win)) > 1),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "run_id",
+        F.sum("new_run").over(run_win.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ivs = (
+        marked.groupBy("doc_id", "run_id")
+        .agg(
+            F.struct(
+                F.min("s").alias("st"),
+                (F.max("s") + window).alias("en"),
+            ).alias("iv")
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list("iv").alias("ivs"))
+    )
+    return _excise_covered_positions(new_batch, ivs)
+
+
+_INCR_STRIP_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+w AS (
+  SELECT doc_id, unnest(range(0, greatest(n_tokens - {_SPAN_W} + 1, 0))) AS s, toks
+  FROM b
+),
+h AS (
+  SELECT doc_id, s, md5(array_to_string(toks[s+1:s+{_SPAN_W}], ' ')) AS h FROM w
+),
+store AS (SELECT DISTINCT h FROM h WHERE doc_id % 10 <> 0),
+m AS (
+  SELECT doc_id, s FROM h
+  WHERE doc_id % 10 = 0 AND h IN (SELECT h FROM store)
+),
+i1 AS (
+  SELECT doc_id, s,
+         CASE WHEN lag(s) OVER win IS NULL OR s - lag(s) OVER win > 1
+              THEN 1 ELSE 0 END AS new_run
+  FROM m WINDOW win AS (PARTITION BY doc_id ORDER BY s)
+),
+i2 AS (
+  SELECT doc_id, s,
+         sum(new_run) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM i1
+),
+iv AS (SELECT doc_id, min(s) AS st, max(s) + {_SPAN_W} AS en
+       FROM i2 GROUP BY doc_id, run_id),
+aff AS (SELECT DISTINCT doc_id FROM iv),
+poss AS (
+  SELECT tb.doc_id, u.i AS pos, tb.toks[CAST(u.i AS INTEGER) + 1] AS tok
+  FROM b tb JOIN aff USING (doc_id), UNNEST(range(0, len(tb.toks))) AS u(i)
+),
+p2 AS (
+  SELECT poss.*,
+         EXISTS (SELECT 1 FROM iv
+                 WHERE iv.doc_id = poss.doc_id
+                   AND poss.pos >= iv.st AND poss.pos < iv.en) AS cov
+  FROM poss
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN cov THEN 1 ELSE 0 END) AS BIGINT) AS removed_tokens,
+       coalesce(string_agg(CASE WHEN NOT cov THEN tok END, ' ' ORDER BY pos), '')
+         AS clean_text
+FROM p2 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("incremental_strip_spans", oracle=_INCR_STRIP_ORACLE)
+def q_incremental_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental span strip over the standard corpus/batch split
+    (doc_id % 10 == 0 is the incoming batch — llm_dedup._split_batch's
+    convention, mirrored in the oracle): the corpus' window-hash store is
+    materialized ONCE (localCheckpoint stands in for the persisted store
+    exactly as in incremental_minhash_near_dups), then the new batch is
+    stripped against it. The final plan reads parquet only through the
+    batch filter — the corpus contributes nothing but its checkpointed
+    hash set (pinned by test_incremental_strip_never_rescans_corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.col("doc_id"), tokens_col().alias("toks")).withColumn(
+        "n_tokens", F.size("toks").cast("long")
+    )
+    corpus = toks.filter(F.col("doc_id") % 10 != 0)
+    batch = toks.filter(F.col("doc_id") % 10 == 0)
+    store = span_hash_store(corpus).localCheckpoint(eager=True)
+    return incremental_strip_new_docs(batch, store).orderBy("doc_id")

@@ -350,6 +350,8 @@ _NO_CARTESIAN_SWEEP = [
     "anti_join_customers_no_orders",
     "leakage_safe_split",
     "bpe_merge_candidates",
+    "politeness_frontier_schedule",
+    "incremental_strip_spans",
 ]
 
 # The ONLY tolerated BroadcastNestedLoopJoins: a deliberate broadcast
@@ -450,3 +452,34 @@ def test_url_frontier_topk_prunes_columns(spark):
     for section in sections:
         schema_line = section.split("\n", 1)[0]
         assert "text" not in schema_line, plan
+
+
+def test_politeness_schedule_prunes_text_and_plans_host_joins(spark):
+    """The politeness controller joins two per-host aggregates — neither
+    side may ever read the text payload (both sides derive from
+    (doc_id, source, lang) alone), and the plan must contain no
+    cartesian/unplanned product (also swept suite-wide)."""
+    from flink_stream_processing_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["politeness_frontier_schedule"](spark, SF_DIR))
+    sections = plan.split("ReadSchema")[1:]
+    assert sections, plan
+    for section in sections:
+        assert "text" not in section.split("\n", 1)[0], plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_incremental_strip_never_rescans_corpus(spark):
+    """The incremental contract: the corpus contributes ONLY its
+    checkpointed window-hash store (an ExistingRDD scan) — the final plan
+    reads parquet exactly twice, both on the batch side (window hashing +
+    the excision token projection). A third parquet scan would mean the
+    store was rebuilt inline, re-touching corpus text on every batch."""
+    import re
+
+    from flink_stream_processing_spark.plans import formatted_plan
+
+    plan = formatted_plan(QUERIES["incremental_strip_spans"](spark, SF_DIR))
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
+    assert len(scan_ids) == 2, plan
+    assert "ExistingRDD" in plan, plan

@@ -382,3 +382,64 @@ def test_crawl_pipeline_runs_exactly_one_data_batch(spark):
     assert n > 0
     data_batches = [b for b in sh.last_stream_batches if b > 0]
     assert len(data_batches) == 1, sh.last_stream_batches
+
+
+# ---------------------------------------------------------------------------
+# r13 adds
+
+
+def test_incremental_strip_excises_planted_corpus_passage(spark):
+    """A new doc containing a passage already in the corpus store loses
+    exactly that passage; its unique text survives; an unaffected new doc
+    is absent from the output (affected-docs-only contract)."""
+    from flink_stream_processing_spark.queries_impl.web_dedup_stream import (
+        incremental_strip_new_docs,
+        span_hash_store,
+    )
+
+    passage = _words("dup", 30)
+    corpus = _tok_df(spark, [(1, "lead " + passage + " tail")])
+    unique = _words("new", 10)
+    batch = _tok_df(
+        spark,
+        [(10, unique + " " + passage), (20, _words("clean", 25))],
+    )
+    store = span_hash_store(corpus).localCheckpoint(eager=True)
+    out = {r["doc_id"]: r for r in incremental_strip_new_docs(batch, store).collect()}
+    assert set(out) == {10}  # doc 20 untouched -> absent
+    r = out[10]
+    assert r["n_tokens"] == 40 and r["removed_tokens"] == 30
+    assert r["clean_text"] == unique
+
+
+def test_incremental_strip_ignores_batch_internal_duplication(spark):
+    """Two NEW docs sharing a passage that the corpus has never seen must
+    both pass through unstripped: the store side of every match is
+    corpus-by-construction (batch-internal dedup is the batch's own
+    strip pass, not the incremental operator's job)."""
+    from flink_stream_processing_spark.queries_impl.web_dedup_stream import (
+        incremental_strip_new_docs,
+        span_hash_store,
+    )
+
+    corpus = _tok_df(spark, [(1, _words("corp", 30))])
+    shared = _words("batchdup", 25)
+    batch = _tok_df(spark, [(10, shared), (20, shared)])
+    store = span_hash_store(corpus).localCheckpoint(eager=True)
+    assert incremental_strip_new_docs(batch, store).collect() == []
+
+
+def test_politeness_schedule_paces_rank3_one_window_later(spark):
+    """The pacing arithmetic: with quota 2, ranks 1-2 of every host share
+    the first schedule slot (last observed window + 1) and rank 3 lands
+    one full window later; scheduled_start is derived from the host's own
+    last window."""
+    rows = QUERIES["politeness_frontier_schedule"](spark, SF_SMALL).collect()
+    assert len(rows) > 0
+    hot = QUERIES["streaming_hot_hosts"](spark, SF_SMALL).collect()
+    last = {}
+    for r in hot:
+        last[r["host"]] = max(last.get(r["host"], 0), r["window_start"])
+    for r in rows:
+        slot = (r["rank"] + 1) // 2
+        assert r["scheduled_start"] == last[r["host"]] + 600_000 * slot, r
