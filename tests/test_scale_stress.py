@@ -376,25 +376,19 @@ def _run_metrics_stream(spark, src: str, qname: str, provider: str | None):
             )
 
 
-def test_cross_doc_planted_spans_50k(spark):
-    """Planted-recall rung for the span operator (r11): each base doc gets
-    a per-base UNIQUE 30-token passage appended to replica 0 (original
-    text) and replica 1 (token-salted text — shingle-disjoint from
-    replica 0 except the passage), so exactly one cross-document span of
-    exactly 30 tokens is planted per base doc and its flanks can never
-    extend (original vs salted prefixes differ token-by-token). Replicas
-    2+ are salted bulk with no passage. The operator must recover EVERY
-    planted span at exactly len 30 — recall 1.0 by construction, length
-    exactness by the diagonal-island merge — at 10x the driver-gate
-    corpus. Per-base passages keep every passage-window multiplicity at
-    2, far under the hot-bucket guard (a single global passage would
-    trip it by design). Natural spans between replica-0 originals (and
-    their salted echoes within a replica) are expected extra rows and
-    not asserted."""
+def planted_span_corpus(spark) -> tuple[DataFrame, int, int]:
+    """The shared planted-span corpus (r11; extracted r13 — three rungs
+    build it identically): each base doc gets a per-base UNIQUE 30-token
+    passage appended to replica 0 (original text) and replica 1
+    (token-salted text — shingle-disjoint from replica 0 except the
+    passage), so exactly one cross-document span of exactly 30 tokens is
+    planted per base doc and its flanks can never extend (original vs
+    salted prefixes differ token-by-token). Replicas 2+ are salted bulk
+    with no passage. Per-base passages keep every passage-window
+    multiplicity at 2, far under the hot-bucket guard (a single global
+    passage would trip it by design). Returns (tokenized frame, n_base,
+    replicas)."""
     from flink_stream_processing_spark.operators.text import TOKEN_SPLIT_RE
-    from flink_stream_processing_spark.queries_impl.web_dedup_stream import (
-        maximal_shared_spans,
-    )
 
     replicas = REPLICAS
     # base_id is renamed EXPLICITLY: the output projection aliases the
@@ -438,6 +432,21 @@ def test_cross_doc_planted_spans_50k(spark):
     tokenized = corpus.select("doc_id", toks.alias("toks")).withColumn(
         "n_tokens", F.size("toks").cast("long")
     )
+    return tokenized, n_base, replicas
+
+
+def test_cross_doc_planted_spans_50k(spark):
+    """Planted-recall rung for the span operator (r11): the operator must
+    recover EVERY planted span at exactly len 30 — recall 1.0 by
+    construction, length exactness by the diagonal-island merge — at 10x
+    the driver-gate corpus. Natural spans between replica-0 originals
+    (and their salted echoes within a replica) are expected extra rows
+    and not asserted."""
+    from flink_stream_processing_spark.queries_impl.web_dedup_stream import (
+        maximal_shared_spans,
+    )
+
+    tokenized, n_base, replicas = planted_span_corpus(spark)
     rows = _timed(
         "cross_doc_spans planted", lambda: maximal_shared_spans(tokenized).collect()
     )
@@ -462,49 +471,12 @@ def test_strip_planted_spans_50k(spark):
     replica-1 doc, and removed_tokens >= 30 for each. Timing records the
     excision's cost on top of the span plan at 10x the driver-gate
     corpus."""
-    from flink_stream_processing_spark.operators.text import TOKEN_SPLIT_RE
     from flink_stream_processing_spark.queries_impl.web_dedup_stream import (
         maximal_shared_spans,
         strip_spans,
     )
 
-    replicas = REPLICAS
-    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
-        F.col("doc_id").alias("base_id"), "text"
-    )
-    n_base = base.count()
-    reps = spark.range(replicas).select(F.col("id").cast("int").alias("replica"))
-    words = F.split(F.col("text"), " ")
-    salted = F.transform(
-        words, lambda w: F.concat(w, F.lit("_"), F.col("replica").cast("string"))
-    )
-    passage = F.concat_ws(
-        " ",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(29)),
-            lambda i: F.concat(
-                F.lit("p"),
-                F.col("base_id").cast("string"),
-                F.lit("_"),
-                i.cast("string"),
-            ),
-        ),
-    )
-    corpus = base.crossJoin(reps).select(
-        (F.col("base_id") * replicas + F.col("replica")).alias("doc_id"),
-        F.when(F.col("replica") == 0, F.concat(F.col("text"), F.lit(" "), passage))
-        .when(
-            F.col("replica") == 1,
-            F.concat(F.array_join(salted, " "), F.lit(" "), passage),
-        )
-        .otherwise(F.array_join(salted, " "))
-        .alias("text"),
-    ).repartition(32, "doc_id")
-
-    toks = F.split(F.lower(F.trim(F.col("text"))), TOKEN_SPLIT_RE)
-    tokenized = corpus.select("doc_id", toks.alias("toks")).withColumn(
-        "n_tokens", F.size("toks").cast("long")
-    )
+    tokenized, n_base, replicas = planted_span_corpus(spark)
     spans = maximal_shared_spans(tokenized)
     stripped = _timed(
         "strip_spans planted",
@@ -532,6 +504,55 @@ def test_strip_planted_spans_50k(spark):
         or f"p{b}_0" in stripped[b * replicas]["clean_text"]
     ]
     assert len(kept_copy) == n_base, "some replica-0 doc lost its kept copy"
+
+
+def test_incremental_strip_planted_50k(spark):
+    """Scale rung for the r13 incremental span strip: replica 1 is the
+    incoming batch (5k docs), everything else is the corpus the store was
+    built from (45k docs at the default replica count). Every batch doc
+    carries exactly one planted 30-token passage that also lives in the
+    corpus (replica 0), and its remaining text is salt-1 — disjoint from
+    every corpus replica's salt — so the incremental strip must remove
+    EXACTLY the 30 passage tokens from EVERY batch doc: recall 1.0 and
+    excision exactness in one assert, through the store-probe path (the
+    corpus contributes only its checkpointed hash set; its text is
+    consumed once, building the store)."""
+    from flink_stream_processing_spark.queries_impl.web_dedup_stream import (
+        incremental_strip_new_docs,
+        span_hash_store,
+    )
+
+    tokenized, n_base, replicas = planted_span_corpus(spark)
+    corpus = tokenized.filter(F.col("doc_id") % replicas != 1)
+    batch = tokenized.filter(F.col("doc_id") % replicas == 1)
+    store = _timed(
+        "incremental_strip store build",
+        lambda: span_hash_store(corpus).localCheckpoint(eager=True),
+    )
+    out = _timed(
+        "incremental_strip probe+excise",
+        lambda: {
+            r["doc_id"]: r
+            for r in incremental_strip_new_docs(batch, store).collect()
+        },
+    )
+    missing, wrong, survivors = [], [], []
+    for b in range(n_base):
+        db = b * replicas + 1
+        row = out.get(db)
+        if row is None:
+            missing.append(db)
+            continue
+        if row["removed_tokens"] != 30:
+            wrong.append((db, row["removed_tokens"]))
+        if f"p{b}_0" in row["clean_text"]:
+            survivors.append(db)
+    assert not missing, f"{len(missing)} batch docs never stripped: {missing[:5]}"
+    assert not wrong, f"removed_tokens != 30 (excision not exact): {wrong[:5]}"
+    assert not survivors, f"passage survived in: {survivors[:5]}"
+    assert set(out) == {b * replicas + 1 for b in range(n_base)}, (
+        "affected-docs-only contract: output must be exactly the batch"
+    )
 
 
 def test_streaming_1m_rows_default_vs_rocksdb(spark, tmp_path):
