@@ -1038,22 +1038,34 @@ def q_politeness_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFram
         frontier.withColumn("rank", F.row_number().over(wr).cast("long"))
         .filter(F.col("rank") <= 3)
     )
-    slot = F.floor(
-        (F.col("rank") + _POLITENESS_QUOTA - 1) / F.lit(_POLITENESS_QUOTA)
-    ).cast("long")
-    return (
-        ranked.join(host_load, "host")
-        .select(
-            "host",
-            "canonical_url",
-            "priority",
-            "rank",
-            "observed_docs",
-            (F.col("last_window_start") + F.lit(600_000) * slot)
-            .cast("long")
-            .alias("scheduled_start"),
-        )
-        .orderBy("host", "rank")
+    return politeness_schedule(ranked, host_load).orderBy("host", "rank")
+
+
+def politeness_schedule(
+    ranked: DataFrame,
+    host_load: DataFrame,
+    quota: int = _POLITENESS_QUOTA,
+    window_ms: int = 600_000,
+) -> DataFrame:
+    """The pacing join, exposed on frames (the ``maximal_shared_spans``
+    convention — law tests and scale rungs drive the operator over
+    synthetic inputs): a ranked frontier (host, canonical_url, priority,
+    rank) joins the per-host load signal (host, last_window_start,
+    observed_docs) host-keyed, and each entry is scheduled
+    ceil(rank / quota) windows after the host's last observed window.
+    QUOTA LAW (test-pinned): at most ``quota`` entries share any
+    (host, scheduled_start), and every schedule lands strictly after the
+    host's last observed window. Unordered output."""
+    slot = F.floor((F.col("rank") + quota - 1) / F.lit(quota)).cast("long")
+    return ranked.join(host_load, "host").select(
+        "host",
+        "canonical_url",
+        "priority",
+        "rank",
+        "observed_docs",
+        (F.col("last_window_start") + F.lit(window_ms) * slot)
+        .cast("long")
+        .alias("scheduled_start"),
     )
 
 

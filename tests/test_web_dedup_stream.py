@@ -443,3 +443,38 @@ def test_politeness_schedule_paces_rank3_one_window_later(spark):
     for r in rows:
         slot = (r["rank"] + 1) // 2
         assert r["scheduled_start"] == last[r["host"]] + 600_000 * slot, r
+
+
+def test_politeness_schedule_quota_law_on_synthetic_frontier(spark):
+    """The quota law on the frame-level operator with ranks past 3 (the
+    query caps at rank<=3; the operator must hold for ANY ranked
+    frontier): at most `quota` entries share a (host, scheduled_start),
+    slots fill in rank order, and every schedule lands strictly after the
+    host's last observed window."""
+    from collections import Counter
+
+    from flink_stream_processing_spark.queries_impl.web_dedup_stream import (
+        politeness_schedule,
+    )
+
+    ranked = spark.createDataFrame(
+        [
+            ("h1", f"https://h1/u{r}", 100 + r, r)
+            for r in range(1, 8)  # 7 entries -> slots 1,1,2,2,3,3,4
+        ]
+        + [("h2", "https://h2/u1", 5, 1)],
+        "host string, canonical_url string, priority long, rank long",
+    )
+    load = spark.createDataFrame(
+        [("h1", 1_000_000, 40), ("h2", 2_000_000, 7)],
+        "host string, last_window_start long, observed_docs long",
+    )
+    rows = politeness_schedule(ranked, load, quota=2, window_ms=600_000).collect()
+    assert len(rows) == 8
+    last = {"h1": 1_000_000, "h2": 2_000_000}
+    per_slot = Counter((r["host"], r["scheduled_start"]) for r in rows)
+    assert max(per_slot.values()) <= 2, per_slot
+    for r in rows:
+        assert r["scheduled_start"] > last[r["host"]], r
+        expected_slot = (r["rank"] + 1) // 2
+        assert r["scheduled_start"] == last[r["host"]] + 600_000 * expected_slot, r
