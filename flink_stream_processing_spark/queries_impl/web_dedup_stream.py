@@ -181,34 +181,51 @@ _SPAN_W = 20
 # = ~500k pair structs = tens of MB, still 250x observed headroom.
 _SPAN_MAX_MULT = 1_000
 
-# Loud-fail ceiling on the TOTAL row count of a span-side frame that a
-# query below force-broadcasts (r12 verdict: the one remaining unguarded
-# 100x-scale assumption). `_SPAN_MAX_MULT` bounds per-hash fan-out, not
-# duplication MASS: on a heavily-duplicated crawl the span / interval
-# frame is a corpus-fraction-sized relation, and a forced broadcast of it
-# kills the driver long after every per-bucket guard passed. A span row
-# is five 8-byte fields (~40 B data, ~10x that as driver-side JVM
-# objects); 2M rows keeps the collected relation in the
-# low-hundreds-of-MB — comfortable on any real driver, ~10 000x the 221
-# rows observed at sf0.1. Over budget, the named assert below fires with
-# the fallback spelled out instead of an opaque driver OOM.
+# Loud-fail ceiling on the TOTAL INTERVAL/SPAN mass of a span-side frame
+# that a query below force-broadcasts (r12 verdict: the one remaining
+# unguarded 100x-scale assumption). `_SPAN_MAX_MULT` bounds per-hash
+# fan-out, not duplication MASS: on a heavily-duplicated crawl the span /
+# interval frame is a corpus-fraction-sized relation, and a forced
+# broadcast of it kills the driver long after every per-bucket guard
+# passed. The budgeted unit is one flat span/interval struct (~5 8-byte
+# fields, ~40 B data, ~10x that as driver-side JVM objects) — NOT the
+# post-aggregation per-doc row count, which a review found can hide
+# thousands of intervals per doc under _SPAN_MAX_MULT; 2M structs keeps
+# the collected relation in the low-hundreds-of-MB — comfortable on any
+# real driver, ~10 000x the 221 observed at sf0.1. Over budget, the named
+# assert below fires with the fallback spelled out instead of an opaque
+# driver OOM.
 _SPAN_BROADCAST_BUDGET = 2_000_000
 
 
 def _broadcast_guarded(
-    df: DataFrame, pin: str, budget: int = _SPAN_BROADCAST_BUDGET
+    df: DataFrame,
+    pin: str,
+    budget: int = _SPAN_BROADCAST_BUDGET,
+    mass=None,
 ) -> DataFrame:
     """Broadcast hint with an in-plan loud size guard — the hot-bucket
-    idiom applied to TOTAL frame size. The row count aggregates tree-like
-    (map-side partials; one output row regardless of input size), rides a
-    broadcast scalar cross join back into the frame (the documented
-    single-row stats idiom — bm25/cms precedent), and is woven into the
-    frame's FIRST column (always a consumed join key at the call sites)
-    via ``assert_true`` so the optimizer cannot prune the check. Under
+    idiom applied to TOTAL broadcast mass. ``mass`` is the aggregate
+    Column measuring that mass (default: row count — right for flat span
+    frames; callers broadcasting per-doc ARRAY aggregates must pass the
+    element-mass aggregate, e.g. ``F.sum(F.size(...))``, or one doc with
+    thousands of intervals hides under a row count). The mass aggregates
+    tree-like (map-side partials; one output row regardless of input
+    size), rides a broadcast scalar cross join back into the frame (the
+    documented single-row stats idiom — bm25/cms precedent), and is woven
+    into the frame's FIRST column (always a consumed join key at the call
+    sites) via ``assert_true`` so the optimizer cannot prune the check.
+
+    The input must already be MATERIALIZED (localCheckpoint) when its
+    lineage is expensive: the mass aggregate and the broadcast are two
+    consumers of ``df``, and without materialization Spark evaluates the
+    whole lineage twice (no cross-subtree exchange reuse — measured +22
+    to +36% on the span queries before the checkpoint landed). Under
     budget the plan is the original broadcast plus one scalar ride-in;
     over budget the job fails NAMED, before the driver collects a
     corpus-fraction-sized relation."""
-    cnt = df.groupBy().agg(F.count(F.lit(1)).alias("_bc_rows"))
+    agg = (F.count(F.lit(1)) if mass is None else mass).alias("_bc_mass")
+    cnt = df.groupBy().agg(agg)
     first = df.columns[0]
     guarded = (
         df.crossJoin(F.broadcast(cnt))
@@ -216,10 +233,10 @@ def _broadcast_guarded(
             first,
             F.when(
                 F.assert_true(
-                    F.col("_bc_rows") <= budget,
+                    F.col("_bc_mass") <= budget,
                     F.concat(
-                        F.lit(f"{pin}: span-frame broadcast budget exceeded: rows="),
-                        F.col("_bc_rows").cast("string"),
+                        F.lit(f"{pin}: span-frame broadcast budget exceeded: mass="),
+                        F.col("_bc_mass").cast("string"),
                         F.lit(
                             f" > {budget} — duplication mass is"
                             " corpus-fraction-sized; drop the broadcast hint"
@@ -231,7 +248,7 @@ def _broadcast_guarded(
                 F.col(first),
             ),
         )
-        .drop("_bc_rows")
+        .drop("_bc_mass")
     )
     return F.broadcast(guarded)
 
@@ -423,8 +440,11 @@ def q_duplicate_span_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     top of the span plan. The broadcast is size-GUARDED
     (``_broadcast_guarded``): span count scales with the corpus'
     duplication mass, so a heavily-duplicated crawl fails the named
-    budget assert instead of OOMing the driver."""
-    spans = _span_frame(spark, sf_dir)
+    budget assert instead of OOMing the driver. The span frame is
+    localCheckpointed first — the guard's mass aggregate and the
+    broadcast are two consumers, and without materialization the whole
+    span pipeline would execute twice (measured +36% at sf0.1)."""
+    spans = _span_frame(spark, sf_dir).localCheckpoint(eager=True)
     toks = _tokenized_docs(spark, sf_dir).select(
         F.col("doc_id").alias("doc_a"), "toks"
     )
@@ -682,7 +702,11 @@ def strip_spans(
     output: (doc_id, n_tokens, removed_tokens, clean_text) for the
     affected docs only. The interval-frame broadcast is size-guarded
     (``_broadcast_guarded``; ``broadcast_budget`` exposed so the guard
-    test can trip it on a small fixture)."""
+    test can trip it on a small fixture). The guarded MASS is the total
+    interval count — ``sum(size(ivs))``, not the per-doc row count, which
+    would hide thousands of intervals per doc under ``_SPAN_MAX_MULT`` —
+    and the aggregated frame is localCheckpointed so the mass aggregate
+    and the broadcast share one evaluation of the span lineage."""
     ivs = (
         spans.select(
             F.col("doc_b").alias("doc_id"),
@@ -693,9 +717,16 @@ def strip_spans(
         )
         .groupBy("doc_id")
         .agg(F.collect_list("iv").alias("ivs"))
+        .localCheckpoint(eager=True)
     )
     return _excise_covered_positions(
-        base, _broadcast_guarded(ivs, "strip_duplicate_spans", broadcast_budget)
+        base,
+        _broadcast_guarded(
+            ivs,
+            "strip_duplicate_spans",
+            broadcast_budget,
+            mass=F.sum(F.size("ivs")),
+        ),
     )
 
 
@@ -875,9 +906,12 @@ def q_streaming_host_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream_to_table(agg, "complete").orderBy("host", "session_start")
 
 
-_FRONTIER_ORACLE = f"""
-WITH {_URL_CANON_CTES},
-u AS (SELECT DISTINCT canonical_url FROM canon),
+# Ranked-frontier CTE chain shared by the frontier and politeness
+# oracles (one construction — a priority/rank tweak edits exactly one
+# Spark helper and one CTE string): u (distinct canonical URLs; assumes a
+# `canon` CTE in scope) -> r (host + md5 priority) -> k (per-host rank).
+# The rank <= 3 cap stays in each consumer's final SELECT.
+_FRONTIER_RANK_CTES = """u AS (SELECT DISTINCT canonical_url FROM canon),
 r AS (
   SELECT regexp_extract(canonical_url, '^https://([^/?]+)', 1) AS host,
          canonical_url,
@@ -890,10 +924,33 @@ k AS (
                                  ORDER BY priority, canonical_url) AS BIGINT)
            AS rank
   FROM r
-)
+)"""
+
+_FRONTIER_ORACLE = f"""
+WITH {_URL_CANON_CTES},
+{_FRONTIER_RANK_CTES}
 SELECT host, canonical_url, priority, rank FROM k
 WHERE rank <= 3 ORDER BY host, rank
 """
+
+
+def ranked_frontier(urls: DataFrame, k: int = 3) -> DataFrame:
+    """The one frontier-ranking construction (Spark twin of
+    ``_FRONTIER_RANK_CTES``), shared by ``url_frontier_topk`` and the
+    politeness controller: a (canonical_url) frame (already deduped) ->
+    (host, canonical_url, priority, rank) with rank <= k per host, by the
+    deterministic seeded-md5 priority. Unordered output."""
+    r = urls.select(
+        F.regexp_extract("canonical_url", r"^https://([^/?]+)", 1).alias("host"),
+        "canonical_url",
+        F.conv(F.substring(F.md5("canonical_url"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("priority"),
+    )
+    wr = Window.partitionBy("host").orderBy("priority", "canonical_url")
+    return r.withColumn("rank", F.row_number().over(wr).cast("long")).filter(
+        F.col("rank") <= k
+    )
 
 
 @query("url_frontier_topk", oracle=_FRONTIER_ORACLE)
@@ -910,19 +967,7 @@ def q_url_frontier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = docs.select(
         canonical_url_col(derived_url_col()).alias("canonical_url")
     ).distinct()
-    r = u.select(
-        F.regexp_extract("canonical_url", r"^https://([^/?]+)", 1).alias("host"),
-        "canonical_url",
-        F.conv(F.substring(F.md5("canonical_url"), 1, 8), 16, 10)
-        .cast("long")
-        .alias("priority"),
-    )
-    wr = Window.partitionBy("host").orderBy("priority", "canonical_url")
-    return (
-        r.withColumn("rank", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rank") <= 3)
-        .orderBy("host", "rank")
-    )
+    return ranked_frontier(u).orderBy("host", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -956,20 +1001,7 @@ hl AS (
          CAST(sum(n_docs) AS BIGINT) AS observed_docs
   FROM w GROUP BY host
 ),
-u AS (SELECT DISTINCT canonical_url FROM canon),
-r AS (
-  SELECT regexp_extract(canonical_url, '^https://([^/?]+)', 1) AS host,
-         canonical_url,
-         ('0x' || substr(md5(canonical_url), 1, 8))::BIGINT AS priority
-  FROM u
-),
-k AS (
-  SELECT host, canonical_url, priority,
-         CAST(row_number() OVER (PARTITION BY host
-                                 ORDER BY priority, canonical_url) AS BIGINT)
-           AS rank
-  FROM r
-)
+{_FRONTIER_RANK_CTES}
 SELECT k.host, k.canonical_url, k.priority, k.rank, hl.observed_docs,
        CAST(hl.last_window_start
             + 600000 * CAST(floor((k.rank + {_POLITENESS_QUOTA} - 1)
@@ -1000,8 +1032,8 @@ def q_politeness_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFram
     end up keyed on host, so the final join is a host-keyed shuffle join
     of two already-narrow relations (host count scales with the web;
     neither side is driver-collected or force-broadcast — AQE picks the
-    strategy). ceil is spelled floor((rank+1)/2) in BOTH engines: integer
-    ceil-division idioms differ, a shared closed form cannot drift."""
+    strategy). The ranking is ``ranked_frontier`` — the SAME construction
+    behind url_frontier_topk, imported not re-derived."""
     docs = load_table(spark, sf_dir, "documents")
     canon = docs.select(
         canonical_url_col(derived_url_col()).alias("canonical_url"),
@@ -1022,22 +1054,7 @@ def q_politeness_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFram
         F.max("window_start").alias("last_window_start"),
         F.sum("n_docs").cast("long").alias("observed_docs"),
     )
-    frontier = (
-        canon.select("canonical_url")
-        .distinct()
-        .select(
-            host,
-            "canonical_url",
-            F.conv(F.substring(F.md5("canonical_url"), 1, 8), 16, 10)
-            .cast("long")
-            .alias("priority"),
-        )
-    )
-    wr = Window.partitionBy("host").orderBy("priority", "canonical_url")
-    ranked = (
-        frontier.withColumn("rank", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rank") <= 3)
-    )
+    ranked = ranked_frontier(canon.select("canonical_url").distinct())
     return politeness_schedule(ranked, host_load).orderBy("host", "rank")
 
 

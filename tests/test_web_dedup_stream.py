@@ -240,8 +240,11 @@ def test_strip_spans_broadcast_budget_guard_fires(spark):
 
 def test_broadcast_guard_passes_through_under_budget(spark):
     """Under budget the guard is a pure pass-through: same rows out, and
-    the outer join still plans as a broadcast hash join (the scalar
-    count ride-in must not demote the join to a shuffle)."""
+    the outer join still plans as a broadcast hash join on the FRAME path
+    too (the scalar mass ride-in and the when-wrapped join key must not
+    demote the join to a shuffle — only the table-path query is pinned in
+    test_plans.py)."""
+    from flink_stream_processing_spark.plans import formatted_plan
     from flink_stream_processing_spark.queries_impl.web_dedup_stream import (
         maximal_shared_spans,
         strip_spans,
@@ -250,8 +253,12 @@ def test_broadcast_guard_passes_through_under_budget(spark):
     run = _words("c", 30)
     base = _tok_df(spark, [(1, run), (2, run)])
     spans = maximal_shared_spans(base)
-    out = strip_spans(base, spans).collect()
+    stripped = strip_spans(base, spans)
+    out = stripped.collect()
     assert [(r["doc_id"], r["removed_tokens"]) for r in out] == [(2, 30)]
+    plan = formatted_plan(stripped)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
 
 
 # ---------------------------------------------------------------------------
@@ -430,10 +437,16 @@ def test_incremental_strip_ignores_batch_internal_duplication(spark):
 
 
 def test_politeness_schedule_paces_rank3_one_window_later(spark):
-    """The pacing arithmetic: with quota 2, ranks 1-2 of every host share
-    the first schedule slot (last observed window + 1) and rank 3 lands
-    one full window later; scheduled_start is derived from the host's own
-    last window."""
+    """The pacing arithmetic: entries pace ceil(rank / quota) full
+    windows after the host's own last observed window (with the shipped
+    quota 2: ranks 1-2 share the first slot, rank 3 lands one later).
+    The quota is IMPORTED — the query and its oracle both interpolate
+    _POLITENESS_QUOTA, so a constant change must not turn this test into
+    a false alarm."""
+    from flink_stream_processing_spark.queries_impl.web_dedup_stream import (
+        _POLITENESS_QUOTA as Q,
+    )
+
     rows = QUERIES["politeness_frontier_schedule"](spark, SF_SMALL).collect()
     assert len(rows) > 0
     hot = QUERIES["streaming_hot_hosts"](spark, SF_SMALL).collect()
@@ -441,7 +454,7 @@ def test_politeness_schedule_paces_rank3_one_window_later(spark):
     for r in hot:
         last[r["host"]] = max(last.get(r["host"], 0), r["window_start"])
     for r in rows:
-        slot = (r["rank"] + 1) // 2
+        slot = (r["rank"] + Q - 1) // Q
         assert r["scheduled_start"] == last[r["host"]] + 600_000 * slot, r
 
 
