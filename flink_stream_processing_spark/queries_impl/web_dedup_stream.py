@@ -216,14 +216,21 @@ def _broadcast_guarded(
     into the frame's FIRST column (always a consumed join key at the call
     sites) via ``assert_true`` so the optimizer cannot prune the check.
 
-    The input must already be MATERIALIZED (localCheckpoint) when its
-    lineage is expensive: the mass aggregate and the broadcast are two
-    consumers of ``df``, and without materialization Spark evaluates the
-    whole lineage twice (no cross-subtree exchange reuse — measured +22
-    to +36% on the span queries before the checkpoint landed). Under
-    budget the plan is the original broadcast plus one scalar ride-in;
-    over budget the job fails NAMED, before the driver collects a
-    corpus-fraction-sized relation."""
+    The input must already be PERSISTED (``.cache()`` at the call sites)
+    when its lineage is expensive: the mass aggregate and the broadcast
+    are two consumers of ``df``, and without persistence Spark evaluates
+    the whole lineage twice (no cross-subtree exchange reuse — measured
+    +22 to +36% on the span queries before the cache landed). cache, not
+    localCheckpoint: a checkpoint compiles to RDDs at CONSTRUCTION time,
+    which under AQE executes the shuffle stages eagerly — plan-only
+    callers would pay full execution — while a cache is populated by the
+    guard's own first consumer (bench.py's release machinery unpersists
+    per-query blocks either way). Under budget the plan is the original
+    broadcast plus one scalar ride-in; over budget the job fails NAMED
+    before the driver collects the relation — though AFTER the lineage
+    computes once to count it (a corpus-fraction-sized frame is built
+    and cached, then rejected; late but loud, and strictly cheaper than
+    the OOM it replaces)."""
     agg = (F.count(F.lit(1)) if mass is None else mass).alias("_bc_mass")
     cnt = df.groupBy().agg(agg)
     first = df.columns[0]
@@ -441,10 +448,11 @@ def q_duplicate_span_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``_broadcast_guarded``): span count scales with the corpus'
     duplication mass, so a heavily-duplicated crawl fails the named
     budget assert instead of OOMing the driver. The span frame is
-    localCheckpointed first — the guard's mass aggregate and the
-    broadcast are two consumers, and without materialization the whole
-    span pipeline would execute twice (measured +36% at sf0.1)."""
-    spans = _span_frame(spark, sf_dir).localCheckpoint(eager=True)
+    cached first — the guard's mass aggregate and the broadcast are two
+    consumers, and without persistence the whole span pipeline would
+    execute twice (measured +36% at sf0.1; cache not checkpoint, so
+    construction stays lazy — see _broadcast_guarded)."""
+    spans = _span_frame(spark, sf_dir).cache()
     toks = _tokenized_docs(spark, sf_dir).select(
         F.col("doc_id").alias("doc_a"), "toks"
     )
@@ -705,8 +713,9 @@ def strip_spans(
     test can trip it on a small fixture). The guarded MASS is the total
     interval count — ``sum(size(ivs))``, not the per-doc row count, which
     would hide thousands of intervals per doc under ``_SPAN_MAX_MULT`` —
-    and the aggregated frame is localCheckpointed so the mass aggregate
-    and the broadcast share one evaluation of the span lineage."""
+    and the aggregated frame is cached so the mass aggregate and the
+    broadcast share one evaluation of the span lineage (cache not
+    checkpoint: construction stays lazy, see ``_broadcast_guarded``)."""
     ivs = (
         spans.select(
             F.col("doc_b").alias("doc_id"),
@@ -717,7 +726,7 @@ def strip_spans(
         )
         .groupBy("doc_id")
         .agg(F.collect_list("iv").alias("ivs"))
-        .localCheckpoint(eager=True)
+        .cache()
     )
     return _excise_covered_positions(
         base,
@@ -978,10 +987,18 @@ def q_url_frontier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # without re-touching the old corpus).
 
 # Per-host politeness quota: how many frontier fetches a host may absorb
-# per 10-minute window. 2 splits the rank<=3 frontier into two schedule
+# per pacing window. 2 splits the rank<=3 frontier into two schedule
 # slots at every SF (rank 1-2 -> slot 1, rank 3 -> slot 2), so the gate
 # exercises the pacing arithmetic, not just the join.
 _POLITENESS_QUOTA = 2
+# The pacing window width in ms — ONE definition interpolated into the
+# Spark windowing, the oracle's time_bucket/arithmetic, and imported by
+# the pacing tests (the quota-drift lesson applied to the width: editing
+# it in one site but not the others would silently desynchronize the
+# schedule from its oracle). 600 s also divides the 946 684 800 s offset
+# between Spark's epoch window origin and DuckDB's 2000-01-01
+# time_bucket origin, so the two engines' buckets coincide exactly.
+_POLITENESS_WINDOW_MS = 600_000
 
 _POLITENESS_ORACLE = f"""
 WITH {_URL_CANON_CTES},
@@ -992,7 +1009,8 @@ tc AS (
   FROM canon
 ),
 w AS (
-  SELECT epoch_ms(time_bucket(INTERVAL 10 MINUTES, ts)) AS window_start,
+  SELECT epoch_ms(time_bucket(INTERVAL {_POLITENESS_WINDOW_MS // 1000} SECONDS, ts))
+           AS window_start,
          host, count(*) AS n_docs
   FROM tc GROUP BY 1, 2
 ),
@@ -1004,7 +1022,7 @@ hl AS (
 {_FRONTIER_RANK_CTES}
 SELECT k.host, k.canonical_url, k.priority, k.rank, hl.observed_docs,
        CAST(hl.last_window_start
-            + 600000 * CAST(floor((k.rank + {_POLITENESS_QUOTA} - 1)
+            + {_POLITENESS_WINDOW_MS} * CAST(floor((k.rank + {_POLITENESS_QUOTA} - 1)
                                   / {_POLITENESS_QUOTA}) AS BIGINT) AS BIGINT)
          AS scheduled_start
 FROM k JOIN hl ON k.host = hl.host
@@ -1042,7 +1060,7 @@ def q_politeness_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFram
     host = F.regexp_extract("canonical_url", r"^https://([^/?]+)", 1).alias("host")
     wins = (
         canon.select(host, "ts")
-        .groupBy(F.window("ts", "10 minutes"), "host")
+        .groupBy(F.window("ts", f"{_POLITENESS_WINDOW_MS // 1000} seconds"), "host")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .select(
             F.unix_millis(F.col("window.start")).alias("window_start"),
@@ -1062,7 +1080,7 @@ def politeness_schedule(
     ranked: DataFrame,
     host_load: DataFrame,
     quota: int = _POLITENESS_QUOTA,
-    window_ms: int = 600_000,
+    window_ms: int = _POLITENESS_WINDOW_MS,
 ) -> DataFrame:
     """The pacing join, exposed on frames (the ``maximal_shared_spans``
     convention — law tests and scale rungs drive the operator over

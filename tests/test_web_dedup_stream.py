@@ -445,6 +445,7 @@ def test_politeness_schedule_paces_rank3_one_window_later(spark):
     a false alarm."""
     from flink_stream_processing_spark.queries_impl.web_dedup_stream import (
         _POLITENESS_QUOTA as Q,
+        _POLITENESS_WINDOW_MS as W_MS,
     )
 
     rows = QUERIES["politeness_frontier_schedule"](spark, SF_SMALL).collect()
@@ -455,7 +456,7 @@ def test_politeness_schedule_paces_rank3_one_window_later(spark):
         last[r["host"]] = max(last.get(r["host"], 0), r["window_start"])
     for r in rows:
         slot = (r["rank"] + Q - 1) // Q
-        assert r["scheduled_start"] == last[r["host"]] + 600_000 * slot, r
+        assert r["scheduled_start"] == last[r["host"]] + W_MS * slot, r
 
 
 def test_politeness_schedule_quota_law_on_synthetic_frontier(spark):
