@@ -1,0 +1,308 @@
+"""Recrawl scheduling — the crawl family's freshness loop (r15 queue
+items (a) and (c), prepared in r14).
+
+Two compositions over signals the family already computes:
+
+- ``recrawl_schedule``: politeness pacing MODULATED by content churn.
+  Every document is one crawl observation of its canonical URL (event
+  time = epoch + doc_id, web_dedup_stream's convention); consecutive
+  observations of the SAME canonical URL whose content fingerprint
+  differs are a detected change. Hosts whose pages churn get a SHORTER
+  recrawl interval (window / (1 + changes), floored at window / 4 so a
+  hot host can never be hammered), calm hosts keep the full politeness
+  window — the classic freshness-driven scheduler (Cho & Garcia-Molina,
+  "Effective Page Refresh Policies for Web Crawlers", TODS 2003).
+
+- ``sessionized_politeness``: the frontier paced into the host's OBSERVED
+  idle period. ``streaming_host_sessions`` (web_dedup_stream) groups each
+  host's fetches into sessions separated by >= _HOST_SESSION_GAP_S of
+  quiet; its batch twin here anchors the schedule at the LAST session's
+  end (which already includes the gap — the host is provably idle from
+  then) and drains the rank<=3 frontier quota-at-a-time from that anchor.
+
+100 TB design: both queries aggregate the observation log to ONE row per
+host before any join (change counts and window/session anchors are
+per-host scalars; URLs never ride along), then join the rank<=3-per-host
+frontier host-keyed — two narrow relations whose row count scales with
+the number of hosts, not pages; AQE picks the join strategy (the r12
+span-broadcast lesson: nothing here is force-broadcast). The per-URL
+change-detection window shuffles (canonical_url, ts, fp) triples once —
+no text, no all-pairs.
+
+NOT YET REGISTERED (r14 freshness arithmetic leaves zero add slots —
+OPERATORS.md r14 queue #2): the ``q_*`` functions carry their planned
+registry names and oracles, gated by tests/test_recrawl.py through the
+driver-equivalent assert_matches_oracle harness; r15 flips them to
+``@query`` + queries.py import + QUERY_LEDGER.json rows.
+
+Reference parity note: the reference (StreamJob.java) has no crawl
+scheduler — this family is part of the LLM-pipeline extension's crawl
+composition arc (OPERATORS.md r12-r15), built entirely on the public
+politeness/recrawl literature.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.batch import load_table
+from ._shared_exprs import (
+    URL_CANON_CTES as _URL_CANON_CTES,
+    canonical_url_col,
+    derived_url_col,
+)
+from .web_dedup_stream import (
+    _EVENT_EPOCH,
+    _FRONTIER_RANK_CTES,
+    _HOST_SESSION_GAP_S,
+    _POLITENESS_QUOTA,
+    _POLITENESS_WINDOW_MS,
+    _event_ts,
+    ranked_frontier,
+)
+
+# A churny host's interval never drops below window / _RECRAWL_MIN_DIVISOR:
+# change detection accelerates recrawl, it must never repeal politeness.
+# ONE definition interpolated into the oracle and imported by the tests
+# (the _POLITENESS_WINDOW_MS single-sourcing convention).
+_RECRAWL_MIN_DIVISOR = 4
+
+
+def _host_col() -> Column:
+    return F.regexp_extract("canonical_url", r"^https://([^/?]+)", 1)
+
+
+def churn_recrawl_schedule(
+    ranked: DataFrame,
+    host_signal: DataFrame,
+    quota: int = _POLITENESS_QUOTA,
+    window_ms: int = _POLITENESS_WINDOW_MS,
+    min_divisor: int = _RECRAWL_MIN_DIVISOR,
+) -> DataFrame:
+    """The churn-modulated pacing join on frames (politeness_schedule's
+    convention — law tests drive it over synthetic inputs): a ranked
+    frontier joins a per-host signal (host, last_window_start, n_changes)
+    and each entry is scheduled ceil(rank / quota) EFFECTIVE intervals
+    after the host's last observed window, where the effective interval
+    is window / (1 + n_changes) floored at window / min_divisor.
+
+    LAWS (test-pinned): interval_ms is monotonically non-increasing in
+    n_changes and never below window_ms // min_divisor; with n_changes
+    = 0 the schedule is exactly ``politeness_schedule``'s. Unordered."""
+    interval = F.greatest(
+        F.floor(F.lit(window_ms) / (F.col("n_changes") + 1)).cast("long"),
+        F.lit(window_ms // min_divisor).cast("long"),
+    )
+    slot = F.floor((F.col("rank") + quota - 1) / F.lit(quota)).cast("long")
+    return ranked.join(host_signal, "host").select(
+        "host",
+        "canonical_url",
+        "priority",
+        "rank",
+        "n_changes",
+        interval.alias("interval_ms"),
+        (F.col("last_window_start") + interval * slot)
+        .cast("long")
+        .alias("scheduled_start"),
+    )
+
+
+# --- planned registry name: recrawl_schedule --------------------------------
+
+RECRAWL_SCHEDULE_ORACLE = f"""
+WITH {_URL_CANON_CTES},
+o AS (
+  SELECT c.canonical_url,
+         regexp_extract(c.canonical_url, '^https://([^/?]+)', 1) AS host,
+         make_timestamp(({_EVENT_EPOCH} + c.doc_id) * 1000000) AS ts,
+         md5(lower(trim(d.text))) AS fp
+  FROM canon c JOIN documents d USING (doc_id)
+),
+tr AS (
+  SELECT host,
+         CASE WHEN lag(fp) OVER win IS NOT NULL AND fp <> lag(fp) OVER win
+              THEN 1 ELSE 0 END AS chg
+  FROM o WINDOW win AS (PARTITION BY canonical_url ORDER BY ts)
+),
+churn AS (SELECT host, CAST(sum(chg) AS BIGINT) AS n_changes FROM tr GROUP BY host),
+w AS (
+  SELECT epoch_ms(time_bucket(INTERVAL {_POLITENESS_WINDOW_MS // 1000} SECONDS, ts))
+           AS window_start,
+         host
+  FROM o
+),
+hl AS (SELECT host, max(window_start) AS last_window_start FROM w GROUP BY host),
+{_FRONTIER_RANK_CTES},
+iv AS (
+  SELECT host,
+         CAST(greatest(floor({_POLITENESS_WINDOW_MS} / (n_changes + 1)),
+                       {_POLITENESS_WINDOW_MS // _RECRAWL_MIN_DIVISOR})
+              AS BIGINT) AS interval_ms,
+         n_changes
+  FROM churn
+)
+SELECT k.host, k.canonical_url, k.priority, k.rank, iv.n_changes, iv.interval_ms,
+       CAST(hl.last_window_start
+            + iv.interval_ms * CAST(floor((k.rank + {_POLITENESS_QUOTA} - 1)
+                                          / {_POLITENESS_QUOTA}) AS BIGINT)
+            AS BIGINT) AS scheduled_start
+FROM k JOIN hl ON k.host = hl.host JOIN iv ON k.host = iv.host
+WHERE k.rank <= 3
+ORDER BY k.host, k.rank
+"""
+
+
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-driven recrawl schedule: politeness_frontier_schedule's
+    composition with the per-host pacing window MODULATED by detected
+    content churn. Change detection: per canonical URL ordered by event
+    time (unique — ts is epoch + doc_id), a fingerprint differing from
+    its predecessor counts one change; the host's change total divides
+    its politeness window, floored at a quarter window. At this fixture
+    nearly every revisit rewrites the page (synthetic text), so most
+    hosts sit at the floor — the monotonicity and floor laws are pinned
+    on synthetic frames in tests/test_recrawl.py, while this gate
+    certifies the full composition arithmetic end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.select(
+        canonical_url_col(derived_url_col()).alias("canonical_url"),
+        _event_ts().alias("ts"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+    )
+    wu = Window.partitionBy("canonical_url").orderBy("ts")
+    chg = obs.withColumn(
+        "chg",
+        F.when(
+            F.lag("fp").over(wu).isNotNull() & (F.col("fp") != F.lag("fp").over(wu)),
+            1,
+        ).otherwise(0),
+    )
+    churn = chg.groupBy(_host_col().alias("host")).agg(
+        F.sum("chg").cast("long").alias("n_changes")
+    )
+    host_load = (
+        obs.select(_host_col().alias("host"), "ts")
+        .groupBy(F.window("ts", f"{_POLITENESS_WINDOW_MS // 1000} seconds"), "host")
+        .agg(F.count(F.lit(1)))
+        .groupBy("host")
+        .agg(F.max(F.unix_millis(F.col("window.start"))).alias("last_window_start"))
+    )
+    ranked = ranked_frontier(obs.select("canonical_url").distinct())
+    return churn_recrawl_schedule(ranked, host_load.join(churn, "host")).orderBy(
+        "host", "rank"
+    )
+
+
+# --- planned registry name: sessionized_politeness ---------------------------
+
+SESSIONIZED_POLITENESS_ORACLE = f"""
+WITH {_URL_CANON_CTES},
+tc AS (
+  SELECT regexp_extract(canonical_url, '^https://([^/?]+)', 1) AS host,
+         make_timestamp(({_EVENT_EPOCH} + doc_id) * 1000000) AS ts
+  FROM canon
+),
+o AS (
+  SELECT host, ts,
+         CASE WHEN lag(ts) OVER win IS NULL
+                OR ts - lag(ts) OVER win >= INTERVAL {_HOST_SESSION_GAP_S} SECONDS
+              THEN 1 ELSE 0 END AS new_sess
+  FROM tc WINDOW win AS (PARTITION BY host ORDER BY ts)
+),
+s AS (
+  SELECT host, ts,
+         sum(new_sess) OVER (PARTITION BY host ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM o
+),
+sess AS (
+  SELECT host, sess_id,
+         epoch_ms(max(ts)) + {_HOST_SESSION_GAP_S * 1000} AS session_end,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM s GROUP BY host, sess_id
+),
+anchor AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_sessions,
+         max(session_end) AS last_session_end,
+         max_by(n_docs, sess_id) AS last_session_docs
+  FROM sess GROUP BY host
+),
+{_FRONTIER_RANK_CTES}
+SELECT k.host, k.canonical_url, k.priority, k.rank,
+       a.n_sessions, a.last_session_docs, a.last_session_end,
+       CAST(a.last_session_end
+            + {_POLITENESS_WINDOW_MS}
+              * (CAST(floor((k.rank + {_POLITENESS_QUOTA} - 1)
+                            / {_POLITENESS_QUOTA}) AS BIGINT) - 1)
+            AS BIGINT) AS scheduled_start
+FROM k JOIN anchor a ON k.host = a.host
+WHERE k.rank <= 3
+ORDER BY k.host, k.rank
+"""
+
+
+def q_sessionized_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized politeness: the frontier drained into the host's
+    observed IDLE period. The per-host session islands are the batch twin
+    of ``streaming_host_sessions`` (same gap constant, same gaps-and-
+    islands construction, same session_end = last fetch + gap convention
+    — so the anchor is the instant the host is provably idle); the
+    rank<=3 frontier schedules from the LAST session's end,
+    _POLITENESS_QUOTA entries per politeness window. n_sessions and the
+    last session's fetch count ride along so the gate certifies the whole
+    islands computation, not just the anchor."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.select(
+        canonical_url_col(derived_url_col()).alias("canonical_url"),
+        _event_ts().alias("ts"),
+    )
+    wh = Window.partitionBy("host").orderBy("ts")
+    marked = (
+        obs.select(_host_col().alias("host"), "ts")
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.lag("ts").over(wh).isNull()
+                | (
+                    F.col("ts").cast("double") - F.lag("ts").over(wh).cast("double")
+                    >= F.lit(float(_HOST_SESSION_GAP_S))
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(wh.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    sess = marked.groupBy("host", "sess_id").agg(
+        (F.unix_millis(F.max("ts")) + _HOST_SESSION_GAP_S * 1000).alias("session_end"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    anchor = sess.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.max("session_end").alias("last_session_end"),
+        F.max_by("n_docs", "sess_id").alias("last_session_docs"),
+    )
+    slot = F.floor(
+        (F.col("rank") + _POLITENESS_QUOTA - 1) / F.lit(_POLITENESS_QUOTA)
+    ).cast("long")
+    ranked = ranked_frontier(obs.select("canonical_url").distinct())
+    return (
+        ranked.join(anchor, "host")
+        .select(
+            "host",
+            "canonical_url",
+            "priority",
+            "rank",
+            "n_sessions",
+            "last_session_docs",
+            "last_session_end",
+            (F.col("last_session_end") + _POLITENESS_WINDOW_MS * (slot - 1))
+            .cast("long")
+            .alias("scheduled_start"),
+        )
+        .orderBy("host", "rank")
+    )

@@ -1,0 +1,205 @@
+"""Store MAINTENANCE for the incremental dedup families — the write side
+of the daily pipeline (r15 queue item (b), prepared in r14).
+
+The incremental read sides (``incremental_exact_dedup``,
+``incremental_minhash_near_dups``, ``incremental_strip_new_docs``) all
+probe a persisted key store that some earlier run wrote. This module is
+that earlier run: given the current store generation and a new ingest
+batch, compute the APPEND DELTA (novel keys only), assign every key of
+the next generation to its bucket, and emit the per-bucket compaction
+report a real pipeline audits after each daily run.
+
+100 TB design: the store lives as a parquet/Delta table hash-bucketed on
+the key (``exact_fingerprint_store``'s contract, one level up). The
+append writes ONLY delta rows, routed to their buckets; compaction
+rewrites per-bucket files merging the small daily appends. Nothing here
+is all-pairs: the delta is one anti-join on the key (the same
+bucket-local join shape as the probe side), and the report shuffles only
+(bucket_id, is_new) pairs with map-side partial aggregation. Corpus TEXT
+is consumed exactly once, when keys are extracted — the maintenance plan
+never rescans it.
+
+Key contract: keys are md5 hex digests (32 chars) — both store families
+already use them (``exact_fingerprint_store`` at doc granularity,
+``span_hash_store`` at window granularity), and the bucket id derives
+from the first 8 hex chars, so bucket routing costs no second hash and
+is byte-identical in Spark and DuckDB (``('0x' || substr(key,1,8))
+::BIGINT % B`` / ``conv(substring(key,1,8),16,10) % B``).
+
+NOT YET REGISTERED (r14 freshness arithmetic leaves zero add slots —
+OPERATORS.md r14 queue #2): the ``q_*`` functions below carry their
+planned registry names and oracles and are gated by
+tests/test_store_maintenance.py through the same assert_matches_oracle
+harness the driver mirrors; r15 flips them to ``@query`` and adds the
+module to queries.py's import list + QUERY_LEDGER.json.
+
+Reference parity note: the reference pipeline (StreamJob.java) keeps no
+persisted dedup state at all — this family is part of the LLM-pipeline
+extension (SURVEY.md "training-data pipeline" mandate), modeled on the
+suffix-array/fingerprint store maintenance described in "Deduplicating
+Training Data Makes Language Models Better" (Lee et al., 2022) §4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import exact_fingerprint_store
+from ..sources.batch import load_table
+from ..operators.text import tokens_col
+from .web_dedup_stream import _SPAN_W, span_hash_store
+
+# Bucket count for the compaction report. 8 keeps every bucket populated
+# at sf0.001 (the smallest driver SF) so the report's shape is
+# SF-independent; a production table would use O(thousands) — the
+# arithmetic is identical, only the literal changes (interpolated into
+# the oracles below so the two engines cannot drift).
+_N_BUCKETS = 8
+
+
+def store_append_delta(store: DataFrame, batch_keys: DataFrame, key: str) -> DataFrame:
+    """Novel keys of an ingest batch: the rows the daily append actually
+    writes. One anti-join on the key — at 100 TB both sides are bucketed
+    on it, so the join is bucket-local with no wide shuffle. The batch
+    side is deduped first (a batch re-presenting a key twice must write
+    it once)."""
+    return batch_keys.select(key).distinct().join(
+        store.select(key), key, "left_anti"
+    )
+
+
+def compacted_store(store: DataFrame, delta: DataFrame, key: str,
+                    n_buckets: int = _N_BUCKETS) -> DataFrame:
+    """The next store generation: carried ∪ delta, each key routed to its
+    bucket, tagged with provenance. NO distinct here — the store is
+    distinct by contract and the delta is anti-joined against it, so the
+    union is distinct BY CONSTRUCTION and the extra shuffle would be pure
+    waste (test-pinned by test_compacted_store_is_distinct). Output:
+    (bucket_id, key..., is_new)."""
+    tagged = store.select(key).withColumn("is_new", F.lit(False)).unionByName(
+        delta.select(key).withColumn("is_new", F.lit(True))
+    )
+    bucket = (
+        F.conv(F.substring(F.col(key), 1, 8), 16, 10).cast("long") % n_buckets
+    ).alias("bucket_id")
+    return tagged.select(bucket, key, "is_new")
+
+
+def compaction_report(gen2: DataFrame) -> DataFrame:
+    """Per-bucket audit row of a compaction run: how many keys each bucket
+    carried over, gained, and now holds. Shuffles only (bucket_id,
+    is_new) aggregates — partial map-side, final per bucket."""
+    return gen2.groupBy("bucket_id").agg(
+        F.sum(F.when(~F.col("is_new"), 1).otherwise(0)).cast("long").alias("n_carried"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).cast("long").alias("n_new"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+
+
+# --- planned registry name: fingerprint_store_compaction -------------------
+
+FINGERPRINT_STORE_COMPACTION_ORACLE = f"""
+WITH store AS (
+  SELECT DISTINCT md5(lower(trim(text))) AS fingerprint
+  FROM documents WHERE doc_id % 10 <> 0
+),
+batch AS (
+  SELECT DISTINCT md5(lower(trim(text))) AS fingerprint
+  FROM documents WHERE doc_id % 10 = 0
+),
+delta AS (
+  SELECT fingerprint FROM batch b
+  WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.fingerprint = b.fingerprint)
+),
+gen2 AS (
+  SELECT fingerprint, FALSE AS is_new FROM store
+  UNION ALL
+  SELECT fingerprint, TRUE AS is_new FROM delta
+)
+SELECT ('0x' || substr(fingerprint, 1, 8))::BIGINT % {_N_BUCKETS} AS bucket_id,
+       CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS n_carried,
+       CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM gen2 GROUP BY bucket_id ORDER BY bucket_id
+"""
+
+
+def q_fingerprint_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily maintenance of the exact-dedup fingerprint store over the
+    standard corpus/batch split (doc_id % 10 == 0 is the incoming batch —
+    llm_dedup._split_batch's convention, mirrored in the oracle): build
+    gen-1 from the corpus, compute the batch's append delta, and emit the
+    per-bucket compaction report of gen-2. The gate certifies the full
+    write path: key extraction, delta anti-join, bucket routing, and the
+    carried/new/total arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    store = exact_fingerprint_store(corpus)
+    delta = store_append_delta(store, exact_fingerprint_store(batch), "fingerprint")
+    return compaction_report(
+        compacted_store(store, delta, "fingerprint")
+    ).orderBy("bucket_id")
+
+
+# --- planned registry name: span_store_compaction --------------------------
+
+# Window-hash CTEs: LOCK-STEP MIRROR of web_dedup_stream's
+# _INCR_STRIP_ORACLE prefix (t/b/w/h) with the same interpolated _SPAN_W —
+# imported, not retyped, so the window width cannot drift; the CTE text
+# itself must stay in sync with token_window_hashes' convention (md5 of
+# the space-joined W-token slice).
+SPAN_STORE_COMPACTION_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+w AS (
+  SELECT doc_id, unnest(range(0, greatest(n_tokens - {_SPAN_W} + 1, 0))) AS s, toks
+  FROM b
+),
+h AS (
+  SELECT doc_id, md5(array_to_string(toks[s+1:s+{_SPAN_W}], ' ')) AS h FROM w
+),
+store AS (SELECT DISTINCT h FROM h WHERE doc_id % 10 <> 0),
+batch AS (SELECT DISTINCT h FROM h WHERE doc_id % 10 = 0),
+delta AS (
+  SELECT h FROM batch b2
+  WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.h = b2.h)
+),
+gen2 AS (
+  SELECT h, FALSE AS is_new FROM store
+  UNION ALL
+  SELECT h, TRUE AS is_new FROM delta
+)
+SELECT ('0x' || substr(h, 1, 8))::BIGINT % {_N_BUCKETS} AS bucket_id,
+       CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS n_carried,
+       CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM gen2 GROUP BY bucket_id ORDER BY bucket_id
+"""
+
+
+def _tokenized(docs: DataFrame) -> DataFrame:
+    return docs.select(F.col("doc_id"), tokens_col().alias("toks")).withColumn(
+        "n_tokens", F.size("toks").cast("long")
+    )
+
+
+def q_span_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same daily maintenance one level below document granularity:
+    append the new batch's W-token window hashes to the persisted span
+    store (``span_hash_store``) and report the gen-2 bucket histogram.
+    This is the write side whose read side is ``incremental_strip_spans``
+    — together they close the daily loop: strip the batch against gen-1,
+    then append its (post-ingest) hashes so tomorrow's batch dedups
+    against today's docs. Window hashes build DOC-LOCALLY
+    (token_window_hashes); only 32-char hashes ever shuffle."""
+    toks = _tokenized(load_table(spark, sf_dir, "documents"))
+    corpus = toks.filter(F.col("doc_id") % 10 != 0)
+    batch = toks.filter(F.col("doc_id") % 10 == 0)
+    store = span_hash_store(corpus)
+    delta = store_append_delta(store, span_hash_store(batch), "h")
+    return compaction_report(compacted_store(store, delta, "h")).orderBy("bucket_id")

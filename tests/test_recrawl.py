@@ -1,0 +1,137 @@
+"""Gates and laws for the r15-queued recrawl family (churn-modulated
+recrawl + sessionized politeness). The two q_* functions are oracle-gated
+HERE through the driver-equivalent assert_matches_oracle harness;
+registration is deferred to r15 per the r14 zero-add-slot arithmetic
+(OPERATORS.md)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_stream_processing_spark.queries_impl.recrawl import (
+    RECRAWL_SCHEDULE_ORACLE,
+    SESSIONIZED_POLITENESS_ORACLE,
+    _RECRAWL_MIN_DIVISOR,
+    churn_recrawl_schedule,
+    q_recrawl_schedule,
+    q_sessionized_politeness,
+)
+from flink_stream_processing_spark.queries_impl.web_dedup_stream import (
+    _POLITENESS_QUOTA,
+    _POLITENESS_WINDOW_MS,
+    politeness_schedule,
+)
+
+from .conftest import SF_DIR
+from .oracle_utils import assert_matches_oracle
+
+
+# --- driver-equivalent oracle gates (the r15 registration contract) --------
+
+
+def test_recrawl_schedule_matches_oracle(spark):
+    assert_matches_oracle(
+        q_recrawl_schedule(spark, SF_DIR), RECRAWL_SCHEDULE_ORACLE, SF_DIR
+    )
+
+
+def test_sessionized_politeness_matches_oracle(spark):
+    assert_matches_oracle(
+        q_sessionized_politeness(spark, SF_DIR), SESSIONIZED_POLITENESS_ORACLE, SF_DIR
+    )
+
+
+# --- pacing laws on synthetic frames ----------------------------------------
+
+
+def _synthetic_inputs(spark, changes_by_host):
+    """A 3-deep ranked frontier per host plus a per-host signal with the
+    given change counts; last_window_start fixed so schedules compare
+    across hosts directly."""
+    ranked = spark.createDataFrame(
+        [
+            (h, f"https://{h}/p{r}", int(r * 100), int(r))
+            for h in changes_by_host
+            for r in (1, 2, 3)
+        ],
+        "host string, canonical_url string, priority long, rank long",
+    )
+    signal = spark.createDataFrame(
+        [(h, 1_000_000, int(c)) for h, c in changes_by_host.items()],
+        "host string, last_window_start long, n_changes long",
+    )
+    return ranked, signal
+
+
+def test_recrawl_interval_monotone_in_churn_with_floor(spark):
+    """More churn -> never a LONGER interval, and the politeness floor
+    (window // divisor) is never breached no matter how hot the host."""
+    ranked, signal = _synthetic_inputs(
+        spark, {"calm": 0, "warm": 1, "hot": 5, "inferno": 10_000}
+    )
+    rows = {
+        (r["host"], r["rank"]): r
+        for r in churn_recrawl_schedule(ranked, signal).collect()
+    }
+    floor = _POLITENESS_WINDOW_MS // _RECRAWL_MIN_DIVISOR
+    ordered = ["calm", "warm", "hot", "inferno"]
+    for rank in (1, 2, 3):
+        ivs = [rows[(h, rank)]["interval_ms"] for h in ordered]
+        assert ivs == sorted(ivs, reverse=True), f"not monotone at rank {rank}: {ivs}"
+        assert all(iv >= floor for iv in ivs)
+        scheds = [rows[(h, rank)]["scheduled_start"] for h in ordered]
+        assert scheds == sorted(scheds, reverse=True)
+    assert rows[("calm", 1)]["interval_ms"] == _POLITENESS_WINDOW_MS
+    assert rows[("inferno", 1)]["interval_ms"] == floor
+
+
+def test_recrawl_with_zero_churn_reduces_to_politeness(spark):
+    """n_changes == 0 must reproduce politeness_schedule exactly — the
+    composition strictly extends the base controller, never forks it."""
+    ranked, signal = _synthetic_inputs(spark, {"a": 0, "b": 0})
+    base = politeness_schedule(
+        ranked, signal.select("host", "last_window_start", F.lit(7).alias("observed_docs"))
+    ).select("host", "canonical_url", "rank", "scheduled_start")
+    got = churn_recrawl_schedule(ranked, signal).select(
+        "host", "canonical_url", "rank", "scheduled_start"
+    )
+    assert sorted(got.collect()) == sorted(base.collect())
+
+
+def test_recrawl_quota_law(spark):
+    """At most _POLITENESS_QUOTA frontier entries share any (host,
+    scheduled_start), and every schedule lands strictly after the host's
+    last observed window."""
+    ranked, signal = _synthetic_inputs(spark, {"x": 3, "y": 0})
+    out = churn_recrawl_schedule(ranked, signal)
+    per_slot = out.groupBy("host", "scheduled_start").count()
+    assert per_slot.agg(F.max("count")).first()[0] <= _POLITENESS_QUOTA
+    late = out.join(signal.select("host", "last_window_start"), "host").filter(
+        F.col("scheduled_start") <= F.col("last_window_start")
+    )
+    assert late.count() == 0
+
+
+def test_sessionized_schedule_starts_at_observed_idle(spark):
+    """Every scheduled_start is >= the host's last session end (the
+    instant the host is provably idle — session_end already includes the
+    gap), rank 1..quota land exactly AT it, and at most quota entries
+    share any (host, scheduled_start)."""
+    out = q_sessionized_politeness(spark, SF_DIR).cache()
+    try:
+        assert out.count() > 0
+        assert (
+            out.filter(F.col("scheduled_start") < F.col("last_session_end")).count()
+            == 0
+        )
+        first_slot = out.filter(F.col("rank") <= _POLITENESS_QUOTA)
+        assert (
+            first_slot.filter(
+                F.col("scheduled_start") != F.col("last_session_end")
+            ).count()
+            == 0
+        )
+        per_slot = out.groupBy("host", "scheduled_start").count()
+        assert per_slot.agg(F.max("count")).first()[0] <= _POLITENESS_QUOTA
+    finally:
+        out.unpersist(blocking=True)

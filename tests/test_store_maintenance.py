@@ -1,0 +1,152 @@
+"""Gates and laws for the r15-queued store-maintenance family (the write
+side of the incremental dedup stores). The two q_* functions are
+oracle-gated HERE through the same assert_matches_oracle harness the
+driver mirrors — registration (queries.py import + ledger row) is
+deferred to r15 per the r14 zero-add-slot arithmetic (OPERATORS.md)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_stream_processing_spark.operators.dedup import (
+    exact_fingerprint_store,
+    incremental_exact_dedup,
+)
+from flink_stream_processing_spark.queries_impl.store_maintenance import (
+    FINGERPRINT_STORE_COMPACTION_ORACLE,
+    SPAN_STORE_COMPACTION_ORACLE,
+    _N_BUCKETS,
+    _tokenized,
+    compacted_store,
+    compaction_report,
+    q_fingerprint_store_compaction,
+    q_span_store_compaction,
+    store_append_delta,
+)
+from flink_stream_processing_spark.queries_impl.web_dedup_stream import (
+    incremental_strip_new_docs,
+    span_hash_store,
+)
+from flink_stream_processing_spark.sources.batch import load_table
+
+from .conftest import SF_DIR
+from .oracle_utils import assert_matches_oracle
+
+
+# --- driver-equivalent oracle gates (the r15 registration contract) --------
+
+
+def test_fingerprint_store_compaction_matches_oracle(spark):
+    assert_matches_oracle(
+        q_fingerprint_store_compaction(spark, SF_DIR),
+        FINGERPRINT_STORE_COMPACTION_ORACLE,
+        SF_DIR,
+    )
+
+
+def test_span_store_compaction_matches_oracle(spark):
+    assert_matches_oracle(
+        q_span_store_compaction(spark, SF_DIR),
+        SPAN_STORE_COMPACTION_ORACLE,
+        SF_DIR,
+    )
+
+
+# --- maintenance laws -------------------------------------------------------
+
+
+def _three_way_split(docs):
+    """corpus / yesterday's batch (b1) / today's batch (b2)."""
+    corpus = docs.filter(~(F.col("doc_id") % 10).isin(0, 5))
+    b1 = docs.filter(F.col("doc_id") % 10 == 5)
+    b2 = docs.filter(F.col("doc_id") % 10 == 0)
+    return corpus, b1, b2
+
+
+def test_exact_probe_equivalence_after_append(spark):
+    """THE maintenance invariant: probing the maintained store (gen-1 +
+    b1's delta) is indistinguishable from probing a from-scratch store
+    over corpus ∪ b1. If append lost or duplicated a key, tomorrow's
+    dedup (b2) would diverge."""
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus, b1, b2 = _three_way_split(docs)
+    store = exact_fingerprint_store(corpus)
+    delta = store_append_delta(store, exact_fingerprint_store(b1), "fingerprint")
+    maintained = compacted_store(store, delta, "fingerprint").select("fingerprint")
+    scratch = exact_fingerprint_store(corpus.unionByName(b1))
+    got = sorted(incremental_exact_dedup(b2, maintained).collect())
+    want = sorted(incremental_exact_dedup(b2, scratch).collect())
+    assert got == want and len(want) > 0
+
+
+def test_span_probe_equivalence_after_append(spark):
+    """Same invariant one level down: stripping b2 against the maintained
+    span store == stripping against a from-scratch store over corpus ∪ b1."""
+    toks = _tokenized(load_table(spark, SF_DIR, "documents"))
+    corpus, b1, b2 = _three_way_split(toks)
+    store = span_hash_store(corpus)
+    delta = store_append_delta(store, span_hash_store(b1), "h")
+    maintained = (
+        compacted_store(store, delta, "h").select("h").localCheckpoint(eager=True)
+    )
+    scratch = span_hash_store(corpus.unionByName(b1)).localCheckpoint(eager=True)
+    got = sorted(incremental_strip_new_docs(b2, maintained).collect())
+    want = sorted(incremental_strip_new_docs(b2, scratch).collect())
+    assert got == want and len(want) > 0
+
+
+def test_append_is_idempotent(spark):
+    """Re-presenting an already-appended batch yields an EMPTY delta —
+    the daily append can be retried (a failed-run replay) without
+    growing the store."""
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus, b1, _ = _three_way_split(docs)
+    store = exact_fingerprint_store(corpus)
+    b1_keys = exact_fingerprint_store(b1)
+    delta = store_append_delta(store, b1_keys, "fingerprint")
+    gen2 = compacted_store(store, delta, "fingerprint").select("fingerprint")
+    assert store_append_delta(gen2, b1_keys, "fingerprint").count() == 0
+
+
+def test_compacted_store_is_distinct_and_buckets_partition(spark):
+    """gen-2 is distinct BY CONSTRUCTION (no extra distinct shuffle — the
+    operator's documented contract), every bucket_id lands in [0, B),
+    and the report's totals reassemble the store exactly."""
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus, b1, _ = _three_way_split(docs)
+    store = exact_fingerprint_store(corpus)
+    delta = store_append_delta(store, exact_fingerprint_store(b1), "fingerprint")
+    gen2 = compacted_store(store, delta, "fingerprint").cache()
+    try:
+        n = gen2.count()
+        assert gen2.select("fingerprint").distinct().count() == n
+        bounds = gen2.agg(
+            F.min("bucket_id").alias("lo"), F.max("bucket_id").alias("hi")
+        ).first()
+        assert 0 <= bounds["lo"] and bounds["hi"] < _N_BUCKETS
+        report = compaction_report(gen2)
+        totals = report.agg(
+            F.sum("n_carried").alias("c"),
+            F.sum("n_new").alias("d"),
+            F.sum("n_total").alias("t"),
+        ).first()
+        assert totals["t"] == n == totals["c"] + totals["d"]
+        assert totals["c"] == store.count() and totals["d"] == delta.count()
+    finally:
+        gen2.unpersist(blocking=True)
+
+
+def test_delta_never_rescans_corpus_text(spark):
+    """The maintenance plan's 100 TB contract: once gen-1 is persisted,
+    computing the NEXT delta reads only the batch — the corpus text
+    appears nowhere in the plan (same pin as
+    test_incremental_strip_never_rescans_corpus)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus, b1, _ = _three_way_split(docs)
+    persisted = exact_fingerprint_store(corpus).localCheckpoint(eager=True)
+    delta = store_append_delta(persisted, exact_fingerprint_store(b1), "fingerprint")
+    plan = delta._jdf.queryExecution().optimizedPlan().toString()
+    # exactly one parquet relation (the batch); the store side is the
+    # checkpointed RDD
+    assert plan.count("Relation") <= 1
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
