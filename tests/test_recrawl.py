@@ -135,3 +135,37 @@ def test_sessionized_schedule_starts_at_observed_idle(spark):
         assert per_slot.agg(F.max("count")).first()[0] <= _POLITENESS_QUOTA
     finally:
         out.unpersist(blocking=True)
+
+
+# --- 100 TB plan pins ---------------------------------------------------------
+
+
+def test_sessionized_politeness_never_reads_text(spark):
+    """Neither the session islands nor the frontier need the text payload
+    — every scan must prune it (the url_frontier_topk pin extended to the
+    composition)."""
+    from flink_stream_processing_spark.plans import formatted_plan
+
+    plan = formatted_plan(q_sessionized_politeness(spark, SF_DIR))
+    sections = plan.split("ReadSchema")[1:]
+    assert sections, plan
+    for section in sections:
+        assert "text" not in section.split("\n", 1)[0], plan
+
+
+def test_recrawl_reads_text_on_exactly_one_scan(spark):
+    """Only the fingerprint observation scan may carry text; the frontier
+    and window-anchor scans must prune it, and no join is force-broadcast
+    (AQE owns the strategy — the r12 span-broadcast lesson)."""
+    from flink_stream_processing_spark.plans import formatted_plan
+
+    df = q_recrawl_schedule(spark, SF_DIR)
+    plan = formatted_plan(df)
+    sections = plan.split("ReadSchema")[1:]
+    assert sections, plan
+    text_scans = sum(
+        "text" in section.split("\n", 1)[0] for section in sections
+    )
+    assert text_scans == 1, plan
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in logical.lower(), logical
