@@ -597,3 +597,60 @@ def test_streaming_1m_rows_default_vs_rocksdb(spark, tmp_path):
     assert default_run["checksum"] == rocks_run["checksum"], (
         "providers disagree on the aggregate result"
     )
+
+
+def test_span_store_compaction_planted_50k(spark):
+    """Scale rung for the r15-queued store maintenance (write side of the
+    incremental span family): replica 1 is the incoming batch (5k docs),
+    the rest is the corpus whose gen-1 store is persisted. The planted
+    structure gives an exact delta law: every batch doc's 30-token
+    passage already lives in the corpus (replica 0 carries it), so NONE
+    of the passage windows are novel, while the salt-1 body text is
+    shingle-disjoint from every other replica — so the delta is exactly
+    the batch's non-passage window hashes. Asserted via the partition
+    law (report totals reassemble gen-2 exactly) plus zero planted
+    windows in the delta (probed by a semi-join against the passage
+    hashes, a keyed join, not a scan)."""
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        compacted_store,
+        compaction_report,
+        store_append_delta,
+    )
+    from flink_stream_processing_spark.queries_impl.web_dedup_stream import (
+        span_hash_store,
+    )
+
+    tokenized, n_base, replicas = planted_span_corpus(spark)
+    corpus = tokenized.filter(F.col("doc_id") % replicas != 1)
+    batch = tokenized.filter(F.col("doc_id") % replicas == 1)
+    store = _timed(
+        "span store gen-1 build",
+        lambda: span_hash_store(corpus).localCheckpoint(eager=True),
+    )
+    n_store = store.count()
+    delta = _timed(
+        "span store append delta",
+        lambda: store_append_delta(
+            store, span_hash_store(batch), "h"
+        ).localCheckpoint(eager=True),
+    )
+    n_delta = delta.count()
+    assert n_delta > 0
+    report = _timed(
+        "span store compaction report",
+        lambda: compaction_report(compacted_store(store, delta, "h")).collect(),
+    )
+    assert sum(r["n_total"] for r in report) == n_store + n_delta
+    assert sum(r["n_carried"] for r in report) == n_store
+    assert sum(r["n_new"] for r in report) == n_delta
+    # Planted-passage law: every passage window hash is already in gen-1
+    # (replica 0 wrote it), so the delta must contain NONE of them. The
+    # batch's passage-only windows are re-derived at the store's own W
+    # (span_hash_store's default) from the last 30 tokens of each batch
+    # doc — exactly the planted passage by construction.
+    passage_w = span_hash_store(
+        batch.withColumn("toks", F.slice("toks", F.size("toks") - 29, 30))
+        .withColumn("n_tokens", F.lit(30).cast("long"))
+    )
+    leaked = delta.join(passage_w, "h", "semi").count()
+    assert leaked == 0, f"{leaked} planted-passage windows leaked into the delta"
