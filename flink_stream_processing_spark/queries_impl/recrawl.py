@@ -252,7 +252,15 @@ def q_sessionized_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank<=3 frontier schedules from the LAST session's end,
     _POLITENESS_QUOTA entries per politeness window. n_sessions and the
     last session's fetch count ride along so the gate certifies the whole
-    islands computation, not just the anchor."""
+    islands computation, not just the anchor.
+
+    Fixture honesty (the recrawl-gate convention): the synthetic feed's
+    per-host arrival gaps are a constant 20 s — above the 15 s session
+    gap — so at driver SFs every fetch is its own session (n_sessions ==
+    per-host doc count, last_session_docs == 1). The gate still hash-pins
+    the full islands arithmetic; non-trivial session shapes are pinned by
+    streaming_host_sessions' own tests and the pacing laws in
+    tests/test_recrawl.py."""
     docs = load_table(spark, sf_dir, "documents")
     obs = docs.select(
         canonical_url_col(derived_url_col()).alias("canonical_url"),

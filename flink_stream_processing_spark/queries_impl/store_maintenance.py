@@ -203,3 +203,85 @@ def q_span_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = span_hash_store(corpus)
     delta = store_append_delta(store, span_hash_store(batch), "h")
     return compaction_report(compacted_store(store, delta, "h")).orderBy("bucket_id")
+
+
+# --- planned registry name: minhash_store_append (r16 lookahead) ------------
+
+MINHASH_STORE_APPEND_ORACLE = r"""
+WITH store AS (
+  SELECT DISTINCT md5(lower(trim(text))) AS fingerprint
+  FROM documents WHERE doc_id % 10 <> 0
+),
+batch AS (
+  SELECT doc_id, md5(lower(trim(text))) AS fingerprint
+  FROM documents WHERE doc_id % 10 = 0
+),
+novel AS (
+  SELECT min(doc_id) AS doc_id FROM batch b
+  WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.fingerprint = b.fingerprint)
+  GROUP BY fingerprint
+),
+toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM documents WHERE doc_id % 10 = 0
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+)
+SELECT n.doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+FROM novel n JOIN sh ON n.doc_id = sh.doc_id
+GROUP BY n.doc_id ORDER BY n.doc_id
+"""
+
+
+def minhash_store_append(batch: DataFrame, fingerprint_store: DataFrame):
+    """The MinHash band store's daily append — the THIRD store family's
+    write side (bands + shingle arrays, ``incremental_minhash_near_dups``'s
+    two persisted tables). Append policy: EXACT-dedup survivors only — a
+    byte-identical re-crawl must not grow the band store (its near-dup
+    matches would be pure noise; the exact family already owns that case).
+    Near-dup batch docs DO enter: the band store must know about every
+    distinct document that entered the corpus, else a third copy of a
+    near-dup pair would probe clean tomorrow.
+
+    Returns (new_band_rows, new_shingle_arrs) — the rows the append writes
+    to each table. Both derive from ONE shingle pass over the survivor
+    docs; bands are O(survivors × 16) narrow rows (xxhash64 path, the
+    scale fast-path — NOT oracle-expressible, so the band payload is
+    law-pinned in tests by probe-equivalence against a from-scratch store,
+    while the registered gate pins the survivor selection + shingle
+    payload, which DuckDB can recompute exactly)."""
+    from ..operators.dedup import (
+        band_hashes,
+        incremental_exact_dedup,
+        minhash_signatures,
+        shingle_array,
+    )
+
+    survivors = incremental_exact_dedup(batch, fingerprint_store).select("doc_id")
+    new_arrs = (
+        shingle_array(batch)
+        .join(survivors, "doc_id", "semi")
+        .select("doc_id", F.array_distinct("sh_arr").alias("sh_arr"))
+    )
+    new_bands = band_hashes(minhash_signatures(new_arrs.select("doc_id", F.col("sh_arr"))))
+    return new_bands, new_arrs
+
+
+def q_minhash_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate projection of the MinHash store append: which batch docs the
+    maintenance run admits (exact-dedup survivors with >= 3 tokens — the
+    shingle floor) and the distinct-shingle payload each writes to the
+    array store. The band payload itself is xxhash64-based (no DuckDB
+    twin); its correctness is pinned by the probe-equivalence law in
+    tests/test_store_maintenance.py: the maintained band store must be
+    indistinguishable, under incremental_minhash_near_dups, from a
+    from-scratch store over corpus ∪ survivors."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    _, new_arrs = minhash_store_append(batch, exact_fingerprint_store(corpus))
+    return new_arrs.select(
+        "doc_id", F.size("sh_arr").cast("long").alias("n_shingles")
+    ).orderBy("doc_id")

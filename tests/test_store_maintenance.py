@@ -150,3 +150,73 @@ def test_delta_never_rescans_corpus_text(spark):
     # checkpointed RDD
     assert plan.count("Relation") <= 1
     assert "ExistingRDD" in plan or "LogicalRDD" in plan
+
+
+# --- MinHash band-store append (r16 lookahead) -------------------------------
+
+
+def test_minhash_store_append_matches_oracle(spark):
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        MINHASH_STORE_APPEND_ORACLE,
+        q_minhash_store_append,
+    )
+
+    assert_matches_oracle(
+        q_minhash_store_append(spark, SF_DIR), MINHASH_STORE_APPEND_ORACLE, SF_DIR
+    )
+
+
+def test_minhash_band_store_probe_equivalence(spark):
+    """The band-store maintenance law: probing the MAINTAINED store (corpus
+    bands + the append's survivor bands) with tomorrow's batch is
+    indistinguishable from probing a from-scratch store over corpus ∪
+    survivors — pinning the xxhash64 band payload the SQL gate cannot
+    reach (both paths must produce identical (doc_a, doc_b, jaccard)
+    matches, jaccard included, through the full candidate-join + verify
+    pipeline)."""
+    from flink_stream_processing_spark.operators.dedup import (
+        band_hashes,
+        minhash_signatures,
+        shingle_array,
+    )
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        minhash_store_append,
+    )
+    from flink_stream_processing_spark.operators.dedup import (
+        incremental_minhash_near_dups,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus, b1, b2 = _three_way_split(docs)
+    fp_store = exact_fingerprint_store(corpus)
+
+    def distinct_arrs(frame):
+        return shingle_array(frame).select(
+            "doc_id", F.array_distinct("sh_arr").alias("sh_arr")
+        )
+
+    corpus_arrs = distinct_arrs(corpus).localCheckpoint(eager=True)
+    corpus_bands = band_hashes(minhash_signatures(corpus_arrs))
+    new_bands, new_arrs = minhash_store_append(b1, fp_store)
+    maintained_bands = corpus_bands.unionByName(new_bands)
+    maintained_arrs = corpus_arrs.unionByName(new_arrs)
+
+    from flink_stream_processing_spark.operators.dedup import incremental_exact_dedup
+
+    survivors = incremental_exact_dedup(b1, fp_store).select("doc_id")
+    extended = corpus.unionByName(b1.join(survivors, "doc_id", "semi"))
+    scratch_arrs = distinct_arrs(extended).localCheckpoint(eager=True)
+    scratch_bands = band_hashes(minhash_signatures(scratch_arrs))
+
+    got = sorted(
+        incremental_minhash_near_dups(
+            b2, maintained_bands, maintained_arrs, threshold=0.3
+        ).collect()
+    )
+    want = sorted(
+        incremental_minhash_near_dups(
+            b2, scratch_bands, scratch_arrs, threshold=0.3
+        ).collect()
+    )
+    assert got == want
+    assert len(want) > 0  # the law must bite: some b2 doc matches the store
