@@ -149,9 +149,9 @@ def q_fingerprint_store_compaction(spark: SparkSession, sf_dir: str) -> DataFram
 # _INCR_STRIP_ORACLE prefix (t/b/w/h) with the same interpolated _SPAN_W —
 # imported, not retyped, so the window width cannot drift; the CTE text
 # itself must stay in sync with token_window_hashes' convention (md5 of
-# the space-joined W-token slice).
-SPAN_STORE_COMPACTION_ORACLE = rf"""
-WITH t AS (
+# the space-joined W-token slice). Shared by the compaction and
+# daily-cycle oracles below.
+_SPAN_WINDOW_CTES = rf"""t AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
   FROM documents
 ),
@@ -162,7 +162,10 @@ w AS (
 ),
 h AS (
   SELECT doc_id, md5(array_to_string(toks[s+1:s+{_SPAN_W}], ' ')) AS h FROM w
-),
+)"""
+
+SPAN_STORE_COMPACTION_ORACLE = f"""
+WITH {_SPAN_WINDOW_CTES},
 store AS (SELECT DISTINCT h FROM h WHERE doc_id % 10 <> 0),
 batch AS (SELECT DISTINCT h FROM h WHERE doc_id % 10 = 0),
 delta AS (
@@ -285,3 +288,127 @@ def q_minhash_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new_arrs.select(
         "doc_id", F.size("sh_arr").cast("long").alias("n_shingles")
     ).orderBy("doc_id")
+
+
+# --- planned registry name: daily_ingest_cycle (r16 lookahead) --------------
+
+# The full daily loop as ONE gate: strip the batch against gen-1, then
+# count what each ingested doc contributes to gen-2. The strip side is
+# web_dedup_stream's _INCR_STRIP_ORACLE embedded VERBATIM as a derived
+# table (nested WITH — imported, not retyped, so the two gates can never
+# diverge on strip semantics); the append side recomputes window hashes
+# over the text THAT ENTERS THE CORPUS (clean_text for affected docs,
+# original text otherwise) and counts each doc's windows absent from
+# gen-1. n_new_hashes is per-doc novelty VS THE STORE (batch-internal
+# overlap deliberately not deduped here — attribution of a shared novel
+# hash to one doc would be arbitrary; the global append itself stays
+# set-distinct via store_append_delta).
+def _daily_cycle_oracle() -> str:
+    from .web_dedup_stream import _INCR_STRIP_ORACLE
+
+    return f"""
+WITH strip AS ({_INCR_STRIP_ORACLE}),
+{_SPAN_WINDOW_CTES},
+store AS (SELECT DISTINCT h FROM h WHERE doc_id % 10 <> 0),
+batch_base AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+           AS n_tokens,
+         text
+  FROM documents WHERE doc_id % 10 = 0
+),
+ingest AS (
+  SELECT doc_id, clean_text AS txt FROM strip
+  UNION ALL
+  SELECT doc_id, lower(trim(text)) FROM batch_base
+  WHERE doc_id NOT IN (SELECT doc_id FROM strip)
+),
+it AS (SELECT doc_id, string_split_regex(txt, '\\s+') AS toks FROM ingest),
+iw AS (
+  SELECT doc_id,
+         unnest(range(0, greatest(len(toks) - {_SPAN_W} + 1, 0))) AS s, toks
+  FROM it
+),
+ih AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(toks[s+1:s+{_SPAN_W}], ' ')) AS h
+  FROM iw
+),
+novel AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_new_hashes FROM ih i
+  WHERE NOT EXISTS (SELECT 1 FROM store st WHERE st.h = i.h)
+  GROUP BY doc_id
+)
+SELECT bb.doc_id, bb.n_tokens,
+       CAST(coalesce(s2.removed_tokens, 0) AS BIGINT) AS removed_tokens,
+       CAST(coalesce(novel.n_new_hashes, 0) AS BIGINT) AS n_new_hashes
+FROM batch_base bb
+LEFT JOIN strip s2 ON bb.doc_id = s2.doc_id
+LEFT JOIN novel ON bb.doc_id = novel.doc_id
+ORDER BY bb.doc_id
+"""
+
+
+DAILY_INGEST_CYCLE_ORACLE = _daily_cycle_oracle()
+
+
+def q_daily_ingest_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily pipeline's read+write loop composed end-to-end: strip the
+    incoming batch against the persisted span store, then report — per
+    batch doc — its size, what the strip removed, and how many distinct
+    window hashes the INGESTED text (clean where stripped, original
+    otherwise) will append to gen-2. The store is consumed exactly once
+    (one eager checkpoint feeds the strip probe AND the novelty
+    anti-join); the strip result is checkpointed too (it feeds the clean
+    tokens, the affected-id anti-join, and the removed_tokens join — three
+    consumers of a small affected-docs frame, the
+    incremental_minhash_near_dups materialize-once convention).
+
+    Semantics note (the post-strip choice): appending hashes of the
+    CLEANED text means excision joints — token adjacencies the strip
+    itself created — do enter the store. That is the honest consequence
+    of storing cleaned docs: tomorrow's dedup runs against what the
+    corpus actually contains. The alternative (append pre-strip hashes)
+    would let a duplicated passage's flanks re-enter verbatim tomorrow
+    without being detectable as duplicates of TODAY's ingest."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokenized(docs)
+    corpus = toks.filter(F.col("doc_id") % 10 != 0)
+    batch = toks.filter(F.col("doc_id") % 10 == 0)
+    store = span_hash_store(corpus).localCheckpoint(eager=True)
+
+    from ..operators.text import TOKEN_SPLIT_RE
+    from .web_dedup_stream import incremental_strip_new_docs
+
+    stripped = incremental_strip_new_docs(batch, store).localCheckpoint(eager=True)
+    affected = stripped.select("doc_id")
+    ingest = (
+        stripped.select(
+            "doc_id", F.split("clean_text", TOKEN_SPLIT_RE).alias("toks")
+        )
+        .unionByName(
+            batch.join(affected, "doc_id", "left_anti").select("doc_id", "toks")
+        )
+        .withColumn("n_tokens", F.size("toks").cast("long"))
+    )
+    from ..operators.dedup import token_window_hashes
+
+    novel = (
+        token_window_hashes(ingest, _SPAN_W)
+        .select("doc_id", "h")
+        .distinct()
+        .join(store, "h", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new_hashes"))
+    )
+    return (
+        batch.select("doc_id", "n_tokens")
+        .join(stripped.select("doc_id", "removed_tokens"), "doc_id", "left")
+        .join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("removed_tokens", F.lit(0)).cast("long").alias("removed_tokens"),
+            F.coalesce("n_new_hashes", F.lit(0)).cast("long").alias("n_new_hashes"),
+        )
+        .orderBy("doc_id")
+    )

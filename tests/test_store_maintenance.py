@@ -220,3 +220,52 @@ def test_minhash_band_store_probe_equivalence(spark):
     )
     assert got == want
     assert len(want) > 0  # the law must bite: some b2 doc matches the store
+
+
+# --- daily ingest cycle (r16 lookahead) --------------------------------------
+
+
+def test_daily_ingest_cycle_matches_oracle(spark):
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        DAILY_INGEST_CYCLE_ORACLE,
+        q_daily_ingest_cycle,
+    )
+
+    assert_matches_oracle(
+        q_daily_ingest_cycle(spark, SF_DIR), DAILY_INGEST_CYCLE_ORACLE, SF_DIR
+    )
+
+
+def test_daily_cycle_unaffected_docs_contribute_all_their_windows(spark):
+    """Internal consistency law: a batch doc the strip did NOT touch has,
+    by definition, zero windows in the store — so its n_new_hashes must
+    equal its full distinct-window count, and its removed_tokens must be
+    0. (An affected doc's contribution is smaller: its matched windows
+    are excised and its joints re-hash.)"""
+    from flink_stream_processing_spark.operators.dedup import token_window_hashes
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        _tokenized,
+        q_daily_ingest_cycle,
+    )
+    from flink_stream_processing_spark.queries_impl.web_dedup_stream import (
+        _SPAN_W,
+    )
+
+    out = {r["doc_id"]: r for r in q_daily_ingest_cycle(spark, SF_DIR).collect()}
+    batch = _tokenized(
+        load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") % 10 == 0)
+    )
+    wins = {
+        r["doc_id"]: r["n"]
+        for r in token_window_hashes(batch, _SPAN_W)
+        .select("doc_id", "h")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    unaffected = [d for d, r in out.items() if r["removed_tokens"] == 0]
+    affected = [d for d, r in out.items() if r["removed_tokens"] > 0]
+    assert unaffected and affected  # the fixture exercises both branches
+    for d in unaffected:
+        assert out[d]["n_new_hashes"] == wins.get(d, 0), d
