@@ -314,3 +314,151 @@ def q_sessionized_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host", "rank")
     )
+
+
+# --- planned registry name: robots_frontier_schedule (r16 lookahead) ---------
+
+# Synthetic-but-deterministic robots.txt for the fixture's hosts (the
+# derived_url_col convention: the corpus carries no robots data, so rules
+# derive from the host string itself, byte-identically in both engines):
+# a host's md5-derived class picks a disallowed language subtree (class 0
+# -> /de/, class 1 -> /fr/, else none), and a second md5 nibble picks the
+# Crawl-delay (200-800 s in 200 s steps — non-trivial spread so the
+# pacing law bites). ONE definition, interpolated into the oracle.
+_ROBOTS_DELAY_STEP_MS = 200_000
+
+
+def robots_rules(hosts: DataFrame) -> DataFrame:
+    """(host) -> (host, disallow_prefix nullable, crawl_delay_ms): the
+    parsed-robots relation a crawler materializes per host. At 100 TB
+    this is a genuine table fetched from each host; here it derives
+    deterministically from the host string so the gate can recompute it."""
+    cls = (
+        F.conv(F.substring(F.md5("host"), 1, 4), 16, 10).cast("long") % 3
+    )
+    delay_cls = (
+        F.conv(F.substring(F.md5("host"), 5, 4), 16, 10).cast("long") % 4
+    )
+    return hosts.select(
+        "host",
+        F.when(cls == 0, F.lit("/de/"))
+        .when(cls == 1, F.lit("/fr/"))
+        .alias("disallow_prefix"),
+        ((delay_cls + 1) * _ROBOTS_DELAY_STEP_MS).cast("long").alias("crawl_delay_ms"),
+    )
+
+
+# Ranked-frontier clone over the robots-FILTERED url set. LOCK-STEP MIRROR
+# of web_dedup_stream._FRONTIER_RANK_CTES with u replaced by the filtered
+# set (ranking must run AFTER the filter — a crawler never spends a rank
+# slot on a disallowed URL, so ranks stay dense per host); the priority
+# and rank expressions must stay byte-identical to the original chain.
+ROBOTS_FRONTIER_SCHEDULE_ORACLE = f"""
+WITH {_URL_CANON_CTES},
+cu AS (
+  SELECT DISTINCT canonical_url,
+         regexp_extract(canonical_url, '^https://([^/?]+)', 1) AS host,
+         regexp_extract(canonical_url, '^https://[^/?]+([^?]*)', 1) AS path
+  FROM canon
+),
+rr AS (
+  SELECT host,
+         CASE ('0x' || substr(md5(host), 1, 4))::BIGINT % 3
+           WHEN 0 THEN '/de/' WHEN 1 THEN '/fr/' END AS disallow_prefix,
+         (('0x' || substr(md5(host), 5, 4))::BIGINT % 4 + 1)
+           * {_ROBOTS_DELAY_STEP_MS} AS crawl_delay_ms
+  FROM (SELECT DISTINCT host FROM cu)
+),
+allowed AS (
+  SELECT cu.host, cu.canonical_url, rr.crawl_delay_ms
+  FROM cu JOIN rr ON cu.host = rr.host
+  WHERE rr.disallow_prefix IS NULL
+     OR NOT starts_with(cu.path, rr.disallow_prefix)
+),
+rk AS (
+  SELECT host, canonical_url, crawl_delay_ms,
+         ('0x' || substr(md5(canonical_url), 1, 8))::BIGINT AS priority
+  FROM allowed
+),
+k2 AS (
+  SELECT host, canonical_url, priority, crawl_delay_ms,
+         CAST(row_number() OVER (PARTITION BY host
+                                 ORDER BY priority, canonical_url) AS BIGINT)
+           AS rank
+  FROM rk
+),
+tc AS (
+  SELECT regexp_extract(canonical_url, '^https://([^/?]+)', 1) AS host,
+         make_timestamp(({_EVENT_EPOCH} + doc_id) * 1000000) AS ts
+  FROM canon
+),
+w AS (
+  SELECT epoch_ms(time_bucket(INTERVAL {_POLITENESS_WINDOW_MS // 1000} SECONDS, ts))
+           AS window_start,
+         host
+  FROM tc
+),
+hl AS (SELECT host, max(window_start) AS last_window_start FROM w GROUP BY host)
+SELECT k2.host, k2.canonical_url, k2.priority, k2.rank,
+       CAST(k2.crawl_delay_ms AS BIGINT) AS crawl_delay_ms,
+       CAST(hl.last_window_start + k2.crawl_delay_ms * k2.rank AS BIGINT)
+         AS scheduled_start
+FROM k2 JOIN hl ON k2.host = hl.host
+WHERE k2.rank <= 3
+ORDER BY k2.host, k2.rank
+"""
+
+
+def q_robots_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-aware frontier schedule: disallowed subtrees are filtered
+    BEFORE ranking (a crawler never spends a rank slot on a URL it may
+    not fetch — ranks stay dense per host, the re-rank-after-filter
+    subtlety this gate exists to pin), then each host's next <=3 allowed
+    URLs are paced by its OWN Crawl-delay: fetch k lands
+    k * crawl_delay_ms after the host's last observed window — the
+    per-fetch spacing semantics of robots Crawl-delay, vs the
+    quota-per-window semantics of the politeness controller.
+
+    Plan (100 TB): the robots relation is one row per host (a real table
+    in production, derived here); the filter is a host-keyed join +
+    prefix test BEFORE the rank window, so disallowed URLs never reach
+    the shuffle; ranking reuses ``ranked_frontier`` unchanged on the
+    filtered set; the pacing join is per-host scalars, AQE-owned."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.select(
+        canonical_url_col(derived_url_col()).alias("canonical_url"),
+        _event_ts().alias("ts"),
+    )
+    urls = obs.select("canonical_url").distinct().select(
+        "canonical_url",
+        _host_col().alias("host"),
+        F.regexp_extract("canonical_url", r"^https://[^/?]+([^?]*)", 1).alias("path"),
+    )
+    rules = robots_rules(urls.select("host").distinct())
+    allowed = urls.join(rules, "host").filter(
+        F.col("disallow_prefix").isNull()
+        | ~F.col("path").startswith(F.col("disallow_prefix"))
+    )
+    ranked = ranked_frontier(allowed.select("canonical_url").distinct())
+    host_load = (
+        obs.select(_host_col().alias("host"), "ts")
+        .groupBy(F.window("ts", f"{_POLITENESS_WINDOW_MS // 1000} seconds"), "host")
+        .agg(F.count(F.lit(1)))
+        .groupBy("host")
+        .agg(F.max(F.unix_millis(F.col("window.start"))).alias("last_window_start"))
+    )
+    return (
+        ranked.join(rules.select("host", "crawl_delay_ms"), "host")
+        .join(host_load, "host")
+        .select(
+            "host",
+            "canonical_url",
+            "priority",
+            "rank",
+            "crawl_delay_ms",
+            (F.col("last_window_start") + F.col("crawl_delay_ms") * F.col("rank"))
+            .cast("long")
+            .alias("scheduled_start"),
+        )
+        .orderBy("host", "rank")
+    )

@@ -169,3 +169,60 @@ def test_recrawl_reads_text_on_exactly_one_scan(spark):
     assert text_scans == 1, plan
     logical = df._jdf.queryExecution().optimizedPlan().toString()
     assert "broadcast" not in logical.lower(), logical
+
+
+# --- robots overlay (r16 lookahead) -------------------------------------------
+
+
+def test_robots_frontier_schedule_matches_oracle(spark):
+    from flink_stream_processing_spark.queries_impl.recrawl import (
+        ROBOTS_FRONTIER_SCHEDULE_ORACLE,
+        q_robots_frontier_schedule,
+    )
+
+    assert_matches_oracle(
+        q_robots_frontier_schedule(spark, SF_DIR),
+        ROBOTS_FRONTIER_SCHEDULE_ORACLE,
+        SF_DIR,
+    )
+
+
+def test_robots_laws(spark):
+    """No disallowed URL is ever scheduled, ranks are dense per host
+    AFTER the filter, consecutive ranks are spaced exactly crawl_delay_ms
+    apart, delays sit on the 200 s grid, and the fixture actually
+    exercises the filter (some host loses URLs)."""
+    from flink_stream_processing_spark.queries_impl.recrawl import (
+        _ROBOTS_DELAY_STEP_MS,
+        q_robots_frontier_schedule,
+        robots_rules,
+    )
+
+    rows = q_robots_frontier_schedule(spark, SF_DIR).collect()
+    assert rows
+    rules = {
+        r["host"]: r
+        for r in robots_rules(
+            spark.createDataFrame(
+                [(h,) for h in {r["host"] for r in rows}], "host string"
+            )
+        ).collect()
+    }
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+        rule = rules[r["host"]]
+        path = r["canonical_url"].split(r["host"], 1)[1].split("?", 1)[0]
+        if rule["disallow_prefix"] is not None:
+            assert not path.startswith(rule["disallow_prefix"]), r
+        assert r["crawl_delay_ms"] == rule["crawl_delay_ms"]
+        assert r["crawl_delay_ms"] % _ROBOTS_DELAY_STEP_MS == 0
+        assert 1 <= r["crawl_delay_ms"] // _ROBOTS_DELAY_STEP_MS <= 4
+    for host, hr in by_host.items():
+        hr.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in hr] == list(range(1, len(hr) + 1))
+        for a, b in zip(hr, hr[1:]):
+            assert b["scheduled_start"] - a["scheduled_start"] == a["crawl_delay_ms"]
+    # the fixture must exercise the disallow branch: at least one host has
+    # a non-null prefix (md5 classes over 20 hosts)
+    assert any(r["disallow_prefix"] is not None for r in rules.values())
