@@ -161,7 +161,7 @@ w AS (
   FROM b
 ),
 h AS (
-  SELECT doc_id, md5(array_to_string(toks[s+1:s+{_SPAN_W}], ' ')) AS h FROM w
+  SELECT doc_id, s, md5(array_to_string(toks[s+1:s+{_SPAN_W}], ' ')) AS h FROM w
 )"""
 
 SPAN_STORE_COMPACTION_ORACLE = f"""
