@@ -412,3 +412,143 @@ def q_daily_ingest_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- planned registry names: ivf_store_append, ivf_refreshed_centroids ------
+# (r16 lookahead) — the EMBEDDING store family's write side: new vectors
+# are assigned to their nearest existing inverted list (the IVF
+# assignment step a production ANN index runs on every ingest), and the
+# coarse quantizer is refreshed from the grown lists (centroid drift —
+# the maintenance that keeps probe recall from decaying as the corpus
+# shifts). The vec_id % 10 == 0 slice plays the unlabeled ingest batch.
+
+IVF_STORE_APPEND_ORACLE = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+corpus AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+batch AS (SELECT vec_id, v FROM e WHERE vec_id % 10 = 0),
+cd AS (
+  SELECT label, i - 1 AS dim, avg(v[i]) AS c
+  FROM corpus, UNNEST(range(1, len(v) + 1)) AS u(i)
+  GROUP BY 1, 2
+),
+cl AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
+sims AS (
+  SELECT b.vec_id, cl.label,
+         list_dot_product(b.v, cl.cv)
+           / (sqrt(list_dot_product(b.v, b.v))
+              * sqrt(list_dot_product(cl.cv, cl.cv))) AS cos
+  FROM batch b CROSS JOIN cl
+),
+pick AS (
+  SELECT vec_id, label, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, label) AS rn
+  FROM sims
+)
+SELECT vec_id, CAST(label AS INTEGER) AS assigned_label, round(cos, 5) AS sim
+FROM pick WHERE rn = 1 ORDER BY vec_id
+"""
+
+
+def ivf_assign(batch: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign each ingest vector to its nearest centroid (cosine; ties
+    break to the lower label — interpolated identically in the oracle).
+    The centroid table is O(labels) — the ivf_topk broadcast idiom, so
+    the 'cross join' is a broadcast nested loop over a handful of rows
+    per vector, never a shuffle. Returns (vec_id, assigned_label, sim)."""
+    from ..operators.similarity import cosine
+
+    sims = batch.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "label",
+        cosine(F.col("embedding"), F.col("centroid")).alias("cos"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "label")
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("label").cast("int").alias("assigned_label"),
+            F.round("cos", 5).alias("sim"),
+        )
+    )
+
+
+def q_ivf_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ingest assignment: each new vector joins the inverted list of
+    its nearest existing centroid. Gate output = the append rows
+    (vec_id, assigned_label, sim) — the rows a production index writes
+    to its bucketed list table."""
+    from ..operators.similarity import ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    return ivf_assign(batch, ivf_centroids(corpus)).orderBy("vec_id")
+
+
+IVF_REFRESHED_CENTROIDS_ORACLE = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+corpus AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+batch AS (SELECT vec_id, v FROM e WHERE vec_id % 10 = 0),
+cd AS (
+  SELECT label, i - 1 AS dim, avg(v[i]) AS c
+  FROM corpus, UNNEST(range(1, len(v) + 1)) AS u(i)
+  GROUP BY 1, 2
+),
+cl AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
+sims AS (
+  SELECT b.vec_id, b.v, cl.label,
+         list_dot_product(b.v, cl.cv)
+           / (sqrt(list_dot_product(b.v, b.v))
+              * sqrt(list_dot_product(cl.cv, cl.cv))) AS cos
+  FROM batch b CROSS JOIN cl
+),
+pick AS (
+  SELECT vec_id, v, label, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, label) AS rn
+  FROM sims
+),
+grown AS (
+  SELECT label, v FROM corpus
+  UNION ALL
+  SELECT label, v FROM pick WHERE rn = 1
+)
+SELECT CAST(label AS INTEGER) AS label, CAST(i - 1 AS INTEGER) AS dim,
+       round(avg(v[i]), 6) AS centroid_val
+FROM grown, UNNEST(range(1, len(v) + 1)) AS u(i)
+GROUP BY 1, 2 ORDER BY label, dim
+"""
+
+
+def q_ivf_refreshed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer refresh after the append: per-list centroids recomputed
+    over corpus ∪ newly-assigned vectors — the drift maintenance that
+    keeps IVF probe recall from decaying as the corpus distribution
+    shifts. Flat (label, dim, centroid_val) rows, the label_centroids
+    engine-agnostic compare shape; the shuffle carries O(labels × dims)
+    partial sums, never vectors."""
+    from ..operators.similarity import ivf_centroids, label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    assigned = ivf_assign(batch, ivf_centroids(corpus)).select(
+        "vec_id", F.col("assigned_label").alias("label")
+    )
+    grown = corpus.select("label", "embedding").unionByName(
+        batch.join(assigned, "vec_id").select("label", "embedding")
+    )
+    return (
+        label_centroids(grown)
+        .select(
+            F.col("label").cast("int").alias("label"),
+            F.col("dim").cast("int").alias("dim"),
+            "centroid_val",
+        )
+        .orderBy("label", "dim")
+    )

@@ -269,3 +269,53 @@ def test_daily_cycle_unaffected_docs_contribute_all_their_windows(spark):
     assert unaffected and affected  # the fixture exercises both branches
     for d in unaffected:
         assert out[d]["n_new_hashes"] == wins.get(d, 0), d
+
+
+# --- IVF embedding-store maintenance (r16 lookahead) --------------------------
+
+
+def test_ivf_store_append_matches_oracle(spark):
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        IVF_STORE_APPEND_ORACLE,
+        q_ivf_store_append,
+    )
+
+    assert_matches_oracle(
+        q_ivf_store_append(spark, SF_DIR), IVF_STORE_APPEND_ORACLE, SF_DIR
+    )
+
+
+def test_ivf_refreshed_centroids_match_oracle(spark):
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        IVF_REFRESHED_CENTROIDS_ORACLE,
+        q_ivf_refreshed_centroids,
+    )
+
+    assert_matches_oracle(
+        q_ivf_refreshed_centroids(spark, SF_DIR),
+        IVF_REFRESHED_CENTROIDS_ORACLE,
+        SF_DIR,
+    )
+
+
+def test_ivf_append_covers_batch_exactly_once(spark):
+    """Every ingest vector is assigned to exactly one list, sims are valid
+    cosines, and every assigned label exists in the corpus quantizer."""
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        q_ivf_store_append,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    batch_ids = {
+        r["vec_id"] for r in emb.filter(F.col("vec_id") % 10 == 0).collect()
+    }
+    corpus_labels = {
+        r["label"]
+        for r in emb.filter(F.col("vec_id") % 10 != 0).select("label").distinct().collect()
+    }
+    rows = q_ivf_store_append(spark, SF_DIR).collect()
+    assert {r["vec_id"] for r in rows} == batch_ids
+    assert len(rows) == len(batch_ids)
+    for r in rows:
+        assert r["assigned_label"] in corpus_labels
+        assert -1.0 <= r["sim"] <= 1.0
