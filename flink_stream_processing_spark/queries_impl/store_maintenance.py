@@ -552,3 +552,266 @@ def q_ivf_refreshed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+# --- tombstones: the DELETE side of the store lifecycle ---------------------
+# (r16 lookahead, prepared in the r14 continuation.) Append and compact
+# cover growth; a production corpus also SHRINKS — takedown requests,
+# robots retro-withdrawals, license revocations. Deleting a document must
+# propagate into the dedup stores, else tomorrow's ingest of the same
+# content is silently dropped as a "duplicate" of text the corpus no
+# longer contains (a correctness bug, not hygiene: the store would
+# permanently embargo content nobody holds).
+#
+# Two-level semantics, mirrored from how real pipelines handle removal:
+#   1. CONTENT expansion: a takedown targets content, so every corpus doc
+#      byte-identical to a requested doc (same exact fingerprint) is
+#      removed with it.
+#   2. Key purge with SHARING protection: a store key is purged only when
+#      its last holder leaves. Doc-level fingerprints lose all holders by
+#      construction (expansion removed them); W-token window hashes may
+#      be SHARED with surviving docs (cross-doc duplicated passages) and
+#      those must stay — the store reflects what the corpus still
+#      contains.
+#
+# 100 TB design: sharing protection needs holder counts, so the
+# delete-capable span store is the REFCOUNT store (h, n_holders) — the
+# distinct-hash store physically cannot answer "was this the last
+# holder". The decrement side scans ONLY the removed docs' text (small);
+# the store side joins on the bucketed key with no text; nothing rescans
+# the surviving corpus. (The self-contained gates below rebuild the store
+# from the corpus because the sandbox has no persisted generation — the
+# production path reads it, exactly like the incremental probe family.)
+
+_TOMBSTONE_RESIDUE = 3  # doc_id % 10 == 3 -> the takedown-request slice
+
+
+def takedown_holder_ids(corpus: DataFrame, requests: DataFrame) -> DataFrame:
+    """Content expansion: ids of every corpus doc whose exact fingerprint
+    matches ANY requested doc's (includes the requests themselves). One
+    semi join on the fingerprint — bucket-local at scale. The sf testdata
+    has no byte-identical cross-doc pairs, so on the gates this is an
+    identity map (still executed, still oracle-mirrored); the expansion
+    behavior itself is pinned by a planted-duplicate law test."""
+    req_fps = requests.select(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint")
+    ).distinct()
+    return (
+        corpus.select(
+            "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint")
+        )
+        .join(req_fps, "fingerprint", "semi")
+        .select("doc_id")
+    )
+
+
+def span_refcount_store(toks: DataFrame) -> DataFrame:
+    """The delete-capable span store: per window hash, how many distinct
+    docs hold it. Same doc-local hash construction as ``span_hash_store``
+    (its distinct-hash projection equals that store exactly); the count
+    is what makes last-holder purges O(removed docs) instead of a corpus
+    rescan. Output: (h, n_holders)."""
+    from ..operators.dedup import token_window_hashes
+
+    return (
+        token_window_hashes(toks, _SPAN_W)
+        .select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_holders"))
+    )
+
+
+def tombstone_decrements(removed_toks: DataFrame) -> DataFrame:
+    """Per window hash, how many of the REMOVED docs held it — the
+    refcount decrement a takedown writes. Scans only the removed docs'
+    text; output is (h, n_dec) narrow rows."""
+    from ..operators.dedup import token_window_hashes
+
+    return (
+        token_window_hashes(removed_toks, _SPAN_W)
+        .select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dec"))
+    )
+
+
+def purged_refcount_store(store: DataFrame, dec: DataFrame) -> DataFrame:
+    """Apply decrements: (h, n_holders, n_dec, n_after) for every store
+    key. Keys with n_after == 0 are the purge set (last holder left);
+    n_dec > 0 and n_after > 0 are the sharing-protected keeps. One left
+    join on the bucketed key."""
+    return store.join(dec, "h", "left").select(
+        "h",
+        "n_holders",
+        F.coalesce("n_dec", F.lit(0)).cast("long").alias("n_dec"),
+        (F.col("n_holders") - F.coalesce("n_dec", F.lit(0)))
+        .cast("long")
+        .alias("n_after"),
+    )
+
+
+# --- planned registry name: span_store_tombstones ---------------------------
+
+SPAN_STORE_TOMBSTONES_ORACLE = f"""
+WITH {_SPAN_WINDOW_CTES},
+dh AS (SELECT DISTINCT doc_id, h FROM h WHERE doc_id % 10 <> 0),
+req AS (
+  SELECT DISTINCT md5(lower(trim(text))) AS fp
+  FROM documents WHERE doc_id % 10 = {_TOMBSTONE_RESIDUE}
+),
+removed AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 10 <> 0
+    AND md5(lower(trim(text))) IN (SELECT fp FROM req)
+),
+store AS (SELECT h, CAST(count(*) AS BIGINT) AS n_holders FROM dh GROUP BY h),
+dec AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS n_dec FROM dh
+  WHERE doc_id IN (SELECT doc_id FROM removed) GROUP BY h
+),
+af AS (
+  SELECT s.h, s.n_holders - coalesce(d.n_dec, 0) AS n_after,
+         coalesce(d.n_dec, 0) AS n_dec
+  FROM store s LEFT JOIN dec d ON s.h = d.h
+)
+SELECT ('0x' || substr(h, 1, 8))::BIGINT % {_N_BUCKETS} AS bucket_id,
+       CAST(count(*) FILTER (n_after = 0) AS BIGINT) AS n_purged,
+       CAST(count(*) FILTER (n_dec > 0 AND n_after > 0) AS BIGINT)
+         AS n_shared_kept,
+       CAST(count(*) FILTER (n_after > 0) AS BIGINT) AS n_remaining
+FROM af GROUP BY bucket_id ORDER BY bucket_id
+"""
+
+
+def q_span_store_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown propagation into the span refcount store: expand the
+    request slice to all byte-identical holders, decrement their window
+    hashes, and report per bucket how many keys lost their last holder
+    (purged), how many survived because a surviving doc shares the
+    passage (sharing-protected — the case the refcount exists for;
+    non-degenerate on this corpus via the planted cross-doc passages),
+    and how many keys remain. The purge law — post-purge store ==
+    from-scratch refcount store over the surviving docs — is test-pinned
+    alongside this gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    removed = takedown_holder_ids(
+        corpus, corpus.filter(F.col("doc_id") % 10 == _TOMBSTONE_RESIDUE)
+    )
+    ctoks = _tokenized(corpus)
+    store = span_refcount_store(ctoks)
+    dec = tombstone_decrements(ctoks.join(removed, "doc_id", "semi"))
+    after = purged_refcount_store(store, dec)
+    bucket = (
+        F.conv(F.substring(F.col("h"), 1, 8), 16, 10).cast("long") % _N_BUCKETS
+    ).alias("bucket_id")
+    return (
+        after.select(bucket, "n_dec", "n_after")
+        .groupBy("bucket_id")
+        .agg(
+            F.sum(F.when(F.col("n_after") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_purged"),
+            F.sum(
+                F.when((F.col("n_dec") > 0) & (F.col("n_after") > 0), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_shared_kept"),
+            F.sum(F.when(F.col("n_after") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_remaining"),
+        )
+        .orderBy("bucket_id")
+    )
+
+
+# --- planned registry name: fingerprint_store_tombstones --------------------
+
+FINGERPRINT_STORE_TOMBSTONES_ORACLE = f"""
+WITH fps AS (
+  SELECT doc_id, md5(lower(trim(text))) AS fingerprint
+  FROM documents WHERE doc_id % 10 <> 0
+),
+req AS (
+  SELECT DISTINCT fingerprint FROM fps WHERE doc_id % 10 = {_TOMBSTONE_RESIDUE}
+),
+removed AS (
+  SELECT doc_id, fingerprint FROM fps
+  WHERE fingerprint IN (SELECT fingerprint FROM req)
+),
+tagged AS (
+  SELECT fingerprint,
+         fingerprint IN (SELECT fingerprint FROM req) AS is_purged
+  FROM (SELECT DISTINCT fingerprint FROM fps)
+),
+kb AS (
+  SELECT ('0x' || substr(fingerprint, 1, 8))::BIGINT % {_N_BUCKETS}
+           AS bucket_id,
+         CAST(sum(CASE WHEN is_purged THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_purged,
+         CAST(sum(CASE WHEN is_purged THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_remaining
+  FROM tagged GROUP BY bucket_id
+),
+db AS (
+  SELECT ('0x' || substr(fingerprint, 1, 8))::BIGINT % {_N_BUCKETS}
+           AS bucket_id,
+         CAST(count(*) AS BIGINT) AS n_docs_removed
+  FROM removed GROUP BY bucket_id
+)
+SELECT kb.bucket_id, CAST(coalesce(db.n_docs_removed, 0) AS BIGINT)
+         AS n_docs_removed,
+       kb.n_purged, kb.n_remaining
+FROM kb LEFT JOIN db ON kb.bucket_id = db.bucket_id
+ORDER BY kb.bucket_id
+"""
+
+
+def q_fingerprint_store_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level takedown into the exact-fingerprint store. After content
+    expansion every holder of a requested fingerprint is removed, so the
+    purge is exact delete-by-key (no refcount needed at this granularity
+    — the sharing case lives one level down, in the span gate). Report
+    per bucket: docs removed, keys purged, keys remaining. The rebuild
+    law — post-purge store == from-scratch store over surviving docs —
+    is test-pinned."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    fps = corpus.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint")
+    )
+    req_fps = (
+        fps.filter(F.col("doc_id") % 10 == _TOMBSTONE_RESIDUE)
+        .select("fingerprint")
+        .distinct()
+    )
+    removed = fps.join(req_fps, "fingerprint", "semi")
+    store = exact_fingerprint_store(corpus)
+    tagged = store.join(
+        req_fps.withColumn("is_purged", F.lit(True)), "fingerprint", "left"
+    ).select("fingerprint", F.coalesce("is_purged", F.lit(False)).alias("is_purged"))
+    bucket = (
+        F.conv(F.substring(F.col("fingerprint"), 1, 8), 16, 10).cast("long")
+        % _N_BUCKETS
+    ).alias("bucket_id")
+    kb = tagged.select(bucket, "is_purged").groupBy("bucket_id").agg(
+        F.sum(F.when(F.col("is_purged"), 1).otherwise(0)).cast("long").alias("n_purged"),
+        F.sum(F.when(~F.col("is_purged"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_remaining"),
+    )
+    db = removed.select(bucket).groupBy("bucket_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_removed")
+    )
+    return (
+        kb.join(db, "bucket_id", "left")
+        .select(
+            "bucket_id",
+            F.coalesce("n_docs_removed", F.lit(0)).cast("long").alias("n_docs_removed"),
+            "n_purged",
+            "n_remaining",
+        )
+        .orderBy("bucket_id")
+    )

@@ -319,3 +319,162 @@ def test_ivf_append_covers_batch_exactly_once(spark):
     for r in rows:
         assert r["assigned_label"] in corpus_labels
         assert -1.0 <= r["sim"] <= 1.0
+
+# --- tombstones: the delete side (r16 lookahead) ------------------------------
+
+
+def test_span_store_tombstones_match_oracle(spark):
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        SPAN_STORE_TOMBSTONES_ORACLE,
+        q_span_store_tombstones,
+    )
+
+    assert_matches_oracle(
+        q_span_store_tombstones(spark, SF_DIR), SPAN_STORE_TOMBSTONES_ORACLE, SF_DIR
+    )
+
+
+def test_fingerprint_store_tombstones_match_oracle(spark):
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        FINGERPRINT_STORE_TOMBSTONES_ORACLE,
+        q_fingerprint_store_tombstones,
+    )
+
+    assert_matches_oracle(
+        q_fingerprint_store_tombstones(spark, SF_DIR),
+        FINGERPRINT_STORE_TOMBSTONES_ORACLE,
+        SF_DIR,
+    )
+
+
+def test_span_tombstone_purge_equals_rebuild(spark):
+    """THE delete invariant: applying decrements to the refcount store and
+    dropping zero-holder keys is indistinguishable from rebuilding the
+    store over the surviving docs — (h, n_holders) pairs included. If a
+    shared hash were purged (or a last-holder hash kept), the two sides
+    would diverge. Also pins non-degeneracy: the fixture must exercise
+    purges AND sharing-protected keeps."""
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        _TOMBSTONE_RESIDUE,
+        _tokenized,
+        purged_refcount_store,
+        span_refcount_store,
+        takedown_holder_ids,
+        tombstone_decrements,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    removed = takedown_holder_ids(
+        corpus, corpus.filter(F.col("doc_id") % 10 == _TOMBSTONE_RESIDUE)
+    ).localCheckpoint(eager=True)
+    ctoks = _tokenized(corpus)
+    after = purged_refcount_store(
+        span_refcount_store(ctoks),
+        tombstone_decrements(ctoks.join(removed, "doc_id", "semi")),
+    ).localCheckpoint(eager=True)
+    got = sorted(
+        (r["h"], r["n_after"])
+        for r in after.filter(F.col("n_after") > 0).collect()
+    )
+    want = sorted(
+        (r["h"], r["n_holders"])
+        for r in span_refcount_store(
+            ctoks.join(removed, "doc_id", "left_anti")
+        ).collect()
+    )
+    assert got == want and len(want) > 0
+    stats = after.agg(
+        F.sum(F.when(F.col("n_after") == 0, 1).otherwise(0)).alias("purged"),
+        F.sum(
+            F.when((F.col("n_dec") > 0) & (F.col("n_after") > 0), 1).otherwise(0)
+        ).alias("shared_kept"),
+    ).first()
+    assert stats["purged"] > 0 and stats["shared_kept"] > 0
+    # refcounts can never go negative: removed docs are a subset of holders
+    assert after.filter(F.col("n_after") < 0).count() == 0
+
+
+def test_fingerprint_tombstone_purge_equals_rebuild(spark):
+    """Doc-level twin of the rebuild law: store minus the requested keys ==
+    from-scratch store over the surviving docs (content expansion removes
+    every holder, so delete-by-key is exact at this granularity)."""
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        _TOMBSTONE_RESIDUE,
+        takedown_holder_ids,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    removed = takedown_holder_ids(
+        corpus, corpus.filter(F.col("doc_id") % 10 == _TOMBSTONE_RESIDUE)
+    )
+    store = exact_fingerprint_store(corpus)
+    req_fps = exact_fingerprint_store(
+        corpus.filter(F.col("doc_id") % 10 == _TOMBSTONE_RESIDUE)
+    )
+    got = sorted(
+        r["fingerprint"]
+        for r in store.join(req_fps, "fingerprint", "left_anti").collect()
+    )
+    want = sorted(
+        r["fingerprint"]
+        for r in exact_fingerprint_store(
+            corpus.join(removed, "doc_id", "left_anti")
+        ).collect()
+    )
+    assert got == want and len(want) > 0
+
+
+def test_takedown_expansion_catches_duplicate_holders(spark):
+    """Planted-duplicate law (the sf corpus has no byte-identical pairs, so
+    the gates exercise expansion only as an identity map): a takedown of
+    one doc removes EVERY doc with the same exact fingerprint — case- and
+    edge-whitespace-insensitively (the exact_fingerprint_store contract)
+    — and nothing else."""
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        takedown_holder_ids,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "  Alpha beta GAMMA  "),  # same fingerprint as 1
+            (3, "alpha beta gamma delta"),  # superstring: different fp
+            (4, "unrelated text"),
+        ],
+        "doc_id long, text string",
+    )
+    requests = corpus.filter(F.col("doc_id") == 1)
+    got = sorted(r["doc_id"] for r in takedown_holder_ids(corpus, requests).collect())
+    assert got == [1, 2]
+
+
+def test_tombstone_requests_are_idempotent(spark):
+    """Replaying the same takedown against the already-purged store is a
+    no-op: the removed docs are gone, so the decrement side is empty and
+    the store is unchanged — the delete can be retried like the append."""
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        _TOMBSTONE_RESIDUE,
+        _tokenized,
+        purged_refcount_store,
+        span_refcount_store,
+        takedown_holder_ids,
+        tombstone_decrements,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    removed = takedown_holder_ids(
+        corpus, corpus.filter(F.col("doc_id") % 10 == _TOMBSTONE_RESIDUE)
+    ).localCheckpoint(eager=True)
+    surviving_toks = _tokenized(corpus.join(removed, "doc_id", "left_anti"))
+    purged_store = span_refcount_store(surviving_toks).localCheckpoint(eager=True)
+    replay_dec = tombstone_decrements(
+        _tokenized(corpus.join(removed, "doc_id", "left_anti")).join(
+            removed, "doc_id", "semi"
+        )
+    )
+    assert replay_dec.count() == 0
+    after = purged_refcount_store(purged_store, replay_dec)
+    assert after.filter(F.col("n_after") != F.col("n_holders")).count() == 0
