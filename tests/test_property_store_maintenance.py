@@ -71,3 +71,87 @@ def test_maintenance_equals_set_model(spark_global, store_keys, b1, b2):
     # idempotent replay: re-presenting b1 against gen2 writes nothing
     replay = store_append_delta(gen2.select("k"), _frame(spark, b1), "k")
     assert replay.count() == 0
+
+
+# --- tombstone sweep: refcount purge equals an exact Python window model ----
+
+# Docs are concatenations of passages drawn from a tiny shared pool, so
+# W-token windows genuinely collide across docs (random tokens never
+# would: the window space is vocab^W). The model recomputes every
+# doc's distinct window hashes with hashlib.md5 — the operator's exact
+# convention (md5 of the space-joined W-token slice) — then derives
+# holder counts, decrements, and the purge set with plain dict
+# arithmetic.
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from flink_stream_processing_spark.queries_impl.store_maintenance import (
+    purged_refcount_store,
+    span_refcount_store,
+    tombstone_decrements,
+)
+from flink_stream_processing_spark.queries_impl.web_dedup_stream import _SPAN_W
+
+_POOL = [[f"w{p}t{i}" for i in range(11)] for p in range(4)]  # 4 passages x 11 toks
+
+DOC = st.lists(
+    st.integers(min_value=0, max_value=3), min_size=1, max_size=4
+).map(lambda picks: [t for p in picks for t in _POOL[p]])
+CORPUS = st.lists(st.tuples(DOC, st.booleans()), min_size=1, max_size=5)
+
+
+def _model_windows(toks):
+    return {
+        hashlib.md5(" ".join(toks[i : i + _SPAN_W]).encode()).hexdigest()
+        for i in range(max(len(toks) - _SPAN_W + 1, 0))
+    }
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=CORPUS)
+def test_tombstone_purge_equals_window_model(spark_global, corpus):
+    spark = spark_global
+    docs = [(i, toks) for i, (toks, _) in enumerate(corpus)]
+    removed_ids = [i for i, (_, rm) in enumerate(corpus) if rm]
+
+    # exact model: per-hash holder counts, decrements, purge arithmetic
+    wins = {i: _model_windows(toks) for i, toks in docs}
+    holders: dict[str, int] = {}
+    decs: dict[str, int] = {}
+    for i, ws in wins.items():
+        for h in ws:
+            holders[h] = holders.get(h, 0) + 1
+            if i in removed_ids:
+                decs[h] = decs.get(h, 0) + 1
+
+    frame = spark.createDataFrame(
+        [(i, toks, len(toks)) for i, toks in docs],
+        "doc_id long, toks array<string>, n_tokens long",
+    )
+    removed = frame.filter(F.col("doc_id").isin(removed_ids)) if removed_ids else (
+        frame.filter(F.lit(False))
+    )
+    after = purged_refcount_store(
+        span_refcount_store(frame), tombstone_decrements(removed)
+    ).collect()
+
+    got = {r["h"]: (r["n_holders"], r["n_dec"], r["n_after"]) for r in after}
+    want = {
+        h: (n, decs.get(h, 0), n - decs.get(h, 0)) for h, n in holders.items()
+    }
+    assert got == want
+    # the post-purge store equals the model's surviving holder counts
+    surviving: dict[str, int] = {}
+    for i, ws in wins.items():
+        if i not in removed_ids:
+            for h in ws:
+                surviving[h] = surviving.get(h, 0) + 1
+    assert {
+        r["h"]: r["n_after"] for r in after if r["n_after"] > 0
+    } == surviving

@@ -654,3 +654,78 @@ def test_span_store_compaction_planted_50k(spark):
     )
     leaked = delta.join(passage_w, "h", "semi").count()
     assert leaked == 0, f"{leaked} planted-passage windows leaked into the delta"
+
+
+def test_span_store_tombstones_planted_50k(spark):
+    """Scale rung for the tombstone family (delete side, r14
+    continuation): take down ALL of replica 0 (5k docs) against the
+    refcount store over the full 50k corpus. The planted structure gives
+    exact laws: every passage window has multiplicity exactly 2 (replicas
+    0 and 1), so after the takedown each must survive sharing-protected
+    at n_after == 1 — and everything replica 0 held alone (its original
+    body text and its body→passage junction windows, both unreachable
+    from any salted replica) must be purged, so n_purged == (distinct
+    replica-0 hashes) − (passage hashes). Only the removed docs' text
+    feeds the decrement side — the rung times the three production
+    stages separately (store build stands in for reading the persisted
+    generation)."""
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        purged_refcount_store,
+        span_refcount_store,
+        tombstone_decrements,
+    )
+    from flink_stream_processing_spark.queries_impl.web_dedup_stream import (
+        span_hash_store,
+    )
+
+    tokenized, n_base, replicas = planted_span_corpus(spark)
+    removed = tokenized.filter(F.col("doc_id") % replicas == 0)
+    store = _timed(
+        "span refcount store build (full corpus)",
+        lambda: span_refcount_store(tokenized).localCheckpoint(eager=True),
+    )
+    dec = _timed(
+        "tombstone decrements (5k removed docs)",
+        lambda: tombstone_decrements(removed).localCheckpoint(eager=True),
+    )
+    after = _timed(
+        "purge apply + stats",
+        lambda: purged_refcount_store(store, dec).localCheckpoint(eager=True),
+    )
+    stats = after.agg(
+        F.sum(F.when(F.col("n_after") == 0, 1).otherwise(0)).alias("purged"),
+        F.sum(
+            F.when((F.col("n_dec") > 0) & (F.col("n_after") > 0), 1).otherwise(0)
+        ).alias("shared_kept"),
+        F.sum(F.when(F.col("n_after") < 0, 1).otherwise(0)).alias("negative"),
+    ).first()
+    assert stats["negative"] == 0
+    print(
+        f"\n  [{REPLICAS * 5}k] tombstones: purged={stats['purged']} "
+        f"shared_kept={stats['shared_kept']}",
+        file=sys.stderr,
+    )
+
+    # Passage law: every passage hash (multiplicity 2: replicas 0 and 1)
+    # survives at exactly n_after == 1 with n_dec == 1.
+    passage_w = span_hash_store(
+        removed.withColumn("toks", F.slice("toks", F.size("toks") - 29, 30))
+        .withColumn("n_tokens", F.lit(30).cast("long"))
+    ).localCheckpoint(eager=True)
+    n_passage = passage_w.count()
+    assert n_passage > 0
+    ok = (
+        after.join(passage_w, "h", "semi")
+        .filter((F.col("n_after") == 1) & (F.col("n_dec") == 1))
+        .count()
+    )
+    assert ok == n_passage, f"{n_passage - ok} passage hashes mis-purged"
+
+    # Exact purge count: replica 0's distinct hashes minus the passage
+    # hashes (everything it held alone goes; nothing else does).
+    r0_distinct = span_hash_store(removed).count()
+    assert stats["purged"] == r0_distinct - n_passage, (
+        stats["purged"],
+        r0_distinct,
+        n_passage,
+    )
