@@ -815,3 +815,40 @@ def q_fingerprint_store_tombstones(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("bucket_id")
     )
+
+
+def minhash_store_tombstones(
+    store_bands: DataFrame, store_arrs: DataFrame, removed_ids: DataFrame
+) -> DataFrame:
+    """Delete a doc set from BOTH MinHash store tables. Band rows and
+    shingle arrays are keyed per doc — no cross-doc state lives in
+    either table — so removal is two anti-joins on doc_id (bucket-local
+    when the tables are id-bucketed; a shingle shared with a surviving
+    doc is untouched because it lives inside each holder's OWN array,
+    unlike the span store's shared refcounted hashes). Law-pinned in
+    tests/test_store_maintenance.py: probing the deleted-from store is
+    indistinguishable from probing a from-scratch store over the
+    surviving docs — jaccard values included — which is exactly the
+    claim that band rows are per-doc separable. Returns
+    (bands_after, arrs_after)."""
+    ids = removed_ids.select("doc_id")
+    return (
+        store_bands.join(ids, "doc_id", "left_anti"),
+        store_arrs.join(ids, "doc_id", "left_anti"),
+    )
+
+
+def ivf_store_tombstones(lists: DataFrame, removed_ids: DataFrame) -> tuple:
+    """Delete vectors from the IVF inverted lists and refresh the coarse
+    quantizer over what remains. List rows are keyed per vector (one
+    anti-join on vec_id); the refresh is the same O(labels × dims)
+    partial-agg shuffle as the append-side refresh — a label whose list
+    emptied disappears from the quantizer entirely (its centroid is
+    undefined, and leaving a stale centroid would direct probes at an
+    empty list forever). Law-pinned: removed ids never appear in any
+    subsequent probe, and emptied labels vanish from the refreshed
+    quantizer. Returns (lists_after, refreshed_centroids)."""
+    from ..operators.similarity import ivf_centroids
+
+    survivors = lists.join(removed_ids.select("vec_id"), "vec_id", "left_anti")
+    return survivors, ivf_centroids(survivors)

@@ -478,3 +478,105 @@ def test_tombstone_requests_are_idempotent(spark):
     assert replay_dec.count() == 0
     after = purged_refcount_store(purged_store, replay_dec)
     assert after.filter(F.col("n_after") != F.col("n_holders")).count() == 0
+
+
+def test_minhash_store_tombstone_probe_equivalence(spark):
+    """Delete law for the MinHash family: after removing a doc set from
+    both store tables, probing with tomorrow's batch is indistinguishable
+    from probing a from-scratch store over the surviving docs — jaccard
+    values included. Pins that band rows are per-doc separable (no
+    cross-doc state hides in the store), which is what makes delete an
+    anti-join instead of a rebuild."""
+    from flink_stream_processing_spark.operators.dedup import (
+        band_hashes,
+        incremental_minhash_near_dups,
+        minhash_signatures,
+        shingle_array,
+    )
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        minhash_store_tombstones,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    full = docs.filter(F.col("doc_id") % 10 != 0)
+    probe = docs.filter(F.col("doc_id") % 10 == 0)
+
+    def distinct_arrs(frame):
+        return shingle_array(frame).select(
+            "doc_id", F.array_distinct("sh_arr").alias("sh_arr")
+        )
+
+    full_arrs = distinct_arrs(full).localCheckpoint(eager=True)
+    full_bands = band_hashes(minhash_signatures(full_arrs)).localCheckpoint(
+        eager=True
+    )
+    before = sorted(
+        incremental_minhash_near_dups(
+            probe, full_bands, full_arrs, threshold=0.3
+        ).collect()
+    )
+    assert len(before) > 0
+    # take down exactly the store docs the probe currently matches — the
+    # delete is guaranteed to bite, and the post-delete match set is
+    # exactly predictable (removal can only remove candidates)
+    removed_ids = sorted({r["doc_a"] for r in before})
+    removed = full.filter(F.col("doc_id").isin(removed_ids)).select("doc_id")
+    bands_after, arrs_after = minhash_store_tombstones(
+        full_bands, full_arrs, removed
+    )
+
+    surviving = full.filter(~F.col("doc_id").isin(removed_ids))
+    scratch_arrs = distinct_arrs(surviving).localCheckpoint(eager=True)
+    scratch_bands = band_hashes(minhash_signatures(scratch_arrs))
+
+    got = sorted(
+        incremental_minhash_near_dups(
+            probe, bands_after, arrs_after, threshold=0.3
+        ).collect()
+    )
+    want = sorted(
+        incremental_minhash_near_dups(
+            probe, scratch_bands, scratch_arrs, threshold=0.3
+        ).collect()
+    )
+    assert got == want
+    # every surviving match was already there, none involves a removed doc
+    assert set(got) <= set(before)
+    assert not {r["doc_a"] for r in got} & set(removed_ids)
+
+
+def test_ivf_store_tombstones_reroute_probes(spark):
+    """Delete law for the IVF family: removed vectors never appear in a
+    probe again, a label whose inverted list emptied vanishes from the
+    refreshed quantizer (a stale centroid would direct probes at an
+    empty list forever), and surviving coverage is exactly-once."""
+    from flink_stream_processing_spark.operators.similarity import ivf_topk
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        ivf_store_tombstones,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    labels = [r["label"] for r in emb.select("label").distinct().collect()]
+    kill_label = sorted(labels)[0]
+    # remove one entire inverted list plus a residue slice of the rest
+    removed = emb.filter(
+        (F.col("label") == kill_label) | (F.col("vec_id") % 7 == 0)
+    ).select("vec_id")
+    removed_ids = {r["vec_id"] for r in removed.collect()}
+    lists_after, centroids_after = ivf_store_tombstones(emb, removed)
+    lists_after = lists_after.localCheckpoint(eager=True)
+
+    refreshed_labels = {r["label"] for r in centroids_after.select("label").collect()}
+    assert kill_label not in refreshed_labels
+    assert refreshed_labels == {
+        r["label"] for r in lists_after.select("label").distinct().collect()
+    }
+
+    qvec = emb.filter(F.col("label") == kill_label).select("embedding").first()[0]
+    hits = ivf_topk(lists_after, [float(x) for x in qvec], k=10, n_probe=3).collect()
+    assert len(hits) == 10
+    assert not ({r["vec_id"] for r in hits} & removed_ids)
+    # exactly-once coverage of the survivors
+    n_before = emb.count()
+    assert lists_after.count() == n_before - len(removed_ids)
+    assert lists_after.select("vec_id").distinct().count() == lists_after.count()
