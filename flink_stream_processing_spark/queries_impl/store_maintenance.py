@@ -852,3 +852,37 @@ def ivf_store_tombstones(lists: DataFrame, removed_ids: DataFrame) -> tuple:
 
     survivors = lists.join(removed_ids.select("vec_id"), "vec_id", "left_anti")
     return survivors, ivf_centroids(survivors)
+
+
+def refcount_store_append(store_rc: DataFrame, batch_toks: DataFrame) -> DataFrame:
+    """Append an ingest batch to the REFCOUNT span store (the
+    delete-capable representation): add the batch's per-hash distinct-doc
+    counts to the stored holder counts — a full outer join on the
+    bucketed key (novel hashes enter at their batch multiplicity; shared
+    hashes gain holders). Unlike the distinct-key append
+    (``store_append_delta``), every batch holder counts: the refcount
+    must reflect multiplicity, else a later takedown of one holder would
+    purge a hash another doc still holds.
+
+    CALLER CONTRACT: the batch must contain only docs NOT already counted
+    in the store (run the exact-dedup survivor filter first, the
+    ``minhash_store_append`` admission rule) — re-presenting a counted
+    doc would inflate its hashes' refcounts and make the matching
+    takedown under-purge. Law-pinned: append ≡ from-scratch refcount
+    store over corpus ∪ batch, and the full lifecycle
+    (append → takedown → append) ≡ from-scratch over the final doc set."""
+    from ..operators.dedup import token_window_hashes
+
+    add = (
+        token_window_hashes(batch_toks, _SPAN_W)
+        .select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_add"))
+    )
+    return store_rc.join(add, "h", "full_outer").select(
+        "h",
+        (F.coalesce("n_holders", F.lit(0)) + F.coalesce("n_add", F.lit(0)))
+        .cast("long")
+        .alias("n_holders"),
+    )

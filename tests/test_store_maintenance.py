@@ -580,3 +580,72 @@ def test_ivf_store_tombstones_reroute_probes(spark):
     n_before = emb.count()
     assert lists_after.count() == n_before - len(removed_ids)
     assert lists_after.select("vec_id").distinct().count() == lists_after.count()
+
+
+def test_refcount_append_equals_rebuild(spark):
+    """Append law on the refcount representation: adding a batch's
+    per-hash holder counts to the stored counts equals rebuilding the
+    refcount store over corpus ∪ batch — (h, n_holders) pairs included
+    (the distinct-key law can't see a multiplicity bug; this one can)."""
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        _tokenized,
+        refcount_store_append,
+        span_refcount_store,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus, b1, _ = _three_way_split(docs)
+    got = sorted(
+        (r["h"], r["n_holders"])
+        for r in refcount_store_append(
+            span_refcount_store(_tokenized(corpus)), _tokenized(b1)
+        ).collect()
+    )
+    want = sorted(
+        (r["h"], r["n_holders"])
+        for r in span_refcount_store(_tokenized(corpus.unionByName(b1))).collect()
+    )
+    assert got == want and len(want) > 0
+
+
+def test_refcount_store_full_lifecycle(spark):
+    """THE lifecycle integration law: a store maintained through
+    append(b1) → takedown(removed) → append(b2) is indistinguishable
+    from a from-scratch refcount store over the final doc set
+    ((corpus ∪ b1) − removed ∪ b2). Every verb composes on the same
+    representation; a multiplicity error in any one of them diverges
+    here."""
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        _TOMBSTONE_RESIDUE,
+        _tokenized,
+        purged_refcount_store,
+        refcount_store_append,
+        span_refcount_store,
+        takedown_holder_ids,
+        tombstone_decrements,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus, b1, b2 = _three_way_split(docs)
+    day0 = span_refcount_store(_tokenized(corpus))
+    day1 = refcount_store_append(day0, _tokenized(b1)).localCheckpoint(eager=True)
+
+    held = corpus.unionByName(b1)
+    removed = takedown_holder_ids(
+        held, held.filter(F.col("doc_id") % 10 == _TOMBSTONE_RESIDUE)
+    ).localCheckpoint(eager=True)
+    dec = tombstone_decrements(_tokenized(held.join(removed, "doc_id", "semi")))
+    day2 = (
+        purged_refcount_store(day1, dec)
+        .filter(F.col("n_after") > 0)
+        .select("h", F.col("n_after").alias("n_holders"))
+    )
+    day3 = refcount_store_append(day2, _tokenized(b2))
+
+    final_docs = held.join(removed, "doc_id", "left_anti").unionByName(b2)
+    want = sorted(
+        (r["h"], r["n_holders"])
+        for r in span_refcount_store(_tokenized(final_docs)).collect()
+    )
+    got = sorted((r["h"], r["n_holders"]) for r in day3.collect())
+    assert got == want and len(want) > 0
