@@ -155,3 +155,43 @@ def test_tombstone_purge_equals_window_model(spark_global, corpus):
     assert {
         r["h"]: r["n_after"] for r in after if r["n_after"] > 0
     } == surviving
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=CORPUS)
+def test_refcount_append_equals_window_model(spark_global, corpus):
+    """Random-shape sweep of the refcount append (empty corpus, empty
+    batch, full-overlap batches — the full-outer-join edge cases): the
+    boolean marks batch membership; appending the batch docs to a store
+    built over the rest must equal the model's holder counts over ALL
+    docs."""
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        refcount_store_append,
+    )
+
+    spark = spark_global
+    docs = [(i, toks) for i, (toks, _) in enumerate(corpus)]
+    batch_ids = {i for i, (_, b) in enumerate(corpus) if b}
+
+    holders: dict[str, int] = {}
+    for i, toks in docs:
+        for h in _model_windows(toks):
+            holders[h] = holders.get(h, 0) + 1
+
+    frame = spark.createDataFrame(
+        [(i, toks, len(toks)) for i, toks in docs],
+        "doc_id long, toks array<string>, n_tokens long",
+    )
+    corpus_frame = frame.filter(~F.col("doc_id").isin(list(batch_ids) or [-1]))
+    batch_frame = frame.filter(F.col("doc_id").isin(list(batch_ids) or [-1]))
+    got = {
+        r["h"]: r["n_holders"]
+        for r in refcount_store_append(
+            span_refcount_store(corpus_frame), batch_frame
+        ).collect()
+    }
+    assert got == holders
