@@ -4,10 +4,12 @@ of the daily pipeline (r15 queue item (b), prepared in r14).
 The incremental read sides (``incremental_exact_dedup``,
 ``incremental_minhash_near_dups``, ``incremental_strip_new_docs``) all
 probe a persisted key store that some earlier run wrote. This module is
-that earlier run: given the current store generation and a new ingest
-batch, compute the APPEND DELTA (novel keys only), assign every key of
-the next generation to its bucket, and emit the per-bucket compaction
-report a real pipeline audits after each daily run.
+that earlier run — all three maintenance verbs: APPEND (novel keys
+only; plus the refcount-representation append), COMPACT (bucket routing
++ the per-bucket audit report), and DELETE (takedown tombstones with
+content expansion and sharing-protected refcount purges — see the
+tombstone section below), across the exact, span, MinHash, and IVF
+store families.
 
 100 TB design: the store lives as a parquet/Delta table hash-bucketed on
 the key (``exact_fingerprint_store``'s contract, one level up). The
