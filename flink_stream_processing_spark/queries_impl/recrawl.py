@@ -462,3 +462,116 @@ def q_robots_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host", "rank")
     )
+
+
+# --- planned registry name: change_rate_estimates (r17 queue) ----------------
+# The statistical upgrade on churn counting: raw change counts
+# under-estimate how often a page REALLY changes (two changes between
+# visits look like one), so the freshness literature's standard fix is
+# the bias-corrected Poisson-rate estimator of Cho & Garcia-Molina
+# ("Estimating Frequency of Change", ACM TOIT 3(3), 2003, §4.1):
+#
+#     lambda_hat = -ln((n - X + 0.5) / (n + 0.5))
+#
+# over n = observation INTERVALS (visits - 1) and X = intervals that
+# showed a change. The +0.5 continuity correction keeps the estimator
+# finite at X == n (every visit changed) and exactly 0 at X == 0 —
+# both law-pinned. Observations reuse the recrawl_schedule conventions
+# verbatim: one crawl observation per document of its canonical URL,
+# event time = epoch + doc_id, change = consecutive fingerprint differs.
+#
+# 100 TB design: the per-URL (n, X) pairs reduce from the observation
+# log in one window pass + one aggregate (the same shuffle
+# recrawl_schedule already pays — (canonical_url, ts, fp) triples, no
+# text); hosts then aggregate O(urls) narrow rows. ln() runs on
+# identical rational inputs in both engines (IEEE double, rounded to 6).
+
+CHANGE_RATE_ESTIMATES_ORACLE = f"""
+WITH {_URL_CANON_CTES},
+o AS (
+  SELECT c.canonical_url,
+         regexp_extract(c.canonical_url, '^https://([^/?]+)', 1) AS host,
+         make_timestamp(({_EVENT_EPOCH} + c.doc_id) * 1000000) AS ts,
+         md5(lower(trim(d.text))) AS fp
+  FROM canon c JOIN documents d USING (doc_id)
+),
+tr AS (
+  SELECT canonical_url, host,
+         CASE WHEN lag(fp) OVER win IS NULL THEN NULL
+              WHEN fp <> lag(fp) OVER win THEN 1 ELSE 0 END AS chg
+  FROM o WINDOW win AS (PARTITION BY canonical_url ORDER BY ts)
+),
+per_url AS (
+  SELECT canonical_url, host,
+         CAST(count(chg) AS BIGINT) AS n_intervals,
+         CAST(coalesce(sum(chg), 0) AS BIGINT) AS n_changed
+  FROM tr GROUP BY canonical_url, host
+),
+est AS (
+  SELECT host, canonical_url, n_intervals, n_changed,
+         -ln((n_intervals - n_changed + 0.5) / (n_intervals + 0.5))
+           AS lambda_hat
+  FROM per_url WHERE n_intervals >= 1
+)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(n_intervals) AS BIGINT) AS n_intervals,
+       CAST(sum(n_changed) AS BIGINT) AS n_changed,
+       round(avg(lambda_hat), 6) AS avg_lambda,
+       round(max(lambda_hat), 6) AS max_lambda
+FROM est GROUP BY host ORDER BY host
+"""
+
+
+def lambda_hat(n_intervals: Column, n_changed: Column) -> Column:
+    """Cho & Garcia-Molina bias-corrected change-rate estimator (changes
+    per observation interval). LAWS (test-pinned): exactly 0 at
+    n_changed == 0, finite at n_changed == n_intervals, strictly
+    monotone in n_changed for fixed n_intervals."""
+    return -F.log(
+        (n_intervals - n_changed + F.lit(0.5)) / (n_intervals + F.lit(0.5))
+    )
+
+
+def q_change_rate_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host change-rate profile of the crawl observation log: URL
+    count, interval/change totals, and the mean and max bias-corrected
+    lambda_hat across the host's URLs — the statistic a
+    freshness-optimal scheduler consumes instead of raw churn counts
+    (recrawl_schedule's n_changes is the X in this estimator)."""
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.select(
+        canonical_url_col(derived_url_col()).alias("canonical_url"),
+        _event_ts().alias("ts"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+    )
+    wu = Window.partitionBy("canonical_url").orderBy("ts")
+    chg = obs.withColumn(
+        "chg",
+        F.when(F.lag("fp").over(wu).isNull(), F.lit(None).cast("int")).otherwise(
+            (F.col("fp") != F.lag("fp").over(wu)).cast("int")
+        ),
+    )
+    per_url = (
+        chg.groupBy("canonical_url")
+        .agg(
+            F.first(_host_col()).alias("host"),
+            F.count("chg").cast("long").alias("n_intervals"),
+            F.coalesce(F.sum("chg"), F.lit(0)).cast("long").alias("n_changed"),
+        )
+        .filter(F.col("n_intervals") >= 1)
+        .withColumn(
+            "lambda_hat", lambda_hat(F.col("n_intervals"), F.col("n_changed"))
+        )
+    )
+    return (
+        per_url.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.sum("n_intervals").cast("long").alias("n_intervals"),
+            F.sum("n_changed").cast("long").alias("n_changed"),
+            F.round(F.avg("lambda_hat"), 6).alias("avg_lambda"),
+            F.round(F.max("lambda_hat"), 6).alias("max_lambda"),
+        )
+        .orderBy("host")
+    )

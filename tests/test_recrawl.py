@@ -226,3 +226,45 @@ def test_robots_laws(spark):
     # the fixture must exercise the disallow branch: at least one host has
     # a non-null prefix (md5 classes over 20 hosts)
     assert any(r["disallow_prefix"] is not None for r in rules.values())
+
+
+# --- change-rate estimator (r17 queue) ---------------------------------------
+
+
+def test_change_rate_estimates_match_oracle(spark):
+    from flink_stream_processing_spark.queries_impl.recrawl import (
+        CHANGE_RATE_ESTIMATES_ORACLE,
+        q_change_rate_estimates,
+    )
+
+    assert_matches_oracle(
+        q_change_rate_estimates(spark, SF_DIR), CHANGE_RATE_ESTIMATES_ORACLE, SF_DIR
+    )
+
+
+def test_lambda_hat_laws(spark):
+    """The estimator's exact arithmetic on a synthetic (n, X) grid: zero
+    at X == 0 (the continuity corrections cancel), finite and positive
+    at X == n (where the naive -ln(1 - X/n) diverges), strictly
+    monotone in X for fixed n, and equal to the closed form
+    -ln((n - X + 0.5)/(n + 0.5)) everywhere."""
+    import math
+
+    from flink_stream_processing_spark.queries_impl.recrawl import lambda_hat
+
+    grid = [(n, x) for n in range(1, 8) for x in range(0, n + 1)]
+    frame = spark.createDataFrame(grid, "n long, x long")
+    rows = {
+        (r["n"], r["x"]): r["lam"]
+        for r in frame.select(
+            "n", "x", lambda_hat(F.col("n"), F.col("x")).alias("lam")
+        ).collect()
+    }
+    for (n, x), lam in rows.items():
+        want = -math.log((n - x + 0.5) / (n + 0.5))
+        assert abs(lam - want) < 1e-12, (n, x)
+        if x == 0:
+            assert lam == 0.0
+        else:
+            assert lam > rows[(n, x - 1)]  # strict monotonicity
+        assert math.isfinite(lam)
