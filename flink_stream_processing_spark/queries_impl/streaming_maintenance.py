@@ -25,7 +25,7 @@ Structured Streaming doctrine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import token_window_hashes
@@ -82,3 +82,101 @@ def q_streaming_span_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_dup_windows"))
     )
     return _run_stream_to_table(agg, "complete").orderBy("doc_id")
+
+
+# --- planned registry name: streaming_takedown_decrements --------------------
+# The streaming arm of the DELETE verb (store_maintenance's tombstone
+# section): takedown requests arrive as a live feed — real pipelines
+# process removal requests continuously, not in the nightly window.
+# Stream-static shape: the request stream carries ONLY a fingerprint
+# (stream-side md5 projection); the static side is the corpus keyed by
+# fingerprint (at 100 TB: fp-bucketed, so each micro-batch's expansion
+# join prunes to the matched buckets); the matched holders' window
+# hashes build POST-JOIN with narrow per-row ops (array_distinct over
+# the doc-local transform — hashing only the expanded holder set, never
+# the corpus). NO stateful operator anywhere: append mode, the whole
+# plan is projections + one stream-static inner join.
+#
+# CALLER CONTRACT (mirrors takedown_holder_ids' set semantics): the
+# request feed is pre-deduplicated on content — replaying a fingerprint
+# would re-emit its holders' decrements. Pipelines dedupe request logs
+# upstream (or land decrements keyed by (request_id, doc_id) and let the
+# store apply them idempotently).
+
+from .store_maintenance import _TOMBSTONE_RESIDUE as _TOMB_RES
+
+STREAMING_TAKEDOWN_DECREMENTS_ORACLE = f"""
+WITH {_SPAN_WINDOW_CTES},
+req AS (
+  SELECT DISTINCT md5(lower(trim(text))) AS fp
+  FROM documents WHERE doc_id % 10 = {_TOMB_RES}
+),
+removed AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 10 <> 0
+    AND md5(lower(trim(text))) IN (SELECT fp FROM req)
+),
+counts AS (
+  SELECT doc_id, CAST(count(DISTINCT h) AS BIGINT) AS n
+  FROM h WHERE doc_id IN (SELECT doc_id FROM removed) GROUP BY doc_id
+)
+SELECT r.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_dec_hashes
+FROM removed r LEFT JOIN counts c USING (doc_id) ORDER BY r.doc_id
+"""
+
+
+def _distinct_window_hash_count() -> Column:
+    """Doc-local distinct window-hash count as ONE narrow column expr —
+    LOCK-STEP with token_window_hashes' convention (md5 of the
+    space-joined W-token slice; the starts guard for short docs):
+    convention equality is law-pinned in
+    tests/test_streaming_maintenance.py against the batch
+    tombstone_decrements path."""
+    starts = F.when(
+        F.col("n_tokens") >= _SPAN_W,
+        F.sequence(F.lit(0), (F.col("n_tokens") - _SPAN_W).cast("int")),
+    ).otherwise(F.array().cast("array<int>"))
+    return F.size(
+        F.array_distinct(
+            F.transform(
+                starts,
+                lambda s: F.md5(
+                    F.concat_ws(" ", F.slice("toks", s + F.lit(1), _SPAN_W))
+                ),
+            )
+        )
+    ).cast("long")
+
+
+def q_streaming_takedown_decrements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown requests processed LIVE: the request slice (the
+    store_maintenance _TOMBSTONE_RESIDUE convention) arrives as a file
+    stream projected to bare fingerprints, expands to every
+    byte-identical corpus holder through a stream-static inner join, and
+    each holder row emits its refcount-decrement mass (distinct window
+    hashes, computed post-join on the matched rows only) in append mode.
+    The output is exactly what the nightly purge consumes
+    (purged_refcount_store's decrement side, grouped per doc); the
+    streamed rows are hash-checked against the batch oracle."""
+    from .store_maintenance import _TOMBSTONE_RESIDUE
+
+    s = _stream_session(spark)
+    corpus = (
+        load_table(s, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 != 0)
+        .select(
+            F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+            F.col("doc_id"),
+            tokens_col().alias("toks"),
+        )
+        .withColumn("n_tokens", F.size("toks").cast("long"))
+    )
+    req = (
+        documents_file_stream(s, table_stream_dir(sf_dir, "documents"))
+        .filter(F.col("doc_id") % 10 == _TOMBSTONE_RESIDUE)
+        .select(F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"))
+    )
+    out = req.join(corpus, "fingerprint").select(
+        "doc_id", _distinct_window_hash_count().alias("n_dec_hashes")
+    )
+    return _run_stream_to_table(out, "append").orderBy("doc_id")

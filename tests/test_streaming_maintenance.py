@@ -48,3 +48,69 @@ def test_streaming_probe_agrees_with_batch_strip_affected_set(spark):
         r["doc_id"] for r in incremental_strip_new_docs(batch, store).collect()
     }
     assert probed == affected and len(probed) > 0
+
+
+def test_streaming_takedown_decrements_match_oracle(spark):
+    from flink_stream_processing_spark.queries_impl.streaming_maintenance import (
+        STREAMING_TAKEDOWN_DECREMENTS_ORACLE,
+        q_streaming_takedown_decrements,
+    )
+
+    assert_matches_oracle(
+        q_streaming_takedown_decrements(spark, SF_DIR),
+        STREAMING_TAKEDOWN_DECREMENTS_ORACLE,
+        SF_DIR,
+    )
+
+
+def test_streaming_takedown_agrees_with_batch_decrements(spark):
+    """Convention lock: the streamed per-doc decrement masses must equal
+    the batch tombstone path's (token_window_hashes -> distinct ->
+    per-doc count over the expanded holder set) — pinning that the
+    stream-side doc-local hash expr and the batch operator can never
+    drift apart, and that the decrement totals feeding
+    purged_refcount_store agree across both arms."""
+    from flink_stream_processing_spark.operators.dedup import token_window_hashes
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        _TOMBSTONE_RESIDUE,
+        _tokenized,
+        takedown_holder_ids,
+        tombstone_decrements,
+    )
+    from flink_stream_processing_spark.queries_impl.streaming_maintenance import (
+        q_streaming_takedown_decrements,
+    )
+    from flink_stream_processing_spark.queries_impl.web_dedup_stream import _SPAN_W
+    from flink_stream_processing_spark.sources.batch import load_table
+
+    streamed = {
+        (r["doc_id"], r["n_dec_hashes"])
+        for r in q_streaming_takedown_decrements(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    removed = takedown_holder_ids(
+        corpus, corpus.filter(F.col("doc_id") % 10 == _TOMBSTONE_RESIDUE)
+    )
+    removed_toks = _tokenized(corpus).join(removed, "doc_id", "semi")
+    counts = (
+        token_window_hashes(removed_toks, _SPAN_W)
+        .select("doc_id", "h")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    batch = {
+        (r["doc_id"], r["n"])
+        for r in removed.join(counts, "doc_id", "left")
+        .select("doc_id", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
+        .collect()
+    }
+    assert streamed == batch and len(streamed) > 0
+    # and the total decrement mass matches the (h, n_dec) side the purge
+    # actually consumes
+    total = sum(n for _, n in batch)
+    dec_total = (
+        tombstone_decrements(removed_toks).agg(F.sum("n_dec")).first()[0]
+    )
+    assert total == dec_total
