@@ -553,9 +553,8 @@ def q_change_rate_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     per_url = (
-        chg.groupBy("canonical_url")
+        chg.groupBy("canonical_url", _host_col().alias("host"))
         .agg(
-            F.first(_host_col()).alias("host"),
             F.count("chg").cast("long").alias("n_intervals"),
             F.coalesce(F.sum("chg"), F.lit(0)).cast("long").alias("n_changed"),
         )
