@@ -32,7 +32,7 @@ from ..operators.dedup import token_window_hashes
 from ..operators.text import tokens_col
 from ..sources.batch import load_table
 from ._stream_helpers import _run_stream_to_table, _stream_session, table_stream_dir
-from .store_maintenance import _SPAN_WINDOW_CTES
+from .store_maintenance import _SPAN_WINDOW_CTES, _TOMBSTONE_RESIDUE
 from .web_dedup_stream import _SPAN_W, documents_file_stream, span_hash_store
 
 # --- planned registry name: streaming_span_store_probe ----------------------
@@ -103,13 +103,11 @@ def q_streaming_span_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # upstream (or land decrements keyed by (request_id, doc_id) and let the
 # store apply them idempotently).
 
-from .store_maintenance import _TOMBSTONE_RESIDUE as _TOMB_RES
-
 STREAMING_TAKEDOWN_DECREMENTS_ORACLE = f"""
 WITH {_SPAN_WINDOW_CTES},
 req AS (
   SELECT DISTINCT md5(lower(trim(text))) AS fp
-  FROM documents WHERE doc_id % 10 = {_TOMB_RES}
+  FROM documents WHERE doc_id % 10 = {_TOMBSTONE_RESIDUE}
 ),
 removed AS (
   SELECT doc_id FROM documents
@@ -158,8 +156,6 @@ def q_streaming_takedown_decrements(spark: SparkSession, sf_dir: str) -> DataFra
     The output is exactly what the nightly purge consumes
     (purged_refcount_store's decrement side, grouped per doc); the
     streamed rows are hash-checked against the batch oracle."""
-    from .store_maintenance import _TOMBSTONE_RESIDUE
-
     s = _stream_session(spark)
     corpus = (
         load_table(s, sf_dir, "documents")
