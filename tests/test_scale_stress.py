@@ -729,3 +729,80 @@ def test_span_store_tombstones_planted_50k(spark):
         r0_distinct,
         n_passage,
     )
+
+
+def test_streaming_takedown_expansion_50k(spark):
+    """Scale rung for the streaming DELETE arm: 5k takedown requests
+    (replica 0, split into 4 files -> 4 micro-batches) streamed against
+    a PARQUET-BACKED 50k-doc static side, so each micro-batch pays the
+    real static-side reload the production design mitigates with
+    fp-bucketing/partition pruning — the rung quantifies that cost
+    honestly instead of hiding it behind an in-memory frame. Laws: the
+    matched doc set covers every request, and the total streamed
+    decrement mass equals the batch-side distinct-window total over the
+    matched docs (the convention-lock law at scale)."""
+    import tempfile
+
+    from flink_stream_processing_spark.operators.dedup import token_window_hashes
+    from flink_stream_processing_spark.queries_impl._stream_helpers import (
+        _run_stream_to_table,
+        _stream_session,
+    )
+    from flink_stream_processing_spark.queries_impl.streaming_maintenance import (
+        _distinct_window_hash_count,
+    )
+    from flink_stream_processing_spark.queries_impl.web_dedup_stream import _SPAN_W
+
+    tokenized, n_base, replicas = planted_span_corpus(spark)
+    with_fp = tokenized.withColumn(
+        "fingerprint", F.md5(F.concat_ws(" ", "toks"))
+    )
+    root = tempfile.mkdtemp(prefix="takedown_rung_")
+    corpus_pq, req_pq = f"{root}/corpus", f"{root}/requests"
+    _timed(
+        "write parquet static side (50k docs)",
+        lambda: with_fp.select(
+            "fingerprint", "doc_id", "toks", "n_tokens"
+        ).write.parquet(corpus_pq),
+    )
+    reqs = with_fp.filter(F.col("doc_id") % replicas == 0).select("fingerprint")
+    n_req = reqs.count()
+    reqs.repartition(4).write.parquet(req_pq)
+
+    s = _stream_session(spark)
+    static = s.read.parquet(corpus_pq)
+    stream = (
+        s.readStream.schema("fingerprint string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(req_pq)
+    )
+    out = stream.join(static, "fingerprint").select(
+        "doc_id", _distinct_window_hash_count().alias("n_dec_hashes")
+    )
+    result = _timed(
+        f"stream {n_req} takedown requests (4 micro-batches, parquet static side)",
+        lambda: _run_stream_to_table(out, "append").localCheckpoint(eager=True),
+    )
+    matched = {r["doc_id"] for r in result.select("doc_id").collect()}
+    req_ids = {
+        r["doc_id"]
+        for r in with_fp.filter(F.col("doc_id") % replicas == 0)
+        .select("doc_id")
+        .collect()
+    }
+    assert req_ids <= matched
+    streamed_mass = result.agg(F.sum("n_dec_hashes")).first()[0]
+    batch_mass = (
+        token_window_hashes(
+            tokenized.filter(F.col("doc_id").isin(list(matched))), _SPAN_W
+        )
+        .select("doc_id", "h")
+        .distinct()
+        .count()
+    )
+    assert streamed_mass == batch_mass
+    print(
+        f"\n  [{REPLICAS * 5}k] streaming takedown: {len(matched)} docs expanded, "
+        f"decrement mass {streamed_mass}",
+        file=sys.stderr,
+    )
