@@ -209,6 +209,12 @@ HEADLINE = [
     "sql_surface_ordered_set_aggs",
     "leakage_safe_split",
     "bpe_merge_candidates",
+    # r15 registrations (store-maintenance write path + recrawl scheduler)
+    "fingerprint_store_compaction",
+    "span_store_compaction",
+    "minhash_store_append",
+    "daily_ingest_cycle",
+    "recrawl_schedule",
 ]
 
 

@@ -57,6 +57,7 @@ from .queries_impl import (  # noqa: E402,F401
     llm_similarity,
     llm_similarity2,
     llm_text,
+    recrawl,
     reference_parity,
     relational_core,
     relational_extra,
@@ -65,6 +66,7 @@ from .queries_impl import (  # noqa: E402,F401
     retrieval,
     retrieval2,
     sql_surface,
+    store_maintenance,
     temporal,
     web_dedup_stream,
     windows_extra,

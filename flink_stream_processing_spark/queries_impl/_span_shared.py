@@ -1,0 +1,138 @@
+"""Leaf constants shared by the web-crawl dedup/frontier family.
+
+These single-source values are interpolated into BOTH the Spark plans
+and the DuckDB oracle f-strings of ``web_dedup_stream``, ``recrawl``,
+``store_maintenance`` and ``streaming_maintenance`` at module-import
+time. They live in this dependency-free module (no pyspark, no
+relative imports) so that registered modules can consume them while
+``web_dedup_stream`` is itself mid-import: with ``recrawl`` and
+``store_maintenance`` registered (r15), importing ``web_dedup_stream``
+first triggers web_dedup_stream -> queries -> recrawl, and any
+module-level attribute read on the partially initialized
+``web_dedup_stream`` would raise ImportError (the r15 flip's circular
+import). ``web_dedup_stream`` re-exports every name below, so external
+importers and tests are unaffected.
+
+Functions shared across the family (``_event_ts``, ``ranked_frontier``,
+``span_hash_store``, ``documents_file_stream``) stay in
+``web_dedup_stream`` — dependents bind the module object (safe
+mid-cycle) and resolve the attribute at call time.
+"""
+
+# Synthetic deterministic event time shared by every streaming query in
+# the family AND (as a literal, interpolated into the oracles) by the
+# hot-hosts/recrawl time_buckets: the corpus has no crawl-time column,
+# so event time is epoch + doc_id seconds. ONE definition — editing the
+# epoch or the formula in one site but not the others would silently
+# desynchronize a streaming query from its oracle.
+_EVENT_EPOCH = 1_700_000_000
+
+# Watermark horizon used by every streaming dedup in the family, in
+# seconds. The no-late-drop precondition (streamed set == batch DISTINCT
+# oracle) is that the synthetic event times span LESS than this horizon,
+# i.e. max(doc_id) < _HORIZON_S. Enforced in-plan (r11 advice): a
+# fixture grown past ~31.5M docs trips the named assertion in
+# web_dedup_stream._event_ts instead of surfacing as an opaque gate
+# hash-mismatch.
+_HORIZON_S = 365 * 86_400
+_HORIZON = f"{_HORIZON_S} seconds"  # the withWatermark string, same one definition
+
+# Window length of the seed n-gram match. A shared run of L >= _SPAN_W
+# tokens produces exactly L - _SPAN_W + 1 consecutive window matches on
+# one (doc_a, doc_b, start_a - start_b) diagonal, so merging contiguous
+# runs reconstructs maximal spans exactly.
+_SPAN_W = 20
+
+# New session when the per-host inter-arrival gap is >= 15 s (Spark's
+# session window end is exclusive: an event exactly at last + gap starts
+# a new session — same boundary convention as
+# windows_extra._SESSION_ORACLE).
+_HOST_SESSION_GAP_S = 15
+
+# Per-host politeness quota: how many frontier fetches a host may absorb
+# per pacing window. 2 splits the rank<=3 frontier into two schedule
+# slots at every SF (rank 1-2 -> slot 1, rank 3 -> slot 2), so the gate
+# exercises the pacing arithmetic, not just the join.
+_POLITENESS_QUOTA = 2
+# The pacing window width in ms — ONE definition interpolated into the
+# Spark windowing, the oracle's time_bucket/arithmetic, and imported by
+# the pacing tests (the quota-drift lesson applied to the width: editing
+# it in one site but not the others would silently desynchronize the
+# schedule from its oracle). 600 s also divides the 946 684 800 s offset
+# between Spark's epoch window origin and DuckDB's 2000-01-01
+# time_bucket origin, so the two engines' buckets coincide exactly.
+_POLITENESS_WINDOW_MS = 600_000
+
+# Deterministic frontier ranking, the oracle-side half of
+# web_dedup_stream.ranked_frontier — composed over a `canon` CTE
+# (URL_CANON_CTES) by url_frontier_topk, the politeness controller, and
+# the recrawl/robots schedulers.
+_FRONTIER_RANK_CTES = """u AS (SELECT DISTINCT canonical_url FROM canon),
+r AS (
+  SELECT regexp_extract(canonical_url, '^https://([^/?]+)', 1) AS host,
+         canonical_url,
+         ('0x' || substr(md5(canonical_url), 1, 8))::BIGINT AS priority
+  FROM u
+),
+k AS (
+  SELECT host, canonical_url, priority,
+         CAST(row_number() OVER (PARTITION BY host
+                                 ORDER BY priority, canonical_url) AS BIGINT)
+           AS rank
+  FROM r
+)"""
+
+# The incremental span-strip oracle (read side of the span store) — a
+# pure SQL string over {_SPAN_W}; lives here because store_maintenance's
+# daily-cycle oracle embeds it VERBATIM at module-import time.
+_INCR_STRIP_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+w AS (
+  SELECT doc_id, unnest(range(0, greatest(n_tokens - {_SPAN_W} + 1, 0))) AS s, toks
+  FROM b
+),
+h AS (
+  SELECT doc_id, s, md5(array_to_string(toks[s+1:s+{_SPAN_W}], ' ')) AS h FROM w
+),
+store AS (SELECT DISTINCT h FROM h WHERE doc_id % 10 <> 0),
+m AS (
+  SELECT doc_id, s FROM h
+  WHERE doc_id % 10 = 0 AND h IN (SELECT h FROM store)
+),
+i1 AS (
+  SELECT doc_id, s,
+         CASE WHEN lag(s) OVER win IS NULL OR s - lag(s) OVER win > 1
+              THEN 1 ELSE 0 END AS new_run
+  FROM m WINDOW win AS (PARTITION BY doc_id ORDER BY s)
+),
+i2 AS (
+  SELECT doc_id, s,
+         sum(new_run) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM i1
+),
+iv AS (SELECT doc_id, min(s) AS st, max(s) + {_SPAN_W} AS en
+       FROM i2 GROUP BY doc_id, run_id),
+aff AS (SELECT DISTINCT doc_id FROM iv),
+poss AS (
+  SELECT tb.doc_id, u.i AS pos, tb.toks[CAST(u.i AS INTEGER) + 1] AS tok
+  FROM b tb JOIN aff USING (doc_id), UNNEST(range(0, len(tb.toks))) AS u(i)
+),
+p2 AS (
+  SELECT poss.*,
+         EXISTS (SELECT 1 FROM iv
+                 WHERE iv.doc_id = poss.doc_id
+                   AND poss.pos >= iv.st AND poss.pos < iv.en) AS cov
+  FROM poss
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN cov THEN 1 ELSE 0 END) AS BIGINT) AS removed_tokens,
+       coalesce(string_agg(CASE WHEN NOT cov THEN tok END, ' ' ORDER BY pos), '')
+         AS clean_text
+FROM p2 GROUP BY doc_id ORDER BY doc_id
+"""

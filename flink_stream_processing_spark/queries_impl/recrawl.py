@@ -29,11 +29,13 @@ span-broadcast lesson: nothing here is force-broadcast). The per-URL
 change-detection window shuffles (canonical_url, ts, fp) triples once —
 no text, no all-pairs.
 
-NOT YET REGISTERED (r14 freshness arithmetic leaves zero add slots —
-OPERATORS.md r14 queue #2): the ``q_*`` functions carry their planned
-registry names and oracles, gated by tests/test_recrawl.py through the
-driver-equivalent assert_matches_oracle harness; r15 flips them to
-``@query`` + queries.py import + QUERY_LEDGER.json rows.
+Registration state (r15): ``recrawl_schedule`` is registered
+(``@query`` + queries.py import + QUERY_LEDGER.json row, per the r14
+consolidated ledger). ``sessionized_politeness``,
+``robots_frontier_schedule`` and ``change_rate_estimates`` stay
+PREPARED-but-unregistered until their planned r16/r17 sweep slots; all
+are gated either way by tests/test_recrawl.py through the
+driver-equivalent assert_matches_oracle harness.
 
 Reference parity note: the reference (StreamJob.java) has no crawl
 scheduler — this family is part of the LLM-pipeline extension's crawl
@@ -47,21 +49,27 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..queries import query
 from ..sources.batch import load_table
 from ._shared_exprs import (
     URL_CANON_CTES as _URL_CANON_CTES,
     canonical_url_col,
     derived_url_col,
 )
-from .web_dedup_stream import (
+from ._span_shared import (
     _EVENT_EPOCH,
     _FRONTIER_RANK_CTES,
     _HOST_SESSION_GAP_S,
     _POLITENESS_QUOTA,
     _POLITENESS_WINDOW_MS,
-    _event_ts,
-    ranked_frontier,
 )
+
+# Module-object binding, not attribute imports: this module is REGISTERED
+# (queries.py imports it), so when web_dedup_stream is the process's
+# first import this module executes while web_dedup_stream is partially
+# initialized — its functions (_event_ts, ranked_frontier) must resolve
+# at call time, after the cycle unwinds (see _span_shared's docstring).
+from . import web_dedup_stream as _wds
 
 # A churny host's interval never drops below window / _RECRAWL_MIN_DIVISOR:
 # change detection accelerates recrawl, it must never repeal politeness.
@@ -154,6 +162,7 @@ ORDER BY k.host, k.rank
 """
 
 
+@query("recrawl_schedule", oracle=RECRAWL_SCHEDULE_ORACLE)
 def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Freshness-driven recrawl schedule: politeness_frontier_schedule's
     composition with the per-host pacing window MODULATED by detected
@@ -168,7 +177,7 @@ def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     obs = docs.select(
         canonical_url_col(derived_url_col()).alias("canonical_url"),
-        _event_ts().alias("ts"),
+        _wds._event_ts().alias("ts"),
         F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
     )
     wu = Window.partitionBy("canonical_url").orderBy("ts")
@@ -189,7 +198,7 @@ def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("host")
         .agg(F.max(F.unix_millis(F.col("window.start"))).alias("last_window_start"))
     )
-    ranked = ranked_frontier(obs.select("canonical_url").distinct())
+    ranked = _wds.ranked_frontier(obs.select("canonical_url").distinct())
     return churn_recrawl_schedule(ranked, host_load.join(churn, "host")).orderBy(
         "host", "rank"
     )
@@ -264,7 +273,7 @@ def q_sessionized_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     obs = docs.select(
         canonical_url_col(derived_url_col()).alias("canonical_url"),
-        _event_ts().alias("ts"),
+        _wds._event_ts().alias("ts"),
     )
     wh = Window.partitionBy("host").orderBy("ts")
     marked = (
@@ -297,7 +306,7 @@ def q_sessionized_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     slot = F.floor(
         (F.col("rank") + _POLITENESS_QUOTA - 1) / F.lit(_POLITENESS_QUOTA)
     ).cast("long")
-    ranked = ranked_frontier(obs.select("canonical_url").distinct())
+    ranked = _wds.ranked_frontier(obs.select("canonical_url").distinct())
     return (
         ranked.join(anchor, "host")
         .select(
@@ -427,7 +436,7 @@ def q_robots_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     obs = docs.select(
         canonical_url_col(derived_url_col()).alias("canonical_url"),
-        _event_ts().alias("ts"),
+        _wds._event_ts().alias("ts"),
     )
     urls = obs.select("canonical_url").distinct().select(
         "canonical_url",
@@ -439,7 +448,7 @@ def q_robots_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("disallow_prefix").isNull()
         | ~F.col("path").startswith(F.col("disallow_prefix"))
     )
-    ranked = ranked_frontier(allowed.select("canonical_url").distinct())
+    ranked = _wds.ranked_frontier(allowed.select("canonical_url").distinct())
     host_load = (
         obs.select(_host_col().alias("host"), "ts")
         .groupBy(F.window("ts", f"{_POLITENESS_WINDOW_MS // 1000} seconds"), "host")
@@ -542,7 +551,7 @@ def q_change_rate_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     obs = docs.select(
         canonical_url_col(derived_url_col()).alias("canonical_url"),
-        _event_ts().alias("ts"),
+        _wds._event_ts().alias("ts"),
         F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
     )
     wu = Window.partitionBy("canonical_url").orderBy("ts")

@@ -28,12 +28,14 @@ from the first 8 hex chars, so bucket routing costs no second hash and
 is byte-identical in Spark and DuckDB (``('0x' || substr(key,1,8))
 ::BIGINT % B`` / ``conv(substring(key,1,8),16,10) % B``).
 
-NOT YET REGISTERED (r14 freshness arithmetic leaves zero add slots —
-OPERATORS.md r14 queue #2): the ``q_*`` functions below carry their
-planned registry names and oracles and are gated by
+Registration state (r15): ``fingerprint_store_compaction``,
+``span_store_compaction``, ``minhash_store_append`` and
+``daily_ingest_cycle`` are registered (``@query`` + queries.py import +
+QUERY_LEDGER.json rows, per the r14 consolidated ledger). The IVF and
+tombstone entries below stay PREPARED-but-unregistered until their
+planned r16/r17 sweep slots; all are gated either way by
 tests/test_store_maintenance.py through the same assert_matches_oracle
-harness the driver mirrors; r15 flips them to ``@query`` and adds the
-module to queries.py's import list + QUERY_LEDGER.json.
+harness the driver mirrors.
 
 Reference parity note: the reference pipeline (StreamJob.java) keeps no
 persisted dedup state at all — this family is part of the LLM-pipeline
@@ -48,9 +50,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import exact_fingerprint_store
+from ..queries import query
 from ..sources.batch import load_table
 from ..operators.text import tokens_col
-from .web_dedup_stream import _SPAN_W, span_hash_store
+from ._span_shared import _SPAN_W
+
+# Module-object binding, not attribute imports: this module is REGISTERED
+# (queries.py imports it), so when web_dedup_stream is the process's
+# first import this module executes while web_dedup_stream is partially
+# initialized — its functions (span_hash_store et al.) must resolve at
+# call time, after the cycle unwinds (see _span_shared's docstring).
+from . import web_dedup_stream as _wds
 
 # Bucket count for the compaction report. 8 keeps every bucket populated
 # at sf0.001 (the smallest driver SF) so the report's shape is
@@ -127,6 +137,7 @@ FROM gen2 GROUP BY bucket_id ORDER BY bucket_id
 """
 
 
+@query("fingerprint_store_compaction", oracle=FINGERPRINT_STORE_COMPACTION_ORACLE)
 def q_fingerprint_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily maintenance of the exact-dedup fingerprint store over the
     standard corpus/batch split (doc_id % 10 == 0 is the incoming batch —
@@ -193,6 +204,7 @@ def _tokenized(docs: DataFrame) -> DataFrame:
     )
 
 
+@query("span_store_compaction", oracle=SPAN_STORE_COMPACTION_ORACLE)
 def q_span_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same daily maintenance one level below document granularity:
     append the new batch's W-token window hashes to the persisted span
@@ -205,8 +217,8 @@ def q_span_store_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokenized(load_table(spark, sf_dir, "documents"))
     corpus = toks.filter(F.col("doc_id") % 10 != 0)
     batch = toks.filter(F.col("doc_id") % 10 == 0)
-    store = span_hash_store(corpus)
-    delta = store_append_delta(store, span_hash_store(batch), "h")
+    store = _wds.span_hash_store(corpus)
+    delta = store_append_delta(store, _wds.span_hash_store(batch), "h")
     return compaction_report(compacted_store(store, delta, "h")).orderBy("bucket_id")
 
 
@@ -274,6 +286,7 @@ def minhash_store_append(batch: DataFrame, fingerprint_store: DataFrame):
     return new_bands, new_arrs
 
 
+@query("minhash_store_append", oracle=MINHASH_STORE_APPEND_ORACLE)
 def q_minhash_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate projection of the MinHash store append: which batch docs the
     maintenance run admits (exact-dedup survivors with >= 3 tokens — the
@@ -306,7 +319,7 @@ def q_minhash_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash to one doc would be arbitrary; the global append itself stays
 # set-distinct via store_append_delta).
 def _daily_cycle_oracle() -> str:
-    from .web_dedup_stream import _INCR_STRIP_ORACLE
+    from ._span_shared import _INCR_STRIP_ORACLE
 
     return f"""
 WITH strip AS ({_INCR_STRIP_ORACLE}),
@@ -353,6 +366,7 @@ ORDER BY bb.doc_id
 DAILY_INGEST_CYCLE_ORACLE = _daily_cycle_oracle()
 
 
+@query("daily_ingest_cycle", oracle=DAILY_INGEST_CYCLE_ORACLE)
 def q_daily_ingest_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The daily pipeline's read+write loop composed end-to-end: strip the
     incoming batch against the persisted span store, then report — per
@@ -376,7 +390,7 @@ def q_daily_ingest_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokenized(docs)
     corpus = toks.filter(F.col("doc_id") % 10 != 0)
     batch = toks.filter(F.col("doc_id") % 10 == 0)
-    store = span_hash_store(corpus).localCheckpoint(eager=True)
+    store = _wds.span_hash_store(corpus).localCheckpoint(eager=True)
 
     from ..operators.text import TOKEN_SPLIT_RE
     from .web_dedup_stream import incremental_strip_new_docs

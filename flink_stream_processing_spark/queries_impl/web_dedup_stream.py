@@ -65,6 +65,28 @@ from pyspark.sql.window import Window
 
 from ..operators.dedup import token_window_hashes
 from ..operators.text import tokens_col
+
+# Single-source family constants (synthetic event-time epoch, watermark
+# horizon, span window, session gap, politeness pacing, frontier-rank
+# CTEs, the incremental-strip oracle) live in the dependency-free
+# ._span_shared leaf so the registered recrawl/store_maintenance modules
+# can interpolate them into their module-level oracles even while THIS
+# module is mid-import (the r15 registration's circular-import shape —
+# see _span_shared's docstring). Re-exported here so existing
+# `from .web_dedup_stream import X` sites and tests keep working; this
+# import MUST precede `from ..queries import query` (the cycle's pause
+# point) so the re-exports are bound on the partial module.
+from ._span_shared import (  # noqa: F401  (re-exports)
+    _EVENT_EPOCH,
+    _FRONTIER_RANK_CTES,
+    _HORIZON,
+    _HORIZON_S,
+    _HOST_SESSION_GAP_S,
+    _INCR_STRIP_ORACLE,
+    _POLITENESS_QUOTA,
+    _POLITENESS_WINDOW_MS,
+    _SPAN_W,
+)
 from ..queries import query
 from ..sources.batch import load_table
 from ._stream_helpers import _run_stream_to_table, _stream_session, table_stream_dir
@@ -73,23 +95,6 @@ from ._shared_exprs import (
     canonical_url_col,
     derived_url_col,
 )
-
-# Synthetic deterministic event time shared by every streaming query in
-# this module AND (as a literal, interpolated below) by the hot-hosts
-# oracle's time_bucket: the corpus has no crawl-time column, so event
-# time is epoch + doc_id seconds. ONE definition — editing the epoch or
-# the formula in one site but not the others would silently desynchronize
-# a streaming query from its oracle.
-_EVENT_EPOCH = 1_700_000_000
-
-# Watermark horizon used by every streaming dedup below, in seconds. The
-# no-late-drop precondition (streamed set == batch DISTINCT oracle) is
-# that the synthetic event times span LESS than this horizon, i.e.
-# max(doc_id) < _HORIZON_S. Enforced in-plan (r11 advice): a fixture
-# grown past ~31.5M docs trips the named assertion below instead of
-# surfacing as an opaque gate hash-mismatch.
-_HORIZON_S = 365 * 86_400
-_HORIZON = f"{_HORIZON_S} seconds"  # the withWatermark string, same one definition
 
 
 def _event_ts():
@@ -168,11 +173,7 @@ def q_streaming_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream_to_table(deduped, "append").orderBy("canonical_url")
 
 
-# Window length of the seed n-gram match. A shared run of L >= _SPAN_W
-# tokens produces exactly L - _SPAN_W + 1 consecutive window matches on
-# one (doc_a, doc_b, start_a - start_b) diagonal, so merging contiguous
-# runs reconstructs maximal spans exactly.
-_SPAN_W = 20
+# _SPAN_W (the seed n-gram window length) is imported from ._span_shared.
 # Loud-fail ceiling on per-hash multiplicity (max observed at sf0.1: 4).
 # Tighter than dedup.py's MAX_BUCKET_SIZE (10k): that expansion carries
 # id-only arrays, this one 4-field (doc_a, doc_b, sa, sb) structs, so the
@@ -845,11 +846,6 @@ def q_span_coverage_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# New session when the per-host inter-arrival gap is >= 15 s (Spark's
-# session window end is exclusive: an event exactly at last + gap starts a
-# new session — same boundary convention as windows_extra._SESSION_ORACLE).
-_HOST_SESSION_GAP_S = 15
-
 _HOST_SESSIONS_ORACLE = f"""
 WITH {_URL_CANON_CTES},
 tc AS (
@@ -920,21 +916,6 @@ def q_streaming_host_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark helper and one CTE string): u (distinct canonical URLs; assumes a
 # `canon` CTE in scope) -> r (host + md5 priority) -> k (per-host rank).
 # The rank <= 3 cap stays in each consumer's final SELECT.
-_FRONTIER_RANK_CTES = """u AS (SELECT DISTINCT canonical_url FROM canon),
-r AS (
-  SELECT regexp_extract(canonical_url, '^https://([^/?]+)', 1) AS host,
-         canonical_url,
-         ('0x' || substr(md5(canonical_url), 1, 8))::BIGINT AS priority
-  FROM u
-),
-k AS (
-  SELECT host, canonical_url, priority,
-         CAST(row_number() OVER (PARTITION BY host
-                                 ORDER BY priority, canonical_url) AS BIGINT)
-           AS rank
-  FROM r
-)"""
-
 _FRONTIER_ORACLE = f"""
 WITH {_URL_CANON_CTES},
 {_FRONTIER_RANK_CTES}
@@ -985,20 +966,6 @@ def q_url_frontier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # incremental span strip (the incremental_exact_dedup shape applied to
 # passages: strip NEW docs against a persisted corpus window-hash store
 # without re-touching the old corpus).
-
-# Per-host politeness quota: how many frontier fetches a host may absorb
-# per pacing window. 2 splits the rank<=3 frontier into two schedule
-# slots at every SF (rank 1-2 -> slot 1, rank 3 -> slot 2), so the gate
-# exercises the pacing arithmetic, not just the join.
-_POLITENESS_QUOTA = 2
-# The pacing window width in ms — ONE definition interpolated into the
-# Spark windowing, the oracle's time_bucket/arithmetic, and imported by
-# the pacing tests (the quota-drift lesson applied to the width: editing
-# it in one site but not the others would silently desynchronize the
-# schedule from its oracle). 600 s also divides the 946 684 800 s offset
-# between Spark's epoch window origin and DuckDB's 2000-01-01
-# time_bucket origin, so the two engines' buckets coincide exactly.
-_POLITENESS_WINDOW_MS = 600_000
 
 _POLITENESS_ORACLE = f"""
 WITH {_URL_CANON_CTES},
@@ -1166,57 +1133,8 @@ def incremental_strip_new_docs(
     return _excise_covered_positions(new_batch, ivs)
 
 
-_INCR_STRIP_ORACLE = rf"""
-WITH t AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-  FROM documents
-),
-b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
-w AS (
-  SELECT doc_id, unnest(range(0, greatest(n_tokens - {_SPAN_W} + 1, 0))) AS s, toks
-  FROM b
-),
-h AS (
-  SELECT doc_id, s, md5(array_to_string(toks[s+1:s+{_SPAN_W}], ' ')) AS h FROM w
-),
-store AS (SELECT DISTINCT h FROM h WHERE doc_id % 10 <> 0),
-m AS (
-  SELECT doc_id, s FROM h
-  WHERE doc_id % 10 = 0 AND h IN (SELECT h FROM store)
-),
-i1 AS (
-  SELECT doc_id, s,
-         CASE WHEN lag(s) OVER win IS NULL OR s - lag(s) OVER win > 1
-              THEN 1 ELSE 0 END AS new_run
-  FROM m WINDOW win AS (PARTITION BY doc_id ORDER BY s)
-),
-i2 AS (
-  SELECT doc_id, s,
-         sum(new_run) OVER (PARTITION BY doc_id ORDER BY s
-                            ROWS UNBOUNDED PRECEDING) AS run_id
-  FROM i1
-),
-iv AS (SELECT doc_id, min(s) AS st, max(s) + {_SPAN_W} AS en
-       FROM i2 GROUP BY doc_id, run_id),
-aff AS (SELECT DISTINCT doc_id FROM iv),
-poss AS (
-  SELECT tb.doc_id, u.i AS pos, tb.toks[CAST(u.i AS INTEGER) + 1] AS tok
-  FROM b tb JOIN aff USING (doc_id), UNNEST(range(0, len(tb.toks))) AS u(i)
-),
-p2 AS (
-  SELECT poss.*,
-         EXISTS (SELECT 1 FROM iv
-                 WHERE iv.doc_id = poss.doc_id
-                   AND poss.pos >= iv.st AND poss.pos < iv.en) AS cov
-  FROM poss
-)
-SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_tokens,
-       CAST(sum(CASE WHEN cov THEN 1 ELSE 0 END) AS BIGINT) AS removed_tokens,
-       coalesce(string_agg(CASE WHEN NOT cov THEN tok END, ' ' ORDER BY pos), '')
-         AS clean_text
-FROM p2 GROUP BY doc_id ORDER BY doc_id
-"""
+# _INCR_STRIP_ORACLE moved to ._span_shared (module-level dependency of
+# store_maintenance's daily-cycle oracle; re-exported above).
 
 
 @query("incremental_strip_spans", oracle=_INCR_STRIP_ORACLE)
