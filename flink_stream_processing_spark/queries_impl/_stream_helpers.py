@@ -69,6 +69,18 @@ def _stream_session(spark: SparkSession) -> SparkSession:
 # instead of silently desyncing an oracle (r12 advice).
 last_stream_batches: list[int] = []
 
+# recentProgress is a RING of the last `spark.sql.streaming.
+# numRecentProgressUpdates` entries (default 100) — a run with more
+# micro-batches than that silently loses its EARLIEST entries, and a
+# batch-count assertion on last_stream_batches would then pass or fail
+# on a truncated record (r13 advice). This flag records whether the last
+# run's capture was provably complete; tests that rely on completeness
+# assert it instead of discovering the cap the hard way. (False
+# negatives are impossible: fewer entries than the cap means nothing
+# rotated out. A run with EXACTLY cap batches reads as possibly
+# truncated — acceptable for a loud precondition.)
+last_stream_batches_complete: bool = True
+
 
 def _run_stream_to_table(agg: DataFrame, output_mode: str) -> DataFrame:
     """Materialize a finite stream through a memory sink (availableNow) and
@@ -86,7 +98,15 @@ def _run_stream_to_table(agg: DataFrame, output_mode: str) -> DataFrame:
         finished = q.awaitTermination(300)
         if not finished:
             raise TimeoutError("streaming query did not finish within 300 s")
-        last_stream_batches[:] = [p["numInputRows"] for p in q.recentProgress]
+        progress = q.recentProgress
+        last_stream_batches[:] = [p["numInputRows"] for p in progress]
+        cap = int(
+            agg.sparkSession.conf.get(
+                "spark.sql.streaming.numRecentProgressUpdates", "100"
+            )
+        )
+        global last_stream_batches_complete
+        last_stream_batches_complete = len(progress) < cap
     finally:
         if q.isActive:
             q.stop()

@@ -33,7 +33,13 @@ from ..operators.text import tokens_col
 from ..sources.batch import load_table
 from ._stream_helpers import _run_stream_to_table, _stream_session, table_stream_dir
 from .store_maintenance import _SPAN_WINDOW_CTES, _TOMBSTONE_RESIDUE
-from .web_dedup_stream import _SPAN_W, documents_file_stream, span_hash_store
+from .web_dedup_stream import (
+    _HORIZON,
+    _SPAN_W,
+    _event_ts,
+    documents_file_stream,
+    span_hash_store,
+)
 
 # --- planned registry name: streaming_span_store_probe ----------------------
 
@@ -170,7 +176,25 @@ def q_streaming_takedown_decrements(spark: SparkSession, sf_dir: str) -> DataFra
     req = (
         documents_file_stream(s, table_stream_dir(sf_dir, "documents"))
         .filter(F.col("doc_id") % 10 == _TOMBSTONE_RESIDUE)
-        .select(F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"))
+        .select(
+            F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+            _event_ts().alias("ts"),
+        )
+        # Request dedup (r14 advice): the batch path's takedown_holder_ids
+        # runs .distinct() on the request fingerprints and the oracle
+        # SELECTs DISTINCT, so byte-identical request docs would re-emit
+        # every holder's decrement rows here and break the gate. The sf
+        # fixtures happen to have no identical pair in the residue-3
+        # slice — make it a construction guarantee, not a fixture
+        # property. Same bounded-state idiom as streaming_url_dedup:
+        # watermark horizon out-spans the synthetic event times, so
+        # in-gate the dedup is exact; an unbounded deployment trades
+        # re-emission beyond the horizon for bounded state (a repeated
+        # takedown past it re-decrements — the consumer's replay-
+        # idempotence law absorbs exactly that).
+        .withWatermark("ts", _HORIZON)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+        .select("fingerprint")
     )
     out = req.join(corpus, "fingerprint").select(
         "doc_id", _distinct_window_hash_count().alias("n_dec_hashes")

@@ -198,6 +198,42 @@ _SPAN_MAX_MULT = 1_000
 # driver OOM.
 _SPAN_BROADCAST_BUDGET = 2_000_000
 
+# Release contract for the guard caches (r13 advice): the span queries
+# .cache() an intermediate so the guard's mass aggregate and the
+# broadcast share one evaluation of the span lineage. bench.py scopes
+# and unpersists those blocks per query, but a LIBRARY caller composing
+# these functions has no such machinery — every cached frame is
+# registered here and released by release_guard_caches(), which callers
+# invoke once their returned DataFrame has been fully consumed (the
+# cache must outlive the action that populates and reads it; releasing
+# earlier would just silently recompute the lineage twice).
+_GUARD_CACHES: list[DataFrame] = []
+
+
+def _guard_cache(df: DataFrame) -> DataFrame:
+    """``.cache()`` + registration in the module release list — every
+    guard-cache site goes through here so release_guard_caches() can
+    restore the session's persistent-RDD set (test-pinned: a bare-session
+    sweep of the span queries plus a release leaves no net new blocks)."""
+    _GUARD_CACHES.append(df.cache())
+    return df
+
+
+def release_guard_caches(blocking: bool = False) -> int:
+    """Unpersist every guard cache created since the last call; returns
+    how many were released. Safe to call with queries in flight ONLY if
+    their actions are done — unpersisting a cache mid-action falls back
+    to lineage recomputation (correct, slower)."""
+    n = 0
+    while _GUARD_CACHES:
+        df = _GUARD_CACHES.pop()
+        try:
+            df.unpersist(blocking)
+            n += 1
+        except Exception:
+            pass  # a stopped session has nothing left to release
+    return n
+
 
 def _broadcast_guarded(
     df: DataFrame,
@@ -217,7 +253,8 @@ def _broadcast_guarded(
     into the frame's FIRST column (always a consumed join key at the call
     sites) via ``assert_true`` so the optimizer cannot prune the check.
 
-    The input must already be PERSISTED (``.cache()`` at the call sites)
+    The input must already be PERSISTED (``_guard_cache`` at the call
+    sites — which also registers the block for ``release_guard_caches``)
     when its lineage is expensive: the mass aggregate and the broadcast
     are two consumers of ``df``, and without persistence Spark evaluates
     the whole lineage twice (no cross-subtree exchange reuse — measured
@@ -226,12 +263,24 @@ def _broadcast_guarded(
     which under AQE executes the shuffle stages eagerly — plan-only
     callers would pay full execution — while a cache is populated by the
     guard's own first consumer (bench.py's release machinery unpersists
-    per-query blocks either way). Under budget the plan is the original
+    per-query blocks; library callers use ``release_guard_caches``). Under budget the plan is the original
     broadcast plus one scalar ride-in; over budget the job fails NAMED
     before the driver collects the relation — though AFTER the lineage
     computes once to count it (a corpus-fraction-sized frame is built
     and cached, then rejected; late but loud, and strictly cheaper than
     the OOM it replaces)."""
+    # The scalar rides in under a fixed name and is woven into the first
+    # column — both are CONTRACT, not convention (r13 advice): a caller
+    # whose frame already carries a `_bc_mass` column would collide with
+    # the ride-in, and one whose first column the downstream join prunes
+    # would let the optimizer drop the assert with it. Fail loudly here;
+    # every current call site passes a join-key-first span frame.
+    if "_bc_mass" in df.columns:
+        raise ValueError(
+            f"_broadcast_guarded({pin}): input already has a '_bc_mass' "
+            "column — rename it; the guard weaves its mass scalar in "
+            "under that name"
+        )
     agg = (F.count(F.lit(1)) if mass is None else mass).alias("_bc_mass")
     cnt = df.groupBy().agg(agg)
     first = df.columns[0]
@@ -453,7 +502,7 @@ def q_duplicate_span_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumers, and without persistence the whole span pipeline would
     execute twice (measured +36% at sf0.1; cache not checkpoint, so
     construction stays lazy — see _broadcast_guarded)."""
-    spans = _span_frame(spark, sf_dir).cache()
+    spans = _guard_cache(_span_frame(spark, sf_dir))
     toks = _tokenized_docs(spark, sf_dir).select(
         F.col("doc_id").alias("doc_a"), "toks"
     )
@@ -727,8 +776,8 @@ def strip_spans(
         )
         .groupBy("doc_id")
         .agg(F.collect_list("iv").alias("ivs"))
-        .cache()
     )
+    ivs = _guard_cache(ivs)
     return _excise_covered_positions(
         base,
         _broadcast_guarded(

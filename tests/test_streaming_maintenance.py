@@ -114,3 +114,56 @@ def test_streaming_takedown_agrees_with_batch_decrements(spark):
         tombstone_decrements(removed_toks).agg(F.sum("n_dec")).first()[0]
     )
     assert total == dec_total
+
+
+def test_streaming_takedown_dedupes_identical_requests(spark, tmp_path):
+    """Planted byte-identical takedown requests (r14 advice): two docs in
+    the request slice (doc_id % 10 == 3) share identical text, so they
+    collapse to ONE fingerprint — each corpus holder must emit exactly
+    one decrement row, not one per request copy. The sf fixtures happen
+    to contain no such pair; this plants one so the dedup is a
+    construction guarantee, not a fixture property."""
+    from flink_stream_processing_spark.queries_impl.streaming_maintenance import (
+        q_streaming_takedown_decrements,
+    )
+
+    taken = " ".join(f"tk{i}" for i in range(30))
+    other = " ".join(f"ot{i}" for i in range(25))
+    rows = [
+        # corpus holders of the taken-down content (residues != 0)
+        (1, taken), (11, taken), (21, taken),
+        (2, other),
+        # request slice: TWO byte-identical requests + one for `other`
+        (3, taken), (13, taken), (23, other),
+    ]
+    # ONE parquet FILE named documents.parquet — the driver fixtures'
+    # layout, which table_stream_dir symlinks into the stream source dir
+    # (a Spark-written directory would sit behind the symlink unseen).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf_dir = str(tmp_path / "planted")
+    (tmp_path / "planted").mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+                "text": [t for _, t in rows],
+                "lang": ["en"] * len(rows),
+                "source": ["synthetic"] * len(rows),
+                "n_chars": pa.array([len(t) for _, t in rows], pa.int64()),
+            }
+        ),
+        f"{sf_dir}/documents.parquet",
+    )
+
+    out = q_streaming_takedown_decrements(spark, sf_dir).collect()
+    got = sorted((r["doc_id"], r["n_dec_hashes"]) for r in out)
+    # One row per HOLDER, each exactly ONCE — without the request-side
+    # dedup, docs 1/3/11/13/21 would each emit twice (once per identical
+    # request copy). The request docs are corpus members themselves
+    # (residue 3 != 0), so they are holders too. 30-token doc -> 11
+    # windows, 25-token doc -> 6 (n - W + 1 at W=20, all distinct here).
+    assert got == [
+        (1, 11), (2, 6), (3, 11), (11, 11), (13, 11), (21, 11), (23, 6),
+    ], got

@@ -387,6 +387,12 @@ def test_crawl_pipeline_runs_exactly_one_data_batch(spark):
 
     n = QUERIES["streaming_crawl_pipeline"](spark, SF_SMALL).count()
     assert n > 0
+    # The batch-count record is only evidence if it is COMPLETE — past
+    # the recentProgress ring cap the earliest entries rotate out and
+    # this assertion would run on a truncated record (r13 advice).
+    assert sh.last_stream_batches_complete, (
+        "recentProgress hit its ring cap; batch-count record truncated"
+    )
     data_batches = [b for b in sh.last_stream_batches if b > 0]
     assert len(data_batches) == 1, sh.last_stream_batches
 
@@ -492,3 +498,52 @@ def test_politeness_schedule_quota_law_on_synthetic_frontier(spark):
         assert r["scheduled_start"] > last[r["host"]], r
         expected_slot = (r["rank"] + 1) // 2
         assert r["scheduled_start"] == last[r["host"]] + 600_000 * expected_slot, r
+
+
+# ---------------------------------------------------------------------------
+# r15: guard-cache release contract + _bc_mass collision guard (r13 advice)
+
+
+def _persistent_rdd_ids(spark):
+    ids = set()
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        ids.add(int(it.next()._1()))
+    return ids
+
+
+def test_guard_caches_release_leaves_no_net_new_blocks(spark):
+    """The library-caller release contract: a sweep of the span queries
+    that cache through _guard_cache, followed by release_guard_caches(),
+    restores the session's persistent-RDD set — no accumulating blocks
+    for callers outside bench.py's per-query release machinery."""
+    from flink_stream_processing_spark.queries_impl.web_dedup_stream import (
+        release_guard_caches,
+    )
+
+    release_guard_caches(blocking=True)  # drain whatever earlier tests left
+    before = _persistent_rdd_ids(spark)
+    assert QUERIES["duplicate_span_texts"](spark, SF_SMALL).count() >= 0
+    assert QUERIES["strip_duplicate_spans"](spark, SF_SMALL).count() >= 0
+    assert len(_persistent_rdd_ids(spark) - before) >= 1  # caches were live
+    released = release_guard_caches(blocking=True)
+    assert released >= 2, released
+    assert _persistent_rdd_ids(spark) - before == set()
+
+
+def test_broadcast_guarded_rejects_bc_mass_column(spark):
+    """The mass scalar rides in under the fixed name `_bc_mass`; an input
+    frame already carrying that column must fail loudly at construction,
+    not silently collide inside the plan."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from flink_stream_processing_spark.queries_impl.web_dedup_stream import (
+        _broadcast_guarded,
+    )
+
+    df = spark.range(3).select(
+        F.col("id").alias("doc_a"), F.lit(1).alias("_bc_mass")
+    )
+    with pytest.raises(ValueError, match="_bc_mass"):
+        _broadcast_guarded(df, "collision-pin")
