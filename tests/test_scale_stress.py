@@ -806,3 +806,97 @@ def test_streaming_takedown_expansion_50k(spark):
         f"decrement mass {streamed_mass}",
         file=sys.stderr,
     )
+
+
+def test_recrawl_schedule_planted_50k(spark):
+    """Scale rung for the r15-registered recrawl scheduler: a planted
+    observation log with EXACT churn arithmetic — host h's every URL
+    changes exactly (h % 5) times across its visits, so n_changes(host)
+    = URLS_PER_HOST * (h % 5) by construction, and the effective
+    interval law (floor at window/4, monotone in churn) is checked
+    against closed-form expectations rather than an oracle replay. The
+    log is synthesized in-engine (spark.range + arithmetic, no driver
+    loops); REPLICAS scales the host count for slope measurement.
+
+    Default geometry: 500*REPLICAS/10 hosts x 10 urls x 10 visits =
+    50k observations at REPLICAS=10. The pipeline under test is the
+    registered query's exact shape: per-URL lag window (one shuffle on
+    canonical_url), per-host churn + load aggregates (host-keyed, URLs
+    dropped before the join), ranked frontier, pacing join."""
+    from pyspark.sql import Window
+
+    from flink_stream_processing_spark.queries_impl.recrawl import (
+        _RECRAWL_MIN_DIVISOR,
+        churn_recrawl_schedule,
+    )
+    from flink_stream_processing_spark.queries_impl.web_dedup_stream import (
+        _POLITENESS_WINDOW_MS,
+        ranked_frontier,
+    )
+
+    n_hosts = 50 * REPLICAS
+    urls, visits, k = 10, 10, 5
+    n_obs = n_hosts * urls * visits
+
+    base = spark.range(n_obs).select(
+        (F.col("id") / (urls * visits)).cast("long").alias("h"),
+        ((F.col("id") / visits) % urls).cast("long").alias("u"),
+        (F.col("id") % visits).cast("long").alias("v"),
+        F.col("id").alias("seq"),
+    )
+    obs = base.select(
+        F.concat(
+            F.lit("https://h"), F.col("h"), F.lit(".example.com/p"), F.col("u")
+        ).alias("canonical_url"),
+        F.col("h"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("seq")).alias("ts"),
+        # fp changes on the first (h % k) visit transitions, then freezes:
+        # per-url changes = h % k exactly
+        F.least(F.col("v"), F.col("h") % k).cast("string").alias("fp"),
+    )
+
+    wu = Window.partitionBy("canonical_url").orderBy("ts")
+    chg = obs.withColumn(
+        "chg",
+        F.when(
+            F.lag("fp").over(wu).isNotNull() & (F.col("fp") != F.lag("fp").over(wu)),
+            1,
+        ).otherwise(0),
+    )
+    churn = _timed(
+        "recrawl churn detection + per-host aggregate",
+        lambda: chg.groupBy(F.col("h").alias("host_id"))
+        .agg(F.sum("chg").cast("long").alias("n_changes"))
+        .localCheckpoint(eager=True),
+    )
+    got = {r["host_id"]: r["n_changes"] for r in churn.collect()}
+    assert len(got) == n_hosts
+    for h in (0, 1, 7, n_hosts - 1):
+        assert got[h] == urls * (h % k), (h, got[h])
+
+    host_signal = churn.select(
+        F.concat(F.lit("h"), F.col("host_id"), F.lit(".example.com")).alias("host"),
+        F.lit(0).cast("long").alias("last_window_start"),
+        "n_changes",
+    )
+    ranked = ranked_frontier(obs.select("canonical_url").distinct())
+    sched = _timed(
+        "recrawl frontier rank + pacing join",
+        lambda: churn_recrawl_schedule(ranked, host_signal).localCheckpoint(
+            eager=True
+        ),
+    )
+    rows = sched.count()
+    assert rows == n_hosts * 3  # rank<=3 per host
+    # interval law, closed form: floor(W/(1+n)) bounded below by W/4
+    floor_ms = _POLITENESS_WINDOW_MS // _RECRAWL_MIN_DIVISOR
+    bad = sched.filter(
+        F.col("interval_ms")
+        != F.greatest(
+            F.floor(F.lit(_POLITENESS_WINDOW_MS) / (F.col("n_changes") + 1)).cast(
+                "long"
+            ),
+            F.lit(floor_ms).cast("long"),
+        )
+    ).count()
+    assert bad == 0
