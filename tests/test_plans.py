@@ -483,3 +483,24 @@ def test_incremental_strip_never_rescans_corpus(spark):
     scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
     assert len(scan_ids) == 2, plan
     assert "ExistingRDD" in plan, plan
+
+
+def test_r15_store_maintenance_queries_no_smj_no_cartesian(spark):
+    """The r15 registrations' scale pins: every join AQE-resolves to a
+    broadcast of an O(keys)/O(hosts) frame — no SortMergeJoin, no
+    cartesian/nested-loop product anywhere in the five plans (the
+    builder-side audit at sf0.1 recorded the same shape; this pins it at
+    the gate SF so a regression fails in-suite, not at bench time)."""
+    from flink_stream_processing_spark.plans.inspect import formatted_plan
+
+    for name in (
+        "fingerprint_store_compaction",
+        "span_store_compaction",
+        "minhash_store_append",
+        "daily_ingest_cycle",
+        "recrawl_schedule",
+    ):
+        plan = formatted_plan(QUERIES[name](spark, SF_DIR))
+        assert "SortMergeJoin" not in plan, name
+        assert "Cartesian" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

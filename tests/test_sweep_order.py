@@ -229,6 +229,31 @@ def test_oracle_cover_matches_registry():
     assert sorted(entry_mod.oracle_sql()) == sorted(q.QUERIES)
 
 
+def test_ledger_write_guarded_for_dry_runs(monkeypatch, tmp_path):
+    """SPARK_GRAFT_LEDGER_READONLY=1 must suppress the self-heal WRITE
+    (the r14 ADVICE side effect: a dry run that decorates prepared
+    queries at runtime committed their names in dry-run order) while the
+    in-memory seniority map still covers the extra names. Run against a
+    COPY of the ledger so the real file is never at risk either way."""
+    here = os.path.dirname(os.path.abspath(entry_mod.__file__))
+    src = os.path.join(here, "QUERY_LEDGER.json")
+    with open(src) as f:
+        original = f.read()
+    fake_name = "zz_dry_run_only_query"
+    assert fake_name not in q.QUERIES
+    monkeypatch.setenv("SPARK_GRAFT_LEDGER_READONLY", "1")
+    q.QUERIES[fake_name] = lambda spark, sf_dir: None
+    q.ORACLE_SQL[fake_name] = "SELECT 1 AS one"
+    try:
+        names = list(entry_mod.queries())
+        assert fake_name in names
+        with open(src) as f:
+            assert f.read() == original, "guarded dry run mutated the ledger"
+    finally:
+        del q.QUERIES[fake_name]
+        del q.ORACLE_SQL[fake_name]
+
+
 # ---------------------------------------------------------------------------
 # Fingerprint machinery
 
