@@ -72,33 +72,3 @@ from .queries_impl import (  # noqa: E402,F401
     windows_extra,
 )
 
-_ALL_IMPL = [
-    reference_parity,
-    relational_core,
-    relational_extra,
-    relational_olap,
-    relational_tpch2,
-    windows_extra,
-    temporal,
-    llm_text,
-    llm_dedup,
-    llm_dedup2,
-    llm_similarity,
-    llm_similarity2,
-    llm_multimodal,
-    llm_pipeline2,
-    llm_pipeline3,
-    llm_pipeline4,
-    llm_pipeline5,
-    llm_corpus_ops,
-    corpus_pipeline,
-    grouped_pandas,
-    file_formats,
-    governance,
-    retrieval,
-    retrieval2,
-    analytics_extra,
-    analytics_graph2,
-    sql_surface,
-    web_dedup_stream,
-]
