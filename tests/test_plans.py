@@ -504,3 +504,27 @@ def test_r15_store_maintenance_queries_no_smj_no_cartesian(spark):
         assert "SortMergeJoin" not in plan, name
         assert "Cartesian" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_r16_queued_queries_plan_shape(spark):
+    """Pre-pins for the r16 flip cohort (prepared, unregistered): no
+    SortMergeJoin and no raw CartesianProduct anywhere. The IVF entries
+    DO carry BroadcastNestedLoopJoin — that is the designed O(labels)
+    centroid-table broadcast crossJoin (store_maintenance docstrings),
+    so it is allowed there and pinned ABSENT for the recrawl pair, whose
+    contract is AQE-chosen key joins with nothing forced."""
+    from flink_stream_processing_spark.plans.inspect import formatted_plan
+    from flink_stream_processing_spark.queries_impl import recrawl as rc
+    from flink_stream_processing_spark.queries_impl import store_maintenance as sm
+
+    for label, fn, bnlj_ok in (
+        ("sessionized_politeness", rc.q_sessionized_politeness, False),
+        ("robots_frontier_schedule", rc.q_robots_frontier_schedule, False),
+        ("ivf_store_append", sm.q_ivf_store_append, True),
+        ("ivf_refreshed_centroids", sm.q_ivf_refreshed_centroids, True),
+    ):
+        plan = formatted_plan(fn(spark, SF_DIR))
+        assert "SortMergeJoin" not in plan, label
+        assert "CartesianProduct" not in plan, label
+        if not bnlj_ok:
+            assert "BroadcastNestedLoopJoin" not in plan, label
