@@ -528,3 +528,27 @@ def test_r16_queued_queries_plan_shape(spark):
         assert "CartesianProduct" not in plan, label
         if not bnlj_ok:
             assert "BroadcastNestedLoopJoin" not in plan, label
+
+
+def test_r17_queued_queries_plan_shape(spark):
+    """Pre-pins for the r17 flip cohort: no SortMergeJoin, no raw
+    CartesianProduct. source_reputation_scores carries the documented
+    single-row global-stats broadcast crossJoin (BroadcastNestedLoopJoin
+    of ONE aggregate row — the bm25/cms scalar ride-in idiom), allowed
+    there and pinned absent elsewhere."""
+    from flink_stream_processing_spark.plans.inspect import formatted_plan
+    from flink_stream_processing_spark.queries_impl import recrawl as rc
+    from flink_stream_processing_spark.queries_impl import reputation as rp
+    from flink_stream_processing_spark.queries_impl import store_maintenance as sm
+
+    for label, fn, bnlj_ok in (
+        ("span_store_tombstones", sm.q_span_store_tombstones, False),
+        ("fingerprint_store_tombstones", sm.q_fingerprint_store_tombstones, False),
+        ("change_rate_estimates", rc.q_change_rate_estimates, False),
+        ("source_reputation_scores", rp.q_source_reputation_scores, True),
+    ):
+        plan = formatted_plan(fn(spark, SF_DIR))
+        assert "SortMergeJoin" not in plan, label
+        assert "CartesianProduct" not in plan, label
+        if not bnlj_ok:
+            assert "BroadcastNestedLoopJoin" not in plan, label
