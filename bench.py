@@ -258,6 +258,36 @@ def budget_offenders(
     ]
 
 
+def excursion_offenders(
+    timings: dict[str, float],
+    budget: dict,
+    factor: float,
+    slack_sec: float = 5.0,
+) -> list[tuple[str, float, float, float]]:
+    """Absolute-excursion retry trigger: any query whose measured time
+    exceeds ``max(factor x recorded, recorded + slack_sec)`` — REGARDLESS
+    of the sub-second enforcement floor that exempts it from
+    :func:`budget_offenders`. Closes the r15 blind spot: the driver's
+    ``shard_manifest_integrity`` run spiked 0.51 s -> 10.54 s (a 26x
+    cold-codegen/contention excursion) but was never retried because its
+    recorded budget sat under the 1 s floor, so the one-off spike became
+    the query's recorded max and would have inflated its calibrated
+    ceiling ~20x permanently. The ``recorded + slack_sec`` term keeps a
+    sub-second query's multiplicative jitter (2-4x on a 0.3 s timing)
+    from triggering pointless retries while guaranteeing any multi-second
+    spike gets a second attempt."""
+    q = budget.get("queries", {})
+    per_query = budget.get("factors", {})
+    out = []
+    for name, t in timings.items():
+        if name not in q:
+            continue
+        f = float(per_query.get(name, factor))
+        if t > max(f * q[name], q[name] + slack_sec):
+            out.append((name, t, q[name], f))
+    return out
+
+
 def retry_over_ceiling(
     timings: dict[str, float],
     budget: dict | None,
@@ -268,11 +298,25 @@ def retry_over_ceiling(
     record the MIN of the two timings (both kept in the returned retries
     map for the bench record); return the offenders that remain over their
     ceiling after the retry — i.e. the slowness REPRODUCED. Mutates
-    ``timings`` in place."""
+    ``timings`` in place.
+
+    Retry candidates are the union of the enforced-budget offenders and
+    the :func:`excursion_offenders` absolute-spike set (floor-exempt
+    queries included), so a single contention spike can never stand as a
+    query's recorded max without a second attempt. ENFORCEMENT (the
+    returned offender list, which drives the non-zero exit) is still
+    :func:`budget_offenders` only — a floor-exempt query stays exempt
+    from the gate even if its spike reproduces; the reproduced pair is
+    visible in the retries map."""
     retries: dict[str, list[float]] = {}
     if not budget:
         return retries, []
-    for name, first, _b, _f in budget_offenders(timings, budget, factor):
+    candidates: dict[str, tuple[str, float, float, float]] = {}
+    for off in budget_offenders(timings, budget, factor):
+        candidates[off[0]] = off
+    for off in excursion_offenders(timings, budget, factor):
+        candidates.setdefault(off[0], off)
+    for name, first, _b, _f in candidates.values():
         retry = rerun(name)
         if retry is None:
             continue

@@ -213,6 +213,75 @@ def test_retry_noop_without_budget():
     assert timings == {"a": 9.0}
 
 
+def test_floor_exempt_spike_triggers_absolute_excursion_retry():
+    """The r15 shard_manifest_integrity blind spot: a query recorded at
+    0.51 s (under the 1 s enforcement floor) spiked to 10.54 s on the
+    driver and was never retried, so the one-off spike stood as the
+    recorded max. The absolute-excursion rule must retry it — and since
+    the retry comes back fast, the recorded timing is the fast one and
+    the gate stays clear."""
+    from bench import excursion_offenders, retry_over_ceiling
+
+    budget = {"queries": {"shard": 0.51}, "factors": {"shard": 2.961}}
+    timings = {"shard": 10.54}
+    # excursion trigger fires: 10.54 > max(2.961*0.51=1.51, 0.51+5=5.51)
+    assert [o[0] for o in excursion_offenders(timings, budget, 3.0)] == ["shard"]
+    # ...even though the enforcement gate (floor=1.0) exempts it
+    assert budget_offenders(timings, budget, 3.0) == []
+    retries, offenders = retry_over_ceiling(timings, budget, 3.0, lambda n: 0.6)
+    assert retries == {"shard": [10.54, 0.6]}
+    assert timings == {"shard": 0.6}
+    assert offenders == []
+
+
+def test_subsecond_jitter_does_not_trigger_excursion_retry():
+    """Multiplicative jitter on a sub-second query (0.3 s -> 1.1 s, a
+    3.7x ratio but only +0.8 s absolute) must NOT trigger a retry: the
+    recorded+slack term absorbs it, so the bench doesn't waste re-runs
+    on scheduler noise."""
+    from bench import excursion_offenders, retry_over_ceiling
+
+    budget = {"queries": {"tiny": 0.3}, "factors": {"tiny": 2.0}}
+    timings = {"tiny": 1.1}
+    assert excursion_offenders(timings, budget, 3.0) == []
+    retries, offenders = retry_over_ceiling(timings, budget, 3.0, lambda n: 0.3)
+    assert retries == {} and offenders == []
+    assert timings == {"tiny": 1.1}
+
+
+def test_reproduced_floor_exempt_spike_stays_exempt_from_enforcement():
+    """A floor-exempt spike that REPRODUCES on retry records the min and
+    is visible in the retries map, but must not flip the enforcement
+    gate — sub-second budgets stay exempt from the rc!=0 path."""
+    from bench import retry_over_ceiling
+
+    budget = {"queries": {"shard": 0.51}, "factors": {"shard": 2.961}}
+    timings = {"shard": 10.54}
+    retries, offenders = retry_over_ceiling(timings, budget, 3.0, lambda n: 9.8)
+    assert retries == {"shard": [10.54, 9.8]}
+    assert timings == {"shard": 9.8}
+    assert offenders == []
+
+
+def test_enforced_offender_not_retried_twice_when_also_excursion():
+    """A query over BOTH triggers gets exactly one retry (union, deduped
+    by name) — double re-running would skew the recorded min's meaning."""
+    from bench import retry_over_ceiling
+
+    calls = []
+
+    def rerun(name):
+        calls.append(name)
+        return 2.1
+
+    budget = {"queries": {"a": 2.0}, "factors": {"a": 2.0}}
+    timings = {"a": 9.0}  # over 4.0 enforced ceiling AND over 2.0+5=7.0
+    retries, offenders = retry_over_ceiling(timings, budget, 3.0, rerun)
+    assert calls == ["a"]
+    assert retries == {"a": [9.0, 2.1]}
+    assert offenders == []
+
+
 def test_calibrator_ceiling_formula_term_dominance(monkeypatch):
     """Pins ceiling = max(2*median, 1.3*max, max+1s) per query, one
     synthetic history per dominance case: a stable multi-second query gets
