@@ -24,6 +24,9 @@ from flink_stream_processing_spark import queries as q
 
 _PKG = "flink_stream_processing_spark"
 _HERE = os.path.dirname(os.path.abspath(__file__))
+# Module-level so tests can monkeypatch it at a tmp COPY: the self-heal
+# write below must be exercisable without ever risking the committed file.
+_LEDGER_PATH = os.path.join(_HERE, "QUERY_LEDGER.json")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -402,7 +405,7 @@ def _sweep_order(names: list[str]) -> list[str]:
     # driver's per-round sweep budget. Names missing from the ledger
     # (added after the last ledger refresh) are appended best-effort so
     # the ledger stays the registration history.
-    ledger_path = os.path.join(_HERE, "QUERY_LEDGER.json")
+    ledger_path = _LEDGER_PATH
     try:
         with open(ledger_path) as f:
             ledger = json.load(f)

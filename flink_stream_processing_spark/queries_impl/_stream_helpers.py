@@ -92,6 +92,14 @@ def _run_stream_to_table(agg: DataFrame, output_mode: str) -> DataFrame:
     every caller builds its stream on a ``_stream_session`` clone."""
     from ..streaming.pipeline import write_memory
 
+    # Reset the progress record BEFORE the run (r15 advice): both globals
+    # were previously assigned only on success, so a timeout/raise left a
+    # STALE complete=True + the prior run's batch list for a consumer
+    # inspecting after the failure. Cleared up front, set only on success.
+    global last_stream_batches_complete
+    last_stream_batches[:] = []
+    last_stream_batches_complete = False
+
     name = f"s_{uuid.uuid4().hex[:10]}"
     q = write_memory(agg, name, output_mode=output_mode)
     try:
@@ -105,7 +113,6 @@ def _run_stream_to_table(agg: DataFrame, output_mode: str) -> DataFrame:
                 "spark.sql.streaming.numRecentProgressUpdates", "100"
             )
         )
-        global last_stream_batches_complete
         last_stream_batches_complete = len(progress) < cap
     finally:
         if q.isActive:

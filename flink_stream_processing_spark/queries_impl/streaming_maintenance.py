@@ -33,13 +33,21 @@ from ..operators.text import tokens_col
 from ..sources.batch import load_table
 from ._stream_helpers import _run_stream_to_table, _stream_session, table_stream_dir
 from .store_maintenance import _SPAN_WINDOW_CTES, _TOMBSTONE_RESIDUE
-from .web_dedup_stream import (
-    _HORIZON,
-    _SPAN_W,
-    _event_ts,
-    documents_file_stream,
-    span_hash_store,
-)
+
+# Module-OBJECT binding, not attribute imports (the recrawl.py /
+# store_maintenance.py convention): web_dedup_stream imports this
+# package's registered siblings transitively, so when web_dedup_stream is
+# the process's first import an attribute import here would execute
+# against a partially-initialized module and raise ImportError. Binding
+# the module object and resolving attributes at call time is cycle-safe
+# — required now that this module is registered (r16 flip).
+from . import web_dedup_stream as _wds
+
+# _SPAN_W/_HORIZON are plain constants from the _span_shared
+# single-source LEAF module (no imports back into this package), so an
+# eager attribute import is cycle-safe — unlike web_dedup_stream's
+# DataFrame helpers above.
+from ._span_shared import _HORIZON, _SPAN_W
 
 # --- planned registry name: streaming_span_store_probe ----------------------
 
@@ -72,8 +80,8 @@ def q_streaming_span_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id"), tokens_col().alias("toks"))
         .withColumn("n_tokens", F.size("toks").cast("long"))
     )
-    store = span_hash_store(corpus).localCheckpoint(eager=True)
-    stream = documents_file_stream(s, table_stream_dir(sf_dir, "documents")).filter(
+    store = _wds.span_hash_store(corpus).localCheckpoint(eager=True)
+    stream = _wds.documents_file_stream(s, table_stream_dir(sf_dir, "documents")).filter(
         F.col("doc_id") % 10 == 0
     )
     wins = token_window_hashes(
@@ -174,11 +182,11 @@ def q_streaming_takedown_decrements(spark: SparkSession, sf_dir: str) -> DataFra
         .withColumn("n_tokens", F.size("toks").cast("long"))
     )
     req = (
-        documents_file_stream(s, table_stream_dir(sf_dir, "documents"))
+        _wds.documents_file_stream(s, table_stream_dir(sf_dir, "documents"))
         .filter(F.col("doc_id") % 10 == _TOMBSTONE_RESIDUE)
         .select(
             F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
-            _event_ts().alias("ts"),
+            _wds._event_ts().alias("ts"),
         )
         # Request dedup (r14 advice): the batch path's takedown_holder_ids
         # runs .distinct() on the request fingerprints and the oracle

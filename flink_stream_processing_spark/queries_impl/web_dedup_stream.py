@@ -210,11 +210,34 @@ _SPAN_BROADCAST_BUDGET = 2_000_000
 _GUARD_CACHES: list[DataFrame] = []
 
 
+def _prune_released_guard_caches() -> None:
+    """Drop entries that are no longer persisted (r15 advice): bench.py
+    and the driver unpersist guard blocks through their own RDD-level
+    scoping and never call release_guard_caches(), so without pruning the
+    registry grows one dead reference per guarded query for the life of
+    the process — and a later release_guard_caches() would double-
+    unpersist them. A block someone else released reports the default
+    (non-persisted) storage level; keep only live ones."""
+    alive = []
+    for df in _GUARD_CACHES:
+        try:
+            lvl = df.storageLevel
+            if lvl.useMemory or lvl.useDisk or lvl.useOffHeap:
+                alive.append(df)
+        except Exception:
+            pass  # stopped session / dead JVM handle: drop it
+    _GUARD_CACHES[:] = alive
+
+
 def _guard_cache(df: DataFrame) -> DataFrame:
     """``.cache()`` + registration in the module release list — every
     guard-cache site goes through here so release_guard_caches() can
     restore the session's persistent-RDD set (test-pinned: a bare-session
-    sweep of the span queries plus a release leaves no net new blocks)."""
+    sweep of the span queries plus a release leaves no net new blocks).
+    Registration first prunes entries already unpersisted by external
+    machinery (bench.py's per-query RDD scoping), bounding the list at
+    the live-cache count instead of the process-lifetime query count."""
+    _prune_released_guard_caches()
     _GUARD_CACHES.append(df.cache())
     return df
 

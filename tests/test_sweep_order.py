@@ -233,12 +233,17 @@ def test_ledger_write_guarded_for_dry_runs(monkeypatch, tmp_path):
     """SPARK_GRAFT_LEDGER_READONLY=1 must suppress the self-heal WRITE
     (the r14 ADVICE side effect: a dry run that decorates prepared
     queries at runtime committed their names in dry-run order) while the
-    in-memory seniority map still covers the extra names. Run against a
-    COPY of the ledger so the real file is never at risk either way."""
+    in-memory seniority map still covers the extra names. The entry
+    module's ledger path is monkeypatched at a COPY in tmp_path, so even
+    a guard REGRESSION writes only the copy — the committed
+    QUERY_LEDGER.json is never at risk (r15 ADVICE)."""
     here = os.path.dirname(os.path.abspath(entry_mod.__file__))
     src = os.path.join(here, "QUERY_LEDGER.json")
     with open(src) as f:
         original = f.read()
+    copy = tmp_path / "QUERY_LEDGER.json"
+    copy.write_text(original)
+    monkeypatch.setattr(entry_mod, "_LEDGER_PATH", str(copy))
     fake_name = "zz_dry_run_only_query"
     assert fake_name not in q.QUERIES
     monkeypatch.setenv("SPARK_GRAFT_LEDGER_READONLY", "1")
@@ -247,8 +252,38 @@ def test_ledger_write_guarded_for_dry_runs(monkeypatch, tmp_path):
     try:
         names = list(entry_mod.queries())
         assert fake_name in names
+        assert copy.read_text() == original, "guarded dry run mutated the ledger"
         with open(src) as f:
-            assert f.read() == original, "guarded dry run mutated the ledger"
+            assert f.read() == original
+    finally:
+        del q.QUERIES[fake_name]
+        del q.ORACLE_SQL[fake_name]
+
+
+def test_ledger_self_heal_writes_through_patchable_path(monkeypatch, tmp_path):
+    """The UNGUARDED self-heal path, exercised safely for the first time:
+    with the ledger path pointed at a tmp copy and no readonly guard, a
+    registry name missing from the ledger must be appended to the COPY
+    (durable seniority) while the committed file stays untouched."""
+    here = os.path.dirname(os.path.abspath(entry_mod.__file__))
+    src = os.path.join(here, "QUERY_LEDGER.json")
+    with open(src) as f:
+        original = f.read()
+    copy = tmp_path / "QUERY_LEDGER.json"
+    copy.write_text(original)
+    monkeypatch.setattr(entry_mod, "_LEDGER_PATH", str(copy))
+    monkeypatch.delenv("SPARK_GRAFT_LEDGER_READONLY", raising=False)
+    fake_name = "zz_self_heal_probe_query"
+    assert fake_name not in q.QUERIES
+    q.QUERIES[fake_name] = lambda spark, sf_dir: None
+    q.ORACLE_SQL[fake_name] = "SELECT 1 AS one"
+    try:
+        names = list(entry_mod.queries())
+        assert fake_name in names
+        healed = json.loads(copy.read_text())
+        assert healed[-1] == fake_name, "self-heal did not append to the copy"
+        with open(src) as f:
+            assert f.read() == original, "self-heal leaked to the committed ledger"
     finally:
         del q.QUERIES[fake_name]
         del q.ORACLE_SQL[fake_name]

@@ -397,6 +397,32 @@ def test_crawl_pipeline_runs_exactly_one_data_batch(spark):
     assert len(data_batches) == 1, sh.last_stream_batches
 
 
+def test_stream_progress_record_resets_on_failure(spark, monkeypatch):
+    """r15 advice: a failed/timed-out run must not leave the PREVIOUS
+    run's complete=True + batch list behind — a consumer inspecting after
+    the failure would read a stale record as evidence. The helpers reset
+    both globals up front and set them only on the success path."""
+    import pytest
+
+    from flink_stream_processing_spark.queries_impl import _stream_helpers as sh
+
+    # seed a "previous successful run" record
+    sh.last_stream_batches[:] = [123]
+    sh.last_stream_batches_complete = True
+
+    def boom(agg, name, output_mode):
+        raise RuntimeError("sink construction failed")
+
+    import flink_stream_processing_spark.streaming.pipeline as pl
+
+    monkeypatch.setattr(pl, "write_memory", boom)
+    dummy = spark.readStream.format("rate").load().selectExpr("value AS v")
+    with pytest.raises(RuntimeError, match="sink construction failed"):
+        sh._run_stream_to_table(dummy, "append")
+    assert sh.last_stream_batches == []
+    assert sh.last_stream_batches_complete is False
+
+
 # ---------------------------------------------------------------------------
 # r13 adds
 
@@ -529,6 +555,31 @@ def test_guard_caches_release_leaves_no_net_new_blocks(spark):
     released = release_guard_caches(blocking=True)
     assert released >= 2, released
     assert _persistent_rdd_ids(spark) - before == set()
+
+
+def test_guard_cache_registry_prunes_externally_released_entries(spark):
+    """r15 advice: bench.py/the driver unpersist guard blocks through
+    their own RDD-level machinery without calling release_guard_caches(),
+    so registration must prune dead references — the registry is bounded
+    by LIVE caches, not by process-lifetime query count, and a later
+    release never double-unpersists an externally released frame."""
+    from flink_stream_processing_spark.queries_impl.web_dedup_stream import (
+        _GUARD_CACHES,
+        _guard_cache,
+        release_guard_caches,
+    )
+
+    release_guard_caches(blocking=True)
+    a = _guard_cache(spark.range(5).selectExpr("id AS k"))
+    a.count()
+    assert len(_GUARD_CACHES) == 1
+    # external machinery (bench.py's scoped release) unpersists directly
+    a.unpersist(True)
+    # the NEXT registration prunes the dead entry: only the new frame stays
+    b = _guard_cache(spark.range(7).selectExpr("id AS k"))
+    b.count()
+    assert len(_GUARD_CACHES) == 1 and _GUARD_CACHES[0] is b
+    assert release_guard_caches(blocking=True) == 1
 
 
 def test_broadcast_guarded_rejects_bc_mass_column(spark):
