@@ -67,6 +67,7 @@ from .queries_impl import (  # noqa: E402,F401
     retrieval2,
     sql_surface,
     store_maintenance,
+    streaming_maintenance,
     temporal,
     web_dedup_stream,
     windows_extra,

@@ -29,13 +29,13 @@ span-broadcast lesson: nothing here is force-broadcast). The per-URL
 change-detection window shuffles (canonical_url, ts, fp) triples once —
 no text, no all-pairs.
 
-Registration state (r15): ``recrawl_schedule`` is registered
-(``@query`` + queries.py import + QUERY_LEDGER.json row, per the r14
-consolidated ledger). ``sessionized_politeness``,
-``robots_frontier_schedule`` and ``change_rate_estimates`` stay
-PREPARED-but-unregistered until their planned r16/r17 sweep slots; all
-are gated either way by tests/test_recrawl.py through the
-driver-equivalent assert_matches_oracle harness.
+Registration state (r16): ``recrawl_schedule`` (r15),
+``sessionized_politeness`` and ``robots_frontier_schedule`` (r16 flip)
+are registered (``@query`` + queries.py import + QUERY_LEDGER.json
+rows). ``change_rate_estimates`` stays PREPARED-but-unregistered until
+its planned r17 sweep slot; all are gated either way by
+tests/test_recrawl.py through the driver-equivalent
+assert_matches_oracle harness.
 
 Reference parity note: the reference (StreamJob.java) has no crawl
 scheduler — this family is part of the LLM-pipeline extension's crawl
@@ -204,7 +204,7 @@ def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- planned registry name: sessionized_politeness ---------------------------
+# --- registry name: sessionized_politeness (registered r16) ------------------
 
 SESSIONIZED_POLITENESS_ORACLE = f"""
 WITH {_URL_CANON_CTES},
@@ -252,6 +252,7 @@ ORDER BY k.host, k.rank
 """
 
 
+@query("sessionized_politeness", oracle=SESSIONIZED_POLITENESS_ORACLE)
 def q_sessionized_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionized politeness: the frontier drained into the host's
     observed IDLE period. The per-host session islands are the batch twin
@@ -325,7 +326,7 @@ def q_sessionized_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- planned registry name: robots_frontier_schedule (r16 lookahead) ---------
+# --- registry name: robots_frontier_schedule (registered r16) ----------------
 
 # Synthetic-but-deterministic robots.txt for the fixture's hosts (the
 # derived_url_col convention: the corpus carries no robots data, so rules
@@ -418,6 +419,7 @@ ORDER BY k2.host, k2.rank
 """
 
 
+@query("robots_frontier_schedule", oracle=ROBOTS_FRONTIER_SCHEDULE_ORACLE)
 def q_robots_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robots-aware frontier schedule: disallowed subtrees are filtered
     BEFORE ranking (a crawler never spends a rank slot on a URL it may

@@ -28,14 +28,14 @@ from the first 8 hex chars, so bucket routing costs no second hash and
 is byte-identical in Spark and DuckDB (``('0x' || substr(key,1,8))
 ::BIGINT % B`` / ``conv(substring(key,1,8),16,10) % B``).
 
-Registration state (r15): ``fingerprint_store_compaction``,
-``span_store_compaction``, ``minhash_store_append`` and
-``daily_ingest_cycle`` are registered (``@query`` + queries.py import +
-QUERY_LEDGER.json rows, per the r14 consolidated ledger). The IVF and
-tombstone entries below stay PREPARED-but-unregistered until their
-planned r16/r17 sweep slots; all are gated either way by
-tests/test_store_maintenance.py through the same assert_matches_oracle
-harness the driver mirrors.
+Registration state (r16): ``fingerprint_store_compaction``,
+``span_store_compaction``, ``minhash_store_append``,
+``daily_ingest_cycle`` (r15), ``ivf_store_append`` and
+``ivf_refreshed_centroids`` (r16 flip) are registered (``@query`` +
+queries.py import + QUERY_LEDGER.json rows). The tombstone entries below
+stay PREPARED-but-unregistered until their planned r17 sweep slots; all
+are gated either way by tests/test_store_maintenance.py through the same
+assert_matches_oracle harness the driver mirrors.
 
 Reference parity note: the reference pipeline (StreamJob.java) keeps no
 persisted dedup state at all — this family is part of the LLM-pipeline
@@ -430,7 +430,7 @@ def q_daily_ingest_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- planned registry names: ivf_store_append, ivf_refreshed_centroids ------
+# --- registry names: ivf_store_append, ivf_refreshed_centroids (reg. r16) ---
 # (r16 lookahead) — the EMBEDDING store family's write side: new vectors
 # are assigned to their nearest existing inverted list (the IVF
 # assignment step a production ANN index runs on every ingest), and the
@@ -493,6 +493,7 @@ def ivf_assign(batch: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+@query("ivf_store_append", oracle=IVF_STORE_APPEND_ORACLE)
 def q_ivf_store_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ingest assignment: each new vector joins the inverted list of
     its nearest existing centroid. Gate output = the append rows
@@ -541,6 +542,7 @@ GROUP BY 1, 2 ORDER BY label, dim
 """
 
 
+@query("ivf_refreshed_centroids", oracle=IVF_REFRESHED_CENTROIDS_ORACLE)
 def q_ivf_refreshed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantizer refresh after the append: per-list centroids recomputed
     over corpus ∪ newly-assigned vectors — the drift maintenance that

@@ -12,10 +12,12 @@ count aggregates in complete mode over the finite fixture feed. At
 static-side files per micro-batch, so the store's partition pruning on
 the join key is what keeps each micro-batch's probe bucket-local.
 
-NOT YET REGISTERED (r14 freshness arithmetic — see OPERATORS.md): the
-query carries its planned registry name and oracle, gated by
+Registration state (freshness arithmetic — see OPERATORS.md):
+``streaming_span_store_probe`` is REGISTERED (r16 flip: ``@query`` +
+queries.py import + ledger row); ``streaming_takedown_decrements`` stays
+prepared-but-unregistered until its committed r17 slot, gated by
 tests/test_streaming_maintenance.py through the driver-equivalent
-compare; r16 flips it to ``@query`` + queries.py import + ledger row.
+compare in the meantime.
 
 Reference parity note: the reference (StreamJob.java:27-45) joins a
 stream against nothing — this composition belongs to the LLM-pipeline
@@ -30,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import token_window_hashes
 from ..operators.text import tokens_col
+from ..queries import query
 from ..sources.batch import load_table
 from ._stream_helpers import _run_stream_to_table, _stream_session, table_stream_dir
 from .store_maintenance import _SPAN_WINDOW_CTES, _TOMBSTONE_RESIDUE
@@ -49,7 +52,7 @@ from . import web_dedup_stream as _wds
 # DataFrame helpers above.
 from ._span_shared import _HORIZON, _SPAN_W
 
-# --- planned registry name: streaming_span_store_probe ----------------------
+# --- registry name: streaming_span_store_probe (registered r16) -------------
 
 STREAMING_SPAN_STORE_PROBE_ORACLE = f"""
 WITH {_SPAN_WINDOW_CTES},
@@ -63,6 +66,7 @@ FROM m GROUP BY doc_id ORDER BY doc_id
 """
 
 
+@query("streaming_span_store_probe", oracle=STREAMING_SPAN_STORE_PROBE_ORACLE)
 def q_streaming_span_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ingest feed probed against the persisted span store through the
     REAL streaming path: batch docs (the %10 split convention) arrive as
