@@ -215,6 +215,13 @@ HEADLINE = [
     "minhash_store_append",
     "daily_ingest_cycle",
     "recrawl_schedule",
+    # r16 registrations (crawl pacing + IVF store maintenance + the
+    # stream-static span-store probe)
+    "sessionized_politeness",
+    "robots_frontier_schedule",
+    "streaming_span_store_probe",
+    "ivf_store_append",
+    "ivf_refreshed_centroids",
 ]
 
 
