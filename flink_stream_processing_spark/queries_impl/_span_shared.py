@@ -82,6 +82,33 @@ k AS (
   FROM r
 )"""
 
+# Window-hash CTEs (t/b/w/h): LOCK-STEP with token_window_hashes'
+# convention (md5 of the space-joined W-token slice over the same
+# interpolated _SPAN_W). Shared at module-import time by
+# store_maintenance's compaction/daily-cycle/tombstone oracles AND
+# streaming_maintenance's probe/takedown oracles — it moved here (r16)
+# because streaming_maintenance, once REGISTERED, imports while
+# store_maintenance can itself be mid-initialization (store_maintenance
+# -> queries -> ... -> streaming_maintenance), the exact partial-init
+# ImportError class this leaf exists to break.
+_SPAN_WINDOW_CTES = rf"""t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+w AS (
+  SELECT doc_id, unnest(range(0, greatest(n_tokens - {_SPAN_W} + 1, 0))) AS s, toks
+  FROM b
+),
+h AS (
+  SELECT doc_id, s, md5(array_to_string(toks[s+1:s+{_SPAN_W}], ' ')) AS h FROM w
+)"""
+
+# The takedown-request slice convention (doc_id % 10 == 3), shared by the
+# batch tombstone oracles (store_maintenance) and the streaming takedown
+# oracle (streaming_maintenance) — one definition for the same reason.
+_TOMBSTONE_RESIDUE = 3
+
 # The incremental span-strip oracle (read side of the span store) — a
 # pure SQL string over {_SPAN_W}; lives here because store_maintenance's
 # daily-cycle oracle embeds it VERBATIM at module-import time.

@@ -53,7 +53,11 @@ from ..operators.dedup import exact_fingerprint_store
 from ..queries import query
 from ..sources.batch import load_table
 from ..operators.text import tokens_col
-from ._span_shared import _SPAN_W
+from ._span_shared import (  # noqa: F401  (re-exports: see the moved-note comments)
+    _SPAN_W,
+    _SPAN_WINDOW_CTES,
+    _TOMBSTONE_RESIDUE,
+)
 
 # Module-object binding, not attribute imports: this module is REGISTERED
 # (queries.py imports it), so when web_dedup_stream is the process's
@@ -158,24 +162,12 @@ def q_fingerprint_store_compaction(spark: SparkSession, sf_dir: str) -> DataFram
 
 # --- planned registry name: span_store_compaction --------------------------
 
-# Window-hash CTEs: LOCK-STEP MIRROR of web_dedup_stream's
-# _INCR_STRIP_ORACLE prefix (t/b/w/h) with the same interpolated _SPAN_W —
-# imported, not retyped, so the window width cannot drift; the CTE text
-# itself must stay in sync with token_window_hashes' convention (md5 of
-# the space-joined W-token slice). Shared by the compaction and
-# daily-cycle oracles below.
-_SPAN_WINDOW_CTES = rf"""t AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
-  FROM documents
-),
-b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
-w AS (
-  SELECT doc_id, unnest(range(0, greatest(n_tokens - {_SPAN_W} + 1, 0))) AS s, toks
-  FROM b
-),
-h AS (
-  SELECT doc_id, s, md5(array_to_string(toks[s+1:s+{_SPAN_W}], ' ')) AS h FROM w
-)"""
+# _SPAN_WINDOW_CTES (the t/b/w/h window-hash CTE prefix) moved to
+# ._span_shared in r16: streaming_maintenance's oracles need it at
+# module-import time too, and an attribute import from here would hit
+# the partial-init ImportError when this module is the process's first
+# import. Re-exported via the import at the top of this file so the
+# oracle f-strings below and external importers are unchanged.
 
 SPAN_STORE_COMPACTION_ORACLE = f"""
 WITH {_SPAN_WINDOW_CTES},
@@ -601,7 +593,9 @@ def q_ivf_refreshed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from the corpus because the sandbox has no persisted generation — the
 # production path reads it, exactly like the incremental probe family.)
 
-_TOMBSTONE_RESIDUE = 3  # doc_id % 10 == 3 -> the takedown-request slice
+# _TOMBSTONE_RESIDUE (doc_id % 10 == 3 -> the takedown-request slice)
+# moved to ._span_shared in r16, same partial-init rationale as
+# _SPAN_WINDOW_CTES above; re-exported via the top-of-file import.
 
 
 def takedown_holder_ids(corpus: DataFrame, requests: DataFrame) -> DataFrame:

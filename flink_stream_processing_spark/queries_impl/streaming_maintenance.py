@@ -35,7 +35,6 @@ from ..operators.text import tokens_col
 from ..queries import query
 from ..sources.batch import load_table
 from ._stream_helpers import _run_stream_to_table, _stream_session, table_stream_dir
-from .store_maintenance import _SPAN_WINDOW_CTES, _TOMBSTONE_RESIDUE
 
 # Module-OBJECT binding, not attribute imports (the recrawl.py /
 # store_maintenance.py convention): web_dedup_stream imports this
@@ -46,11 +45,14 @@ from .store_maintenance import _SPAN_WINDOW_CTES, _TOMBSTONE_RESIDUE
 # — required now that this module is registered (r16 flip).
 from . import web_dedup_stream as _wds
 
-# _SPAN_W/_HORIZON are plain constants from the _span_shared
-# single-source LEAF module (no imports back into this package), so an
-# eager attribute import is cycle-safe — unlike web_dedup_stream's
-# DataFrame helpers above.
-from ._span_shared import _HORIZON, _SPAN_W
+# Plain constants from the _span_shared single-source LEAF module (no
+# imports back into this package), so eager attribute imports are
+# cycle-safe — unlike web_dedup_stream's DataFrame helpers above. The
+# oracle CTE prefix and the takedown-slice convention moved there in r16
+# for exactly this import: reading them off store_maintenance raised the
+# partial-init ImportError whenever store_maintenance was the process's
+# first import (store_maintenance -> queries -> this module).
+from ._span_shared import _HORIZON, _SPAN_W, _SPAN_WINDOW_CTES, _TOMBSTONE_RESIDUE
 
 # --- registry name: streaming_span_store_probe (registered r16) -------------
 

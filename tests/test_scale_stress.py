@@ -900,3 +900,83 @@ def test_recrawl_schedule_planted_50k(spark):
         )
     ).count()
     assert bad == 0
+
+
+def test_ivf_store_maintenance_planted_20k(spark):
+    """Scale rung for the r16-registered IVF store family (write side of
+    the ANN index): 2 000 sf0.1 vectors x REPLICAS (default 20k), with
+    TWO closed-form planted laws the floating-point pipeline must hit:
+
+    - assignment law: a batch vector that IS label L's gen-1 centroid is
+      assigned to list L with sim 1.0 (cos of a vector with itself; no
+      other centroid can tie unless parallel, which the assert would
+      expose);
+    - refresh fixed-point law: appending exact-centroid copies leaves
+      every refreshed centroid unchanged — mean(n copies of the mean ∪
+      the corpus) == the corpus mean, exactly in real arithmetic, so the
+      6-dp rounded pipeline must agree within one rounding step.
+
+    Scale design verified by the timings: the centroid build shuffles
+    O(labels x dims) partial sums regardless of corpus rows; the assign
+    step broadcasts the O(labels) centroid table, so its cost scales
+    with the BATCH, not the corpus. Slopes recorded in OPERATORS.md."""
+    from flink_stream_processing_spark.operators.similarity import (
+        ivf_centroids,
+        label_centroids,
+    )
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        ivf_assign,
+    )
+
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "label", "embedding"
+    )
+    reps = spark.range(REPLICAS).select(F.col("id").cast("long").alias("replica"))
+    corpus = base.crossJoin(reps).select(
+        (F.col("vec_id") * REPLICAS + F.col("replica")).alias("vec_id"),
+        "label",
+        "embedding",
+    )
+    n_vecs = corpus.count()
+    assert n_vecs == 2_000 * REPLICAS
+
+    cents = _timed(
+        f"ivf centroid build @{2 * REPLICAS}k vecs",
+        lambda: ivf_centroids(corpus).localCheckpoint(eager=True),
+    )
+    n_labels = cents.count()
+
+    # batch: one exact copy of every centroid per replica
+    batch = cents.crossJoin(reps).select(
+        (F.col("label").cast("long") * 1_000_000 + F.col("replica")).alias("vec_id"),
+        F.col("centroid").alias("embedding"),
+    )
+    assigned = _timed(
+        f"ivf assign {n_labels * REPLICAS} centroid probes",
+        lambda: ivf_assign(batch, cents).localCheckpoint(eager=True),
+    )
+    rows = assigned.collect()
+    assert len(rows) == n_labels * REPLICAS
+    for r in rows:
+        assert r["assigned_label"] == r["vec_id"] // 1_000_000, r
+        assert abs(r["sim"] - 1.0) < 1e-9, r
+
+    # refresh fixed point: gen-2 centroids over corpus ∪ centroid copies
+    grown = corpus.select("label", "embedding").unionByName(
+        batch.join(
+            assigned.select("vec_id", F.col("assigned_label").alias("label")),
+            "vec_id",
+        ).select("label", "embedding")
+    )
+    refreshed = _timed(
+        f"ivf centroid refresh @{2 * REPLICAS}k + probes",
+        lambda: label_centroids(grown).localCheckpoint(eager=True),
+    )
+    gen1 = label_centroids(corpus)
+    drifted = (
+        refreshed.withColumnRenamed("centroid_val", "v2")
+        .join(gen1, ["label", "dim"])
+        .filter(F.abs(F.col("v2") - F.col("centroid_val")) > 2e-6)
+        .count()
+    )
+    assert drifted == 0, "refresh is not a fixed point under self-append"
