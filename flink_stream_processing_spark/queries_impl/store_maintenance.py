@@ -866,6 +866,93 @@ def ivf_store_tombstones(lists: DataFrame, removed_ids: DataFrame) -> tuple:
     return survivors, ivf_centroids(survivors)
 
 
+def ivf_centroid_state(
+    embeddings: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """The MERGEABLE representation of the coarse quantizer: per (label,
+    dim) the running vector-sum and member count, whose ratio is the
+    centroid. This is the delete-capable form of the IVF refresh —
+    ``ivf_store_tombstones`` above rebuilds centroids by rescanning the
+    surviving lists (O(corpus) per delete); with this state persisted,
+    appends and deletes are pure increments/decrements that scan ONLY
+    the changed vectors (the span store's refcount lesson applied to
+    the quantizer). O(labels × dims) rows regardless of corpus size."""
+    exploded = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "v"),
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.sum(F.col("v").cast("double")).alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+def centroids_from_state(state: DataFrame) -> DataFrame:
+    """Flat (label, dim, centroid_val) from the mergeable state — the
+    same 6-dp shape as ``label_centroids``, so the two representations
+    are directly law-comparable."""
+    return state.select(
+        "label", "dim", F.round(F.col("s") / F.col("n"), 6).alias("centroid_val")
+    )
+
+
+def ivf_state_remove(
+    state: DataFrame,
+    removed: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Decrement the quantizer state by the removed vectors' contributions
+    — the incremental delete. Scans ONLY the removed rows (at 100 TB: the
+    takedown slice, not the corpus); the join carries O(labels × dims)
+    state rows against an O(removed-labels × dims) decrement, both tiny.
+    A label whose count reaches zero drops out entirely (same
+    emptied-list rule as ivf_store_tombstones: a stale centroid would
+    direct probes at an empty list forever).
+
+    CALLER CONTRACT (the takedown family's standard): the removed set is
+    applied once — replaying a decrement double-subtracts. Law-pinned in
+    tests/test_store_maintenance.py: remove ≡ rebuild over survivors
+    (exactly on integer vectors, within one 6-dp rounding step on the
+    fixture), and append → remove round-trips to the original state."""
+    dec = ivf_centroid_state(removed, label_col, vec_col).select(
+        "label", "dim", F.col("s").alias("ds"), F.col("n").alias("dn")
+    )
+    return (
+        state.join(dec, ["label", "dim"], "left")
+        .select(
+            "label",
+            "dim",
+            (F.col("s") - F.coalesce("ds", F.lit(0.0))).alias("s"),
+            (F.col("n") - F.coalesce("dn", F.lit(0))).cast("long").alias("n"),
+        )
+        .filter(F.col("n") > 0)
+    )
+
+
+def ivf_state_append(
+    state: DataFrame,
+    added: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Increment the quantizer state by an ingest batch's contributions —
+    the O(batch) append twin of ``ivf_state_remove``. Full outer on
+    (label, dim) so a batch introducing a brand-new label creates its
+    state rows."""
+    inc = ivf_centroid_state(added, label_col, vec_col).select(
+        "label", "dim", F.col("s").alias("as_"), F.col("n").alias("an")
+    )
+    return state.join(inc, ["label", "dim"], "full_outer").select(
+        "label",
+        "dim",
+        (F.coalesce("s", F.lit(0.0)) + F.coalesce("as_", F.lit(0.0))).alias("s"),
+        (F.coalesce("n", F.lit(0)) + F.coalesce("an", F.lit(0)))
+        .cast("long")
+        .alias("n"),
+    )
+
+
 def refcount_store_append(store_rc: DataFrame, batch_toks: DataFrame) -> DataFrame:
     """Append an ingest batch to the REFCOUNT span store (the
     delete-capable representation): add the batch's per-hash distinct-doc

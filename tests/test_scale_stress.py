@@ -980,3 +980,40 @@ def test_ivf_store_maintenance_planted_20k(spark):
         .count()
     )
     assert drifted == 0, "refresh is not a fixed point under self-append"
+
+    # DELETE arm: the mergeable-state decrement must cost O(removed), not
+    # O(corpus) — a FIXED 200-vector takedown against the growing corpus,
+    # so across REPLICAS settings this step's timing should stay flat
+    # while the corpus doubles (state build above is the one-time
+    # O(corpus) pass a production table persists).
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        centroids_from_state,
+        ivf_centroid_state,
+        ivf_state_remove,
+    )
+
+    state = _timed(
+        f"ivf centroid state build @{2 * REPLICAS}k vecs",
+        lambda: ivf_centroid_state(corpus).localCheckpoint(eager=True),
+    )
+    removed = corpus.filter(F.col("vec_id") < 200).localCheckpoint(eager=True)
+    n_removed = removed.count()
+    assert n_removed == 200
+    after = _timed(
+        "ivf state decrement (200 removed, fixed)",
+        lambda: centroids_from_state(
+            ivf_state_remove(state, removed)
+        ).localCheckpoint(eager=True),
+    )
+    rebuilt = label_centroids(corpus.filter(F.col("vec_id") >= 200))
+    drift2 = (
+        after.withColumnRenamed("centroid_val", "v2")
+        .join(rebuilt, ["label", "dim"], "full_outer")
+        .filter(
+            F.col("v2").isNull()
+            | F.col("centroid_val").isNull()
+            | (F.abs(F.col("v2") - F.col("centroid_val")) > 2e-6)
+        )
+        .count()
+    )
+    assert drift2 == 0, "incremental delete drifted from the rebuild"

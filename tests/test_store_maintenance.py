@@ -16,6 +16,7 @@ from flink_stream_processing_spark.queries_impl.store_maintenance import (
     FINGERPRINT_STORE_COMPACTION_ORACLE,
     SPAN_STORE_COMPACTION_ORACLE,
     _N_BUCKETS,
+    _TOMBSTONE_RESIDUE,
     _tokenized,
     compacted_store,
     compaction_report,
@@ -649,3 +650,103 @@ def test_refcount_store_full_lifecycle(spark):
     )
     got = sorted((r["h"], r["n_holders"]) for r in day3.collect())
     assert got == want and len(want) > 0
+
+
+# --- mergeable quantizer state: the O(changed) IVF maintenance form ---------
+
+
+def _int_vec_frame(spark):
+    """Small integer-valued embedding frame: sums are exact doubles, so
+    the incremental-state laws can be asserted EXACTLY (identical sums →
+    identical divisions → identical 6-dp roundings), no fp tolerance."""
+    rows = [
+        (0, 0, [2.0, 4.0, 6.0]),
+        (1, 0, [4.0, 8.0, 2.0]),
+        (2, 0, [6.0, 0.0, 4.0]),
+        (3, 1, [1.0, 3.0, 5.0]),
+        (4, 1, [7.0, 5.0, 3.0]),
+        (5, 2, [9.0, 9.0, 9.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+
+
+def test_ivf_state_remove_equals_rebuild_exact(spark):
+    """remove ≡ rebuild, exactly: decrementing the mergeable state by the
+    removed vectors yields the same (label, dim, centroid_val) rows as
+    rebuilding from the survivors — including the emptied-label drop
+    (label 2's only member is removed; a stale centroid would direct
+    probes at an empty list forever)."""
+    from flink_stream_processing_spark.operators.similarity import label_centroids
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        centroids_from_state,
+        ivf_centroid_state,
+        ivf_state_remove,
+    )
+
+    emb = _int_vec_frame(spark)
+    removed = emb.filter(F.col("vec_id").isin(1, 5))
+    survivors = emb.filter(~F.col("vec_id").isin(1, 5))
+    got = sorted(
+        (r["label"], r["dim"], r["centroid_val"])
+        for r in centroids_from_state(
+            ivf_state_remove(ivf_centroid_state(emb), removed)
+        ).collect()
+    )
+    want = sorted(
+        (r["label"], r["dim"], r["centroid_val"])
+        for r in label_centroids(survivors).collect()
+    )
+    assert got == want
+    assert not any(lab == 2 for lab, _, _ in got), "emptied label must drop"
+
+
+def test_ivf_state_append_remove_round_trip(spark):
+    """append → remove of the same batch restores the original state:
+    counts exactly, sums bit-for-bat on these integer vectors — the
+    replay-idempotence shape every store family pins (a batch introducing
+    a brand-new label vanishes again with it)."""
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        ivf_centroid_state,
+        ivf_state_append,
+        ivf_state_remove,
+    )
+
+    emb = _int_vec_frame(spark)
+    batch = spark.createDataFrame(
+        [(100, 1, [2.0, 2.0, 2.0]), (101, 7, [5.0, 1.0, 5.0])],
+        "vec_id long, label int, embedding array<double>",
+    )
+    state0 = ivf_centroid_state(emb)
+    state2 = ivf_state_remove(ivf_state_append(state0, batch), batch)
+    got = sorted((r["label"], r["dim"], r["s"], r["n"]) for r in state2.collect())
+    want = sorted((r["label"], r["dim"], r["s"], r["n"]) for r in state0.collect())
+    assert got == want
+    assert not any(lab == 7 for lab, _, _, _ in got)
+
+
+def test_ivf_state_remove_matches_rebuild_on_fixture(spark):
+    """The same law on the real fixture (float sums): incremental delete
+    of the tombstone slice agrees with the from-scratch rebuild within
+    one 6-dp rounding step per value — the fp-subtraction error bound,
+    NOT a semantic gap."""
+    from flink_stream_processing_spark.operators.similarity import label_centroids
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        centroids_from_state,
+        ivf_centroid_state,
+        ivf_state_remove,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    removed = emb.filter(F.col("vec_id") % 10 == _TOMBSTONE_RESIDUE)
+    survivors = emb.filter(F.col("vec_id") % 10 != _TOMBSTONE_RESIDUE)
+    inc = centroids_from_state(
+        ivf_state_remove(ivf_centroid_state(emb), removed)
+    ).withColumnRenamed("centroid_val", "v_inc")
+    rebuilt = label_centroids(survivors)
+    joined = inc.join(rebuilt, ["label", "dim"], "full_outer")
+    n_rows = joined.count()
+    assert n_rows == rebuilt.count() == inc.count(), "label/dim sets must agree"
+    drifted = joined.filter(
+        F.abs(F.col("v_inc") - F.col("centroid_val")) > 2e-6
+    ).count()
+    assert drifted == 0
