@@ -195,3 +195,86 @@ def test_refcount_append_equals_window_model(spark_global, corpus):
         ).collect()
     }
     assert got == holders
+
+
+# --- quantizer-state sweep: IVF append/remove equals an exact dict model ----
+
+# Integer-valued vectors keep every sum an exact double, so the Python
+# model (per-label per-dim sums and counts in a dict) is an EXACT
+# reference — no tolerance anywhere in this sweep. Random maintenance
+# sequences cover: removals emptying a label, appends introducing a new
+# label, interleaved append→remove→append chains, and the degenerate
+# empty-batch verbs.
+_DIM = 3
+VEC = st.lists(
+    st.integers(min_value=-9, max_value=9).map(float), min_size=_DIM, max_size=_DIM
+)
+LABELED_VECS = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3), VEC), min_size=0, max_size=10
+)
+
+
+def _vec_frame(spark, rows, start_id=0):
+    data = [(start_id + i, lab, v) for i, (lab, v) in enumerate(rows)]
+    return spark.createDataFrame(
+        data, "vec_id long, label int, embedding array<double>"
+    )
+
+
+def _model_state(rows):
+    """Exact dict model: {(label, dim): [sum, count]}."""
+    m: dict = {}
+    for lab, v in rows:
+        for d, x in enumerate(v):
+            cell = m.setdefault((lab, d), [0.0, 0])
+            cell[0] += x
+            cell[1] += 1
+    return m
+
+
+def _state_rows(state_df):
+    return {(r["label"], r["dim"]): (r["s"], r["n"]) for r in state_df.collect()}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=LABELED_VECS, batch=LABELED_VECS, n_remove=st.integers(0, 10))
+def test_ivf_state_maintenance_equals_dict_model(
+    spark_global, corpus, batch, n_remove
+):
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        ivf_centroid_state,
+        ivf_state_append,
+        ivf_state_remove,
+    )
+
+    spark = spark_global
+    state0 = ivf_centroid_state(_vec_frame(spark, corpus))
+    model = _model_state(corpus)
+    assert _state_rows(state0) == {
+        k: (s, n) for k, (s, n) in model.items()
+    }
+
+    # append a batch (may introduce brand-new labels)
+    state1 = ivf_state_append(state0, _vec_frame(spark, batch, start_id=1000))
+    for lab, v in batch:
+        for d, x in enumerate(v):
+            cell = model.setdefault((lab, d), [0.0, 0])
+            cell[0] += x
+            cell[1] += 1
+    assert _state_rows(state1) == {k: (s, n) for k, (s, n) in model.items()}
+
+    # remove a prefix of the appended batch (possibly all of it, possibly
+    # emptying labels the corpus never had)
+    removed = batch[:n_remove]
+    state2 = ivf_state_remove(state1, _vec_frame(spark, removed, start_id=1000))
+    for lab, v in removed:
+        for d, x in enumerate(v):
+            cell = model[(lab, d)]
+            cell[0] -= x
+            cell[1] -= 1
+    want = {k: (s, n) for k, (s, n) in model.items() if n > 0}
+    assert _state_rows(state2) == want
