@@ -109,6 +109,40 @@ h AS (
 # oracle (streaming_maintenance) — one definition for the same reason.
 _TOMBSTONE_RESIDUE = 3
 
+# The IVF ingest-assignment oracle (write side of the ANN index) — one
+# truth for BOTH the batch path (store_maintenance's ivf_store_append)
+# and the streaming path (streaming_maintenance's prepared
+# streaming_ivf_assign): the two engines and the two execution modes all
+# pin to this string, so stream/batch divergence is structurally
+# impossible. Lives in the leaf for the same partial-init reason as
+# _SPAN_WINDOW_CTES above.
+_IVF_ASSIGN_ORACLE = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+corpus AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+batch AS (SELECT vec_id, v FROM e WHERE vec_id % 10 = 0),
+cd AS (
+  SELECT label, i - 1 AS dim, avg(v[i]) AS c
+  FROM corpus, UNNEST(range(1, len(v) + 1)) AS u(i)
+  GROUP BY 1, 2
+),
+cl AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
+sims AS (
+  SELECT b.vec_id, cl.label,
+         list_dot_product(b.v, cl.cv)
+           / (sqrt(list_dot_product(b.v, b.v))
+              * sqrt(list_dot_product(cl.cv, cl.cv))) AS cos
+  FROM batch b CROSS JOIN cl
+),
+pick AS (
+  SELECT vec_id, label, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, label) AS rn
+  FROM sims
+)
+SELECT vec_id, CAST(label AS INTEGER) AS assigned_label, round(cos, 5) AS sim
+FROM pick WHERE rn = 1 ORDER BY vec_id
+"""
+
 # The incremental span-strip oracle (read side of the span store) — a
 # pure SQL string over {_SPAN_W}; lives here because store_maintenance's
 # daily-cycle oracle embeds it VERBATIM at module-import time.

@@ -54,6 +54,7 @@ from ..queries import query
 from ..sources.batch import load_table
 from ..operators.text import tokens_col
 from ._span_shared import (  # noqa: F401  (re-exports: see the moved-note comments)
+    _IVF_ASSIGN_ORACLE,
     _SPAN_W,
     _SPAN_WINDOW_CTES,
     _TOMBSTONE_RESIDUE,
@@ -430,32 +431,10 @@ def q_daily_ingest_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the maintenance that keeps probe recall from decaying as the corpus
 # shifts). The vec_id % 10 == 0 slice plays the unlabeled ingest batch.
 
-IVF_STORE_APPEND_ORACLE = """
-WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-corpus AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
-batch AS (SELECT vec_id, v FROM e WHERE vec_id % 10 = 0),
-cd AS (
-  SELECT label, i - 1 AS dim, avg(v[i]) AS c
-  FROM corpus, UNNEST(range(1, len(v) + 1)) AS u(i)
-  GROUP BY 1, 2
-),
-cl AS (SELECT label, list(c ORDER BY dim) AS cv FROM cd GROUP BY label),
-sims AS (
-  SELECT b.vec_id, cl.label,
-         list_dot_product(b.v, cl.cv)
-           / (sqrt(list_dot_product(b.v, b.v))
-              * sqrt(list_dot_product(cl.cv, cl.cv))) AS cos
-  FROM batch b CROSS JOIN cl
-),
-pick AS (
-  SELECT vec_id, label, cos,
-         row_number() OVER (PARTITION BY vec_id
-                            ORDER BY cos DESC, label) AS rn
-  FROM sims
-)
-SELECT vec_id, CAST(label AS INTEGER) AS assigned_label, round(cos, 5) AS sim
-FROM pick WHERE rn = 1 ORDER BY vec_id
-"""
+# Oracle text moved to ._span_shared in r16 (one truth for the batch AND
+# streaming assignment paths — see _IVF_ASSIGN_ORACLE's leaf comment);
+# the public name stays here for tests and external importers.
+IVF_STORE_APPEND_ORACLE = _IVF_ASSIGN_ORACLE
 
 
 def ivf_assign(batch: DataFrame, centroids: DataFrame) -> DataFrame:

@@ -29,6 +29,14 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from ..operators.dedup import token_window_hashes
 from ..operators.text import tokens_col
@@ -52,7 +60,13 @@ from . import web_dedup_stream as _wds
 # for exactly this import: reading them off store_maintenance raised the
 # partial-init ImportError whenever store_maintenance was the process's
 # first import (store_maintenance -> queries -> this module).
-from ._span_shared import _HORIZON, _SPAN_W, _SPAN_WINDOW_CTES, _TOMBSTONE_RESIDUE
+from ._span_shared import (
+    _HORIZON,
+    _IVF_ASSIGN_ORACLE,
+    _SPAN_W,
+    _SPAN_WINDOW_CTES,
+    _TOMBSTONE_RESIDUE,
+)
 
 # --- registry name: streaming_span_store_probe (registered r16) -------------
 
@@ -214,3 +228,75 @@ def q_streaming_takedown_decrements(spark: SparkSession, sf_dir: str) -> DataFra
         "doc_id", _distinct_window_hash_count().alias("n_dec_hashes")
     )
     return _run_stream_to_table(out, "append").orderBy("doc_id")
+
+
+# --- planned registry name: streaming_ivf_assign (prepared r16; no free
+# sweep slot until cohort pressure eases — OPERATORS.md saturation note) ------
+# The ANN index's streaming ingest arm: new vectors arrive as a live feed
+# and each routes to its nearest inverted list — the assignment a
+# production index runs on every ingest batch, as a stream-static join
+# against the O(labels) quantizer. Completes the streaming column of the
+# store-lifecycle matrix alongside streaming_span_store_probe (probe) and
+# streaming_takedown_decrements (delete).
+#
+# 100 TB design: the quantizer broadcasts (O(labels × dims) — the
+# ivf_assign idiom); the stream side does NO shuffle before the join
+# (constant-key equi-join against the broadcast static side), and the
+# per-vector argmax is one groupBy over labels-per-vector rows. Oracle =
+# the batch append's oracle VERBATIM (_span_shared._IVF_ASSIGN_ORACLE —
+# one truth for both execution modes, so stream/batch divergence is
+# structurally impossible).
+
+STREAMING_IVF_ASSIGN_ORACLE = _IVF_ASSIGN_ORACLE
+
+_EMBEDDINGS_STREAM_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ]
+)
+
+
+def embeddings_file_stream(spark: SparkSession, path: str) -> DataFrame:
+    """The ``embeddings`` table as a file stream (test stand-in for a
+    vector-ingest feed). Explicit schema — a streaming source must never
+    pay an inference pass (documents_file_stream's rule)."""
+    return spark.readStream.schema(_EMBEDDINGS_STREAM_SCHEMA).parquet(path)
+
+
+def q_streaming_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ingest assignment through the REAL streaming path: the vec_id
+    % 10 == 0 slice (the ingest-batch convention) arrives as a file
+    stream, joins the broadcast gen-1 quantizer on a constant key
+    (stream-static equi-join — the broadcast never shuffles the stream),
+    and each vector's nearest list resolves with max_by over
+    (cos, -label) — the exact tie-break ivf_assign's window uses
+    (highest cosine, then lowest label), spelled as an aggregate because
+    window functions aren't streamable. Complete mode over the finite
+    fixture; rows hash-checked against the batch oracle, and equality
+    with the batch ivf_assign output is law-pinned in
+    tests/test_streaming_maintenance.py."""
+    from ..operators.similarity import cosine, ivf_centroids
+
+    s = _stream_session(spark)
+    corpus = load_table(s, sf_dir, "embeddings").filter(F.col("vec_id") % 10 != 0)
+    cents = ivf_centroids(corpus).withColumn("one", F.lit(1))
+    stream = (
+        embeddings_file_stream(s, table_stream_dir(sf_dir, "embeddings"))
+        .filter(F.col("vec_id") % 10 == 0)
+        .select("vec_id", "embedding")
+        .withColumn("one", F.lit(1))
+    )
+    per = stream.join(F.broadcast(cents), "one").select(
+        "vec_id",
+        "label",
+        cosine(F.col("embedding"), F.col("centroid")).alias("cos"),
+    )
+    agg = per.groupBy("vec_id").agg(
+        F.expr("max_by(label, struct(cos, -label))")
+        .cast("int")
+        .alias("assigned_label"),
+        F.round(F.max("cos"), 5).alias("sim"),
+    )
+    return _run_stream_to_table(agg, "complete").orderBy("vec_id")

@@ -552,3 +552,45 @@ def test_r17_queued_queries_plan_shape(spark):
         assert "CartesianProduct" not in plan, label
         if not bnlj_ok:
             assert "BroadcastNestedLoopJoin" not in plan, label
+
+
+def test_streaming_ivf_assign_static_side_plan_shape(spark):
+    """Pre-pin for the prepared streaming_ivf_assign (r16 library queue):
+    the stream-static join's STATIC side is the O(labels) quantizer and
+    must resolve as a broadcast — no SortMergeJoin, no raw
+    CartesianProduct. The constant-key equi-join against the broadcast
+    static side may plan as BroadcastNestedLoopJoin or BroadcastHashJoin
+    (both are the designed O(labels) broadcast; either is acceptable,
+    a shuffle is not). Pinned on the BATCH twin of the same plan (the
+    streaming plan is only materialized inside the running query; the
+    join subtree is identical by construction — stream ≡ batch is
+    law-pinned in tests/test_streaming_maintenance.py)."""
+    from pyspark.sql import functions as F
+
+    from flink_stream_processing_spark.operators.similarity import (
+        cosine,
+        ivf_centroids,
+    )
+    from flink_stream_processing_spark.plans.inspect import formatted_plan
+    from flink_stream_processing_spark.sources.batch import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    cents = ivf_centroids(corpus).withColumn("one", F.lit(1))
+    stream_shaped = (
+        emb.filter(F.col("vec_id") % 10 == 0)
+        .select("vec_id", "embedding")
+        .withColumn("one", F.lit(1))
+    )
+    per = stream_shaped.join(F.broadcast(cents), "one").select(
+        "vec_id",
+        "label",
+        cosine(F.col("embedding"), F.col("centroid")).alias("cos"),
+    )
+    agg = per.groupBy("vec_id").agg(
+        F.expr("max_by(label, struct(cos, -label))").alias("assigned_label")
+    )
+    plan = formatted_plan(agg)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan  # the quantizer side must broadcast

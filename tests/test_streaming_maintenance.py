@@ -167,3 +167,41 @@ def test_streaming_takedown_dedupes_identical_requests(spark, tmp_path):
     assert got == [
         (1, 11), (2, 6), (3, 11), (11, 11), (13, 11), (21, 11), (23, 6),
     ], got
+
+
+# --- streaming IVF assignment (prepared; planned name streaming_ivf_assign) --
+
+
+def test_streaming_ivf_assign_matches_oracle(spark):
+    from flink_stream_processing_spark.queries_impl.streaming_maintenance import (
+        STREAMING_IVF_ASSIGN_ORACLE,
+        q_streaming_ivf_assign,
+    )
+
+    assert_matches_oracle(
+        q_streaming_ivf_assign(spark, SF_DIR), STREAMING_IVF_ASSIGN_ORACLE, SF_DIR
+    )
+
+
+def test_streaming_ivf_assign_equals_batch_assign(spark):
+    """Stream ≡ batch law: the streamed assignment rows (vec_id,
+    assigned_label, sim) are exactly the batch ivf_store_append output —
+    the two paths share one oracle string by construction
+    (_span_shared._IVF_ASSIGN_ORACLE), and this pins the ENGINE sides to
+    each other too (max_by tie-break == window row_number tie-break)."""
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        q_ivf_store_append,
+    )
+    from flink_stream_processing_spark.queries_impl.streaming_maintenance import (
+        q_streaming_ivf_assign,
+    )
+
+    got = sorted(
+        (r["vec_id"], r["assigned_label"], r["sim"])
+        for r in q_streaming_ivf_assign(spark, SF_DIR).collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["assigned_label"], r["sim"])
+        for r in q_ivf_store_append(spark, SF_DIR).collect()
+    )
+    assert got == want and len(want) > 0
