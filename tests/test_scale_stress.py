@@ -1017,3 +1017,43 @@ def test_ivf_store_maintenance_planted_20k(spark):
         .count()
     )
     assert drift2 == 0, "incremental delete drifted from the rebuild"
+
+
+def test_pq_adc_planted_copies_rank_first_20k(spark):
+    """Scale rung for the PQ-ADC family: 2 000 sf0.1 vectors × REPLICAS
+    (vec_id = base + 2000·r, so the deterministic codebook — vec_id < 16
+    — is IDENTICAL to the base corpus's) with one closed-form law: every
+    exact copy of the query vector achieves the GLOBAL minimum ADC.
+    Proof shape: adc(x) = Σ_sub qd2(code(x, sub)) ≥ Σ_sub min_c qd2(c),
+    and a copy of the query attains the bound in every subspace because
+    its code is argmin_c d2(q_sub, c) by construction. All REPLICAS
+    copies must therefore surface with adc_dist == min; encode+search
+    timing is the corpus-linear narrow pass the operator docstring
+    claims (one explode + broadcast-codebook join + top-k)."""
+    from flink_stream_processing_spark.operators.pq import pq_adc_topk
+
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    reps = spark.range(REPLICAS).select(F.col("id").cast("long").alias("replica"))
+    corpus = base.crossJoin(reps).select(
+        (F.col("vec_id") + 2_000 * F.col("replica")).alias("vec_id"), "embedding"
+    )
+    assert corpus.count() == 2_000 * REPLICAS
+
+    top = _timed(
+        f"pq encode + adc top-k @{2 * REPLICAS}k vecs",
+        lambda: pq_adc_topk(corpus, query_id=0, topk=REPLICAS + 30).collect(),
+    )
+    best = top[0]["adc_dist"]
+    copy_ids = {2_000 * r for r in range(REPLICAS)}
+    got_copies = {r["vec_id"] for r in top if r["vec_id"] in copy_ids}
+    assert got_copies == copy_ids, (
+        f"planted query copies missing from top-{REPLICAS + 30}: "
+        f"{sorted(copy_ids - got_copies)}"
+    )
+    for r in top:
+        if r["vec_id"] in copy_ids:
+            assert r["adc_dist"] == best, r
+    # and the ranking respects the bound: nothing scores below the copies
+    assert all(r["adc_dist"] >= best for r in top)
