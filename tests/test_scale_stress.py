@@ -1057,3 +1057,45 @@ def test_pq_adc_planted_copies_rank_first_20k(spark):
             assert r["adc_dist"] == best, r
     # and the ranking respects the bound: nothing scores below the copies
     assert all(r["adc_dist"] >= best for r in top)
+
+
+def test_fuzzy_d2_planted_pairs_recovered_45k(spark):
+    """Scale rung for the edit-class record-linkage family: 4 500 ×
+    REPLICAS synthetic names (default 45k), three planted pairs per
+    group — the canonical name, a 1-substitution partner (TAIL QQ→QZ)
+    and a 2-substitution partner (QQ→ZZ). The blocking must recover
+    EVERY planted pair with the exact distance (recall law on the
+    planted set; precision is by construction — each candidate is
+    levenshtein-verified in-plan). Unplanned cross-group matches are
+    allowed (they are true pairs; the 9-digit ids can sit 1-2 edits
+    apart) — the law is containment, the same shape as the minhash rung.
+    The timing bounds the candidate-volume claim: O(n · length²) narrow
+    key rows, linear in groups."""
+    from flink_stream_processing_spark.operators.text import fuzzy_name_pairs
+
+    n_groups = 450 * REPLICAS
+    base = spark.range(n_groups).select(
+        F.format_string("N%09dQQ", F.col("id")).alias("canonical"),
+        F.format_string("N%09dQZ", F.col("id")).alias("p1"),
+        F.format_string("N%09dZZ", F.col("id")).alias("p2"),
+    )
+    names = (
+        base.selectExpr("stack(3, canonical, p1, p2) AS c_name")
+        .repartition(32)
+        .localCheckpoint(eager=True)
+    )
+    assert names.count() == 3 * n_groups
+
+    found = _timed(
+        f"fuzzy d2 edit-class blocking @{3 * n_groups} names",
+        lambda: {
+            (r["name_a"], r["name_b"]): r["dist"]
+            for r in fuzzy_name_pairs(names, "c_name", max_dist=2).collect()
+        },
+    )
+    planted = []
+    for i in range(n_groups):
+        c, p1, p2 = f"N{i:09d}QQ", f"N{i:09d}QZ", f"N{i:09d}ZZ"
+        planted += [((c, p1), 1), ((c, p2), 2), ((p1, p2), 1)]
+    missing = [(pair, d) for pair, d in planted if found.get(pair) != d]
+    assert not missing, f"{len(missing)} planted pairs missing/mis-distanced: {missing[:5]}"
