@@ -1099,3 +1099,45 @@ def test_fuzzy_d2_planted_pairs_recovered_45k(spark):
         planted += [((c, p1), 1), ((c, p2), 2), ((p1, p2), 1)]
     missing = [(pair, d) for pair, d in planted if found.get(pair) != d]
     assert not missing, f"{len(missing)} planted pairs missing/mis-distanced: {missing[:5]}"
+
+
+def test_connected_components_long_chain_converges_logarithmically(spark):
+    """Direct stress of the path-halving claim in connected_components:
+    a planted PATH of 5 000 × REPLICAS nodes (diameter ~50k at the
+    default) collapses to ONE component labeled by its minimum node —
+    within the default max_iter=20. Plain min-label propagation crosses
+    ONE hop per round (a 50k chain would need 50k rounds); passing
+    inside 20 is only possible if the halving hop really turns
+    convergence into O(log diameter) (log₂ 50 000 ≈ 15.6). Volume bulk:
+    disjoint planted pairs that must each keep their own min label —
+    the chain must not absorb them."""
+    from flink_stream_processing_spark.operators.dedup import connected_components
+
+    n_chain = 5_000 * REPLICAS
+    chain = spark.range(n_chain - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    # bulk: disjoint pairs living far above the chain's id space
+    n_pairs = 10_000
+    bulk = spark.range(n_pairs).select(
+        (F.lit(10_000_000) + F.col("id") * 2).alias("doc_a"),
+        (F.lit(10_000_000) + F.col("id") * 2 + 1).alias("doc_b"),
+    )
+    comp = _timed(
+        f"connected_components: {n_chain}-node chain + {n_pairs} pairs",
+        lambda: connected_components(
+            chain.unionByName(bulk)
+        ).localCheckpoint(eager=True),
+    )
+    assert comp.count() == n_chain + 2 * n_pairs
+    # the whole chain carries label 0
+    chain_bad = comp.filter(
+        (F.col("node") < n_chain) & (F.col("lbl") != 0)
+    ).count()
+    assert chain_bad == 0, f"{chain_bad} chain nodes not labeled 0"
+    # every bulk pair keeps its own min — the chain absorbed nothing
+    pair_bad = comp.filter(
+        (F.col("node") >= 10_000_000)
+        & (F.col("lbl") != (F.col("node") - (F.col("node") % 2)))
+    ).count()
+    assert pair_bad == 0, f"{pair_bad} bulk nodes mislabeled"
