@@ -1141,3 +1141,29 @@ def test_connected_components_long_chain_converges_logarithmically(spark):
         & (F.col("lbl") != (F.col("node") - (F.col("node") % 2)))
     ).count()
     assert pair_bad == 0, f"{pair_bad} bulk nodes mislabeled"
+
+
+def test_pagerank_ring_uniform_at_scale(spark):
+    """Closed-form rung for the Pregel-shaped pagerank loop: on a
+    directed RING of 5 000 × REPLICAS nodes every node has in/out degree
+    1, so PR is exactly uniform at every iteration
+    (pr = (1-d)/N + d·(1/N) = 1/N — a fixed point from the uniform
+    start). N is chosen so 1/N sits on the 6-dp rounding grid, making
+    the law EXACT: one distinct pr value == round(1/N, 6) and total mass
+    == 1. The timing bounds the per-iteration cost claim (one keyed join
+    + one aggregate, O(edges) shuffle rows, edge relation staged once)."""
+    from flink_stream_processing_spark.operators.graph import pagerank
+
+    n = 5_000 * REPLICAS  # 50k (default) and 100k both put 1/N on the grid
+    ring = spark.range(n).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst")
+    )
+    pr = _timed(
+        f"pagerank 3 iters on a {n}-node ring",
+        lambda: pagerank(ring, iters=3).localCheckpoint(eager=True),
+    )
+    assert pr.count() == n
+    vals = [r["v"] for r in pr.select(F.col("pr").alias("v")).distinct().collect()]
+    assert vals == [round(1.0 / n, 6)], f"non-uniform PR on a ring: {vals[:5]}"
+    mass = pr.agg(F.sum("pr").alias("m")).collect()[0]["m"]
+    assert abs(mass - 1.0) < 1e-6, mass
