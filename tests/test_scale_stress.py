@@ -1167,3 +1167,74 @@ def test_pagerank_ring_uniform_at_scale(spark):
     assert vals == [round(1.0 / n, 6)], f"non-uniform PR on a ring: {vals[:5]}"
     mass = pr.agg(F.sum("pr").alias("m")).collect()[0]["m"]
     assert abs(mass - 1.0) < 1e-6, mass
+
+
+def test_triangle_counts_planted_cliques_at_scale(spark):
+    """Closed-form rung for the degree-oriented triangle counter: 500 ×
+    REPLICAS disjoint 10-cliques (each member closes exactly C(9,2) = 36
+    triangles) plus a triangle-FREE ring of equal size as bulk. Laws:
+    every clique node reports exactly 36; no ring node appears at all
+    (the counter emits only triangle participants). The timing bounds
+    the wedge-volume claim — degree orientation keeps wedges at O(Σd²)
+    over the ORIENTED out-degrees, which the disjoint-clique structure
+    makes ~45 per clique, linear in cliques."""
+    from flink_stream_processing_spark.operators.graph import triangle_counts
+
+    k = 10
+    n_cliques = 500 * REPLICAS
+    pairs = [(i, j) for i in range(k) for j in range(i + 1, k)]
+    pair_df = spark.createDataFrame(pairs, "i int, j int")
+    cliq = (
+        spark.range(n_cliques)
+        .select(F.col("id").alias("g"))
+        .crossJoin(F.broadcast(pair_df))
+        .select(
+            (F.col("g") * k + F.col("i")).alias("src"),
+            (F.col("g") * k + F.col("j")).alias("dst"),
+        )
+    )
+    ring_base = 100_000_000
+    n_ring = k * n_cliques
+    ring = spark.range(n_ring).select(
+        (F.lit(ring_base) + F.col("id")).alias("src"),
+        (F.lit(ring_base) + (F.col("id") + 1) % n_ring).alias("dst"),
+    )
+    out = _timed(
+        f"triangle_counts: {n_cliques} 10-cliques + {n_ring}-node ring",
+        lambda: triangle_counts(
+            cliq.unionByName(ring)
+        ).localCheckpoint(eager=True),
+    )
+    assert out.count() == k * n_cliques  # every clique node, no ring node
+    assert out.filter(F.col("node") >= ring_base).count() == 0
+    bad = out.filter(F.col("n_triangles") != 36).count()
+    assert bad == 0, f"{bad} clique nodes off the closed form C(9,2)=36"
+
+
+def test_hll_sharded_merge_at_1m(spark):
+    """Sketch-mergeability rung at 1M × REPLICAS/10 distinct ids: the
+    100 TB aggregation pattern is sketch-per-shard then union (never
+    re-scan), which is only sound if merge is LOSSLESS — HLL registers
+    merge by per-register max, so the union of 32 shard sketches must
+    estimate EXACTLY what a single-pass sketch over all ids estimates
+    (bit-equal registers ⇒ equal estimates), and both must sit inside
+    the documented relative error of the true cardinality (~1.6 % at
+    the default lgConfigK=12; asserted at 5 %)."""
+    n = 100_000 * REPLICAS
+    ids = spark.range(n).select(
+        F.col("id"), (F.col("id") % 32).alias("shard")
+    )
+    merged, single = _timed(
+        f"hll sketch-per-shard + union @{n} ids",
+        lambda: (
+            ids.groupBy("shard")
+            .agg(F.hll_sketch_agg("id").alias("sk"))
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+            .collect()[0]["est"],
+            ids.agg(
+                F.hll_sketch_estimate(F.hll_sketch_agg("id")).alias("est")
+            ).collect()[0]["est"],
+        ),
+    )
+    assert merged == single, (merged, single)  # lossless merge
+    assert abs(merged - n) / n < 0.05, (merged, n)
