@@ -1238,3 +1238,38 @@ def test_hll_sharded_merge_at_1m(spark):
     )
     assert merged == single, (merged, single)  # lossless merge
     assert abs(merged - n) / n < 0.05, (merged, n)
+
+
+def test_kmeans_planted_separated_clusters_at_scale(spark):
+    """Closed-form rung for Lloyd's loop (the IVF quantizer's training
+    step): 5 000 × REPLICAS points planted around 8 well-separated
+    centers (coordinate 100 on the cluster's own axis, ±0.3 deterministic
+    jitter elsewhere — separation 100 dwarfs jitter, so the optimal
+    partition IS the planted one). Ids are arranged so the k lowest-id
+    seeds are one point per planted cluster, making seed index == planted
+    cluster. Laws: every point assigns to its planted cluster, and
+    convergence takes ≤ 5 Lloyd iterations (well-separated data converges
+    almost immediately — an iteration-count blowup would mean the
+    centroid update is drifting)."""
+    from flink_stream_processing_spark.operators.clustering import kmeans_fit
+
+    n = 5_000 * REPLICAS
+    k, d = 8, 8
+    jitter = ((F.pmod(F.xxhash64(F.col("id"), F.col("dim")), F.lit(7)) - 3) / 10.0)
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            lambda dim: F.when(dim == F.col("id") % k, F.lit(100.0))
+            .otherwise(F.lit(0.0))
+            + ((F.pmod(F.xxhash64(F.col("id"), dim), F.lit(7)) - 3) / 10.0),
+        ).alias("embedding"),
+    )
+    assigned, n_iters = _timed(
+        f"kmeans_fit k=8 @{n} planted points",
+        lambda: kmeans_fit(emb, k=k, max_iter=10),
+    )
+    print(f"\n  [{REPLICAS * 5}k] kmeans iterations: {n_iters}", file=sys.stderr)
+    assert n_iters <= 5, n_iters
+    bad = assigned.filter(F.col("cluster") != F.col("id") % k).count()
+    assert bad == 0, f"{bad} points assigned off their planted cluster"
