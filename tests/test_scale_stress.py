@@ -1273,3 +1273,43 @@ def test_kmeans_planted_separated_clusters_at_scale(spark):
     assert n_iters <= 5, n_iters
     bad = assigned.filter(F.col("cluster") != F.col("id") % k).count()
     assert bad == 0, f"{bad} points assigned off their planted cluster"
+
+
+def test_theta_sketch_set_ops_planted_overlap_1m(spark):
+    """Sketch set-algebra rung at 1M × REPLICAS/10 ids with PLANTED
+    half-overlap: A = [0, N), B = [N/2, 3N/2) ⇒ exact |A∩B| = N/2,
+    |A∪B| = 3N/2, |A\\B| = N/2. The theta union/intersection/difference
+    estimates must each sit within 5 % of the closed form — the
+    mergeable-set-algebra precondition for shard-local sketching at
+    100 TB (estimate once per shard, combine algebraically, never
+    rescan)."""
+    n = 100_000 * REPLICAS
+    a = spark.range(n).select(F.col("id"))
+    b = spark.range(n // 2, 3 * n // 2).select(F.col("id"))
+    ska = a.agg(F.theta_sketch_agg("id").alias("sk")).collect()[0]["sk"]
+    est = _timed(
+        f"theta sketch set ops @{n}-id sets, half overlap",
+        lambda: (
+            a.agg(F.theta_sketch_agg("id").alias("sk_a"))
+            .crossJoin(b.agg(F.theta_sketch_agg("id").alias("sk_b")))
+            .select(
+                F.theta_sketch_estimate(
+                    F.theta_intersection("sk_a", "sk_b")
+                ).alias("inter"),
+                F.theta_sketch_estimate(F.theta_union("sk_a", "sk_b")).alias(
+                    "union_"
+                ),
+                F.theta_sketch_estimate(
+                    F.theta_difference("sk_a", "sk_b")
+                ).alias("diff"),
+            )
+            .collect()[0]
+        ),
+    )
+    assert ska is not None  # the per-shard sketch itself materializes
+    for name, got, want in (
+        ("intersection", est["inter"], n / 2),
+        ("union", est["union_"], 3 * n / 2),
+        ("difference", est["diff"], n / 2),
+    ):
+        assert abs(got - want) / want < 0.05, (name, got, want)
