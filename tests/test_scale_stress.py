@@ -1313,3 +1313,62 @@ def test_theta_sketch_set_ops_planted_overlap_1m(spark):
         ("difference", est["diff"], n / 2),
     ):
         assert abs(got - want) / want < 0.05, (name, got, want)
+
+
+def test_cdc_prefix_insertion_moves_boundaries_locally(spark):
+    """Exact locality law for content-defined chunking at 5 000 ×
+    REPLICAS docs: because a boundary at p depends ONLY on chars
+    p..p+3, prepending a prefix P splits the window set cleanly at the
+    seam — windows inside P+t[:3] are byte-identical to (P + t[:3])'s
+    and windows past the seam are t's own, shifted. Hence the closed
+    identity  n_b(P + t) = n_b(P + t[:3]) + n_b(t)  for EVERY document
+    — the 'an early edit only moves boundaries locally' claim that
+    makes chunk-level dedup robust, asserted exactly (no tolerance,
+    no model recompute) through the production mapInPandas counter."""
+    from flink_stream_processing_spark.queries_impl.llm_pipeline3 import (
+        _cdc_batches,
+    )
+
+    corpus = synth_docs_50k(spark).localCheckpoint(eager=True)
+    prefix = "EDITED-UPSTREAM:v2 2026-01-01 rev=7781 checksum=ab12cd34 "
+    variants = (
+        corpus.select("doc_id", F.lit(0).alias("var"), F.col("text"))
+        .unionByName(
+            corpus.select(
+                "doc_id",
+                F.lit(1).alias("var"),
+                F.concat(F.lit(prefix), F.col("text")).alias("text"),
+            )
+        )
+        .unionByName(
+            corpus.select(
+                "doc_id",
+                F.lit(2).alias("var"),
+                F.concat(F.lit(prefix), F.substring("text", 1, 3)).alias("text"),
+            )
+        )
+    )
+    out_schema = "doc_id bigint, n_boundaries bigint, n_chars bigint"
+    counts = _timed(
+        f"cdc boundary counts on 3 variants @{corpus.count()} docs",
+        lambda: variants.withColumn(
+            "doc_id", F.col("doc_id") * 10 + F.col("var")
+        )
+        .select("doc_id", "text")
+        .mapInPandas(_cdc_batches, out_schema)
+        .localCheckpoint(eager=True),
+    )
+    c = counts.select(
+        (F.col("doc_id") / 10).cast("long").alias("base"),
+        F.pmod(F.col("doc_id"), 10).alias("var"),
+        "n_boundaries",
+    )
+    wide = (
+        c.groupBy("base")
+        .pivot("var", [0, 1, 2])
+        .sum("n_boundaries")
+        .select("base", F.col("0").alias("nb_t"), F.col("1").alias("nb_pt"),
+                F.col("2").alias("nb_seam"))
+    )
+    bad = wide.filter(F.col("nb_pt") != F.col("nb_seam") + F.col("nb_t")).count()
+    assert bad == 0, f"{bad} docs violate the CDC locality identity"
