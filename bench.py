@@ -222,6 +222,13 @@ HEADLINE = [
     "streaming_span_store_probe",
     "ivf_store_append",
     "ivf_refreshed_centroids",
+    # r17 registrations (store tombstones + crawl change rates + source
+    # reputation + the streaming takedown path) — the saturation flip
+    "span_store_tombstones",
+    "fingerprint_store_tombstones",
+    "change_rate_estimates",
+    "source_reputation_scores",
+    "streaming_takedown_decrements",
 ]
 
 
@@ -282,12 +289,24 @@ def excursion_offenders(
     ceiling ~20x permanently. The ``recorded + slack_sec`` term keeps a
     sub-second query's multiplicative jitter (2-4x on a 0.3 s timing)
     from triggering pointless retries while guaranteeing any multi-second
-    spike gets a second attempt."""
+    spike gets a second attempt.
+
+    A query ABSENT from ``budget["queries"]`` (a new registration whose
+    first driver run predates any calibration) has no recorded baseline,
+    so its trigger is the absolute ``unbudgeted_abs`` threshold alone
+    (r16 advice: without this, a first-run contention spike became the
+    query's first recorded timing — and therefore its calibration seed —
+    with neither ceiling nor retry). Its provisional "budget" in the
+    returned tuple is 0.0; enforcement still ignores unbudgeted names
+    (:func:`budget_offenders` is unchanged), only the retry fires."""
     q = budget.get("queries", {})
     per_query = budget.get("factors", {})
     out = []
+    unbudgeted_abs = 2 * slack_sec
     for name, t in timings.items():
         if name not in q:
+            if t > unbudgeted_abs:
+                out.append((name, t, 0.0, float(factor)))
             continue
         f = float(per_query.get(name, factor))
         if t > max(f * q[name], q[name] + slack_sec):
@@ -318,6 +337,17 @@ def retry_over_ceiling(
     retries: dict[str, list[float]] = {}
     if not budget:
         return retries, []
+    unbudgeted = sorted(set(timings) - set(budget.get("queries", {})))
+    if unbudgeted:
+        # r16 advice: make first-run (pre-calibration) names visible — their
+        # timings seed the next calibration, so a spike here matters even
+        # though enforcement skips them.
+        print(
+            f"  [unbudgeted] {len(unbudgeted)} new registration(s) with no "
+            f"recorded budget (first-run timings seed the next calibration; "
+            f"absolute-excursion retry still applies): {', '.join(unbudgeted)}",
+            file=sys.stderr,
+        )
     candidates: dict[str, tuple[str, float, float, float]] = {}
     for off in budget_offenders(timings, budget, factor):
         candidates[off[0]] = off

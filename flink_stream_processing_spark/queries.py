@@ -63,6 +63,7 @@ from .queries_impl import (  # noqa: E402,F401
     relational_extra,
     relational_olap,
     relational_tpch2,
+    reputation,
     retrieval,
     retrieval2,
     sql_surface,

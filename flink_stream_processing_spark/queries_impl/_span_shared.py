@@ -197,3 +197,32 @@ SELECT doc_id,
          AS clean_text
 FROM p2 GROUP BY doc_id ORDER BY doc_id
 """
+
+# The per-doc quality-score oracle (operators/text.quality_score's DuckDB
+# twin) — shared at module-import time by llm_text (quality_scores,
+# which embeds it directly) and reputation (source_reputation_scores,
+# whose oracle wraps it in a CTE). It moved here (r17) because
+# reputation, once REGISTERED, imports while llm_text can itself be
+# mid-initialization (llm_text -> queries -> ... -> reputation), the
+# exact partial-init ImportError class this leaf exists to break.
+_QUALITY_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+_QUALITY_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(len({_QUALITY_TOKS}) AS DOUBLE) AS n_toks,
+         CAST(len(list_filter({_QUALITY_TOKS},
+              x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) AS n_stop,
+         CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(list_sum(list_transform({_QUALITY_TOKS}, x -> length(x))) AS DOUBLE) AS sum_len
+  FROM documents
+)
+SELECT doc_id,
+       round(coalesce(n_punct / nullif(n_chars, 0), 0.0), 6) AS punct_ratio,
+       round(coalesce(n_stop / nullif(n_toks, 0), 0.0), 6)  AS stopword_ratio,
+       round(0.3 * least(n_toks / 100.0, 1.0)
+             + 0.3 * (1.0 - coalesce(n_punct / nullif(n_chars, 0), 0.0))
+             + 0.2 * coalesce(n_stop / nullif(n_toks, 0), 0.0)
+             + 0.2 * least(coalesce(sum_len / nullif(n_toks, 0), 0.0) / 10.0, 1.0), 6) AS quality
+FROM b
+"""

@@ -61,26 +61,15 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QUALITY_ORACLE = f"""
-WITH b AS (
-  SELECT doc_id,
-         CAST(len({_TOKS}) AS DOUBLE) AS n_toks,
-         CAST(len(list_filter({_TOKS},
-              x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE) AS n_stop,
-         CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS n_punct,
-         CAST(length(text) AS DOUBLE) AS n_chars,
-         CAST(list_sum(list_transform({_TOKS}, x -> length(x))) AS DOUBLE) AS sum_len
-  FROM documents
-)
-SELECT doc_id,
-       round(coalesce(n_punct / nullif(n_chars, 0), 0.0), 6) AS punct_ratio,
-       round(coalesce(n_stop / nullif(n_toks, 0), 0.0), 6)  AS stopword_ratio,
-       round(0.3 * least(n_toks / 100.0, 1.0)
-             + 0.3 * (1.0 - coalesce(n_punct / nullif(n_chars, 0), 0.0))
-             + 0.2 * coalesce(n_stop / nullif(n_toks, 0), 0.0)
-             + 0.2 * least(coalesce(sum_len / nullif(n_toks, 0), 0.0) / 10.0, 1.0), 6) AS quality
-FROM b
-"""
+# _QUALITY_ORACLE moved to ._span_shared (r17): reputation's registered
+# oracle embeds it at module-import time, and an attribute import from
+# this module would break while llm_text is itself mid-initialization
+# (the _SPAN_WINDOW_CTES partial-init class). Re-exported here so
+# existing importers and tests are unaffected; its token split is the
+# same _TOKS literal (asserted below so the two can't drift).
+from ._span_shared import _QUALITY_ORACLE, _QUALITY_TOKS  # noqa: E402
+
+assert _QUALITY_TOKS == _TOKS
 
 
 @query("quality_scores", oracle=_QUALITY_ORACLE)

@@ -29,13 +29,12 @@ span-broadcast lesson: nothing here is force-broadcast). The per-URL
 change-detection window shuffles (canonical_url, ts, fp) triples once —
 no text, no all-pairs.
 
-Registration state (r16): ``recrawl_schedule`` (r15),
-``sessionized_politeness`` and ``robots_frontier_schedule`` (r16 flip)
-are registered (``@query`` + queries.py import + QUERY_LEDGER.json
-rows). ``change_rate_estimates`` stays PREPARED-but-unregistered until
-its planned r17 sweep slot; all are gated either way by
-tests/test_recrawl.py through the driver-equivalent
-assert_matches_oracle harness.
+Registration state (r17): ``recrawl_schedule`` (r15),
+``sessionized_politeness`` and ``robots_frontier_schedule`` (r16 flip),
+and ``change_rate_estimates`` (r17 flip, its planned slot) are all
+registered (``@query`` + queries.py import + QUERY_LEDGER.json rows);
+all are additionally gated by tests/test_recrawl.py through the
+driver-equivalent assert_matches_oracle harness.
 
 Reference parity note: the reference (StreamJob.java) has no crawl
 scheduler — this family is part of the LLM-pipeline extension's crawl
@@ -475,7 +474,7 @@ def q_robots_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- planned registry name: change_rate_estimates (r17 queue) ----------------
+# --- registry name: change_rate_estimates (registered in the r17 flip) -------
 # The statistical upgrade on churn counting: raw change counts
 # under-estimate how often a page REALLY changes (two changes between
 # visits look like one), so the freshness literature's standard fix is
@@ -544,6 +543,7 @@ def lambda_hat(n_intervals: Column, n_changed: Column) -> Column:
     )
 
 
+@query("change_rate_estimates", oracle=CHANGE_RATE_ESTIMATES_ORACLE)
 def q_change_rate_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host change-rate profile of the crawl observation log: URL
     count, interval/change totals, and the mean and max bias-corrected

@@ -23,11 +23,10 @@ idiom — O(sources) rows never shuffle twice, and the scalar join can
 never be planned as a shuffle join). Output is O(distinct sources),
 thousands at web scale — driver-safe by construction.
 
-NOT YET REGISTERED (r14 zero-add-slot arithmetic — OPERATORS.md): the
-``q_*`` function carries its planned registry name and oracle, gated by
+Registration state: REGISTERED in the r17 flip (``@query`` + queries.py
+import + QUERY_LEDGER.json row) after two rounds prepared; also gated by
 tests/test_reputation.py through the driver-equivalent
-assert_matches_oracle harness; registration is a pure flip (decorate +
-import in queries.py + ledger row).
+assert_matches_oracle harness.
 
 Reference parity note: the reference (StreamJob.java) has no document
 corpus at all — this is part of the LLM-pipeline extension's curation
@@ -41,8 +40,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.text import quality_score
+from ..queries import query
 from ..sources.batch import load_table
-from .llm_text import _QUALITY_ORACLE
+from ._span_shared import _QUALITY_ORACLE
 
 # Pseudo-count prior: a source needs ~this many docs before its own mean
 # dominates the global prior. ONE definition, interpolated into the
@@ -97,6 +97,7 @@ def source_reputation(docs: DataFrame, prior_n: int = _REPUTATION_PRIOR_N) -> Da
 # --- planned registry name: source_reputation_scores ------------------------
 
 
+@query("source_reputation_scores", oracle=SOURCE_REPUTATION_ORACLE)
 def q_source_reputation_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain reputation over the documents table: per source, its doc
     count, raw mean quality, and the Bayesian-average reputation that a

@@ -28,14 +28,14 @@ from the first 8 hex chars, so bucket routing costs no second hash and
 is byte-identical in Spark and DuckDB (``('0x' || substr(key,1,8))
 ::BIGINT % B`` / ``conv(substring(key,1,8),16,10) % B``).
 
-Registration state (r16): ``fingerprint_store_compaction``,
+Registration state (r17): ``fingerprint_store_compaction``,
 ``span_store_compaction``, ``minhash_store_append``,
-``daily_ingest_cycle`` (r15), ``ivf_store_append`` and
-``ivf_refreshed_centroids`` (r16 flip) are registered (``@query`` +
-queries.py import + QUERY_LEDGER.json rows). The tombstone entries below
-stay PREPARED-but-unregistered until their planned r17 sweep slots; all
-are gated either way by tests/test_store_maintenance.py through the same
-assert_matches_oracle harness the driver mirrors.
+``daily_ingest_cycle`` (r15), ``ivf_store_append``,
+``ivf_refreshed_centroids`` (r16 flip), and the tombstone pair
+``span_store_tombstones`` / ``fingerprint_store_tombstones`` (r17 flip)
+are all registered (``@query`` + queries.py import + QUERY_LEDGER.json
+rows); all are additionally gated by tests/test_store_maintenance.py
+through the same assert_matches_oracle harness the driver mirrors.
 
 Reference parity note: the reference pipeline (StreamJob.java) keeps no
 persisted dedup state at all — this family is part of the LLM-pipeline
@@ -676,6 +676,7 @@ FROM af GROUP BY bucket_id ORDER BY bucket_id
 """
 
 
+@query("span_store_tombstones", oracle=SPAN_STORE_TOMBSTONES_ORACLE)
 def q_span_store_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Takedown propagation into the span refcount store: expand the
     request slice to all byte-identical holders, decrement their window
@@ -760,6 +761,7 @@ ORDER BY kb.bucket_id
 """
 
 
+@query("fingerprint_store_tombstones", oracle=FINGERPRINT_STORE_TOMBSTONES_ORACLE)
 def q_fingerprint_store_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc-level takedown into the exact-fingerprint store. After content
     expansion every holder of a requested fingerprint is removed, so the

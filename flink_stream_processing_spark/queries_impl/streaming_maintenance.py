@@ -13,11 +13,11 @@ static-side files per micro-batch, so the store's partition pruning on
 the join key is what keeps each micro-batch's probe bucket-local.
 
 Registration state (freshness arithmetic — see OPERATORS.md):
-``streaming_span_store_probe`` is REGISTERED (r16 flip: ``@query`` +
-queries.py import + ledger row); ``streaming_takedown_decrements`` stays
-prepared-but-unregistered until its committed r17 slot, gated by
-tests/test_streaming_maintenance.py through the driver-equivalent
-compare in the meantime.
+``streaming_span_store_probe`` is REGISTERED (r16 flip) and
+``streaming_takedown_decrements`` is REGISTERED (r17 flip, its committed
+slot); both also gated by tests/test_streaming_maintenance.py through
+the driver-equivalent compare. ``streaming_ivf_assign`` stays a
+library-only capability (registry saturated at 242 post-r17).
 
 Reference parity note: the reference (StreamJob.java:27-45) joins a
 stream against nothing — this composition belongs to the LLM-pipeline
@@ -180,6 +180,7 @@ def _distinct_window_hash_count() -> Column:
     ).cast("long")
 
 
+@query("streaming_takedown_decrements", oracle=STREAMING_TAKEDOWN_DECREMENTS_ORACLE)
 def q_streaming_takedown_decrements(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Takedown requests processed LIVE: the request slice (the
     store_maintenance _TOMBSTONE_RESIDUE convention) arrives as a file

@@ -412,3 +412,50 @@ def test_deleted_closure_file_flags_queries_fresh(monkeypatch):
         assert (name in changed) == depends, name
         if depends:
             assert name in fresh, name
+
+
+def test_registry_respects_sustainable_cap():
+    """Post-saturation policy (r17, OPERATORS.md "Registry policy after
+    saturation"): the driver re-greens at most _SWEEP_CAP queries per
+    round and the published invariant is max green-row age <= 5 rounds,
+    so the registry can never exceed _SWEEP_CAP * 5 = 250 names — past
+    that, the age ceiling ceil(N/50) itself grows past 5 and the
+    invariant becomes arithmetically undeliverable. New capability after
+    saturation ships as library functions + law tests + scale rungs; a
+    future must-register query requires DEREGISTERING a low-value row
+    (ledger entry removed, swap documented) first."""
+    n = len(q.QUERIES)
+    assert n <= entry_mod._SWEEP_CAP * 5, (
+        f"registry at {n} exceeds the sustainable cap "
+        f"{entry_mod._SWEEP_CAP * 5}; deregister before registering"
+    )
+    age_ceiling = -(-n // entry_mod._SWEEP_CAP)
+    assert age_ceiling <= 5, age_ceiling
+
+
+def test_age_invariant_deliverable_by_upcoming_sweep():
+    """The <= 5-round freshness invariant against the LIVE registry and
+    the real committed CORRECTNESS history: no registered query's last
+    green row is already PAST the age ceiling (a stranded row could
+    never be healed by one sweep), and the upcoming sweep head has room
+    for the whole at-the-boundary cohort plus every never-checked
+    registration — i.e. the invariant holds now and the next sweep
+    keeps it."""
+    counts, last, rounds = _green_rows()
+    next_round = 1 + _max_record_round()
+    ceiling = -(-len(q.QUERIES) // entry_mod._SWEEP_CAP)
+    stranded = {
+        n: next_round - r for n, r in rounds.items()
+        if n in q.QUERIES and next_round - r > ceiling
+    }
+    assert not stranded, f"green rows already past the age ceiling: {stranded}"
+    never_checked = set(q.QUERIES) - set(rounds)
+    critical = _critical(rounds)
+    demand = len(critical) + len(never_checked)
+    assert demand <= entry_mod._SWEEP_CAP, (
+        f"boundary cohort ({len(critical)}) + never-checked "
+        f"({len(never_checked)}) = {demand} exceeds the "
+        f"{entry_mod._SWEEP_CAP}-slot sweep"
+    )
+    head = set(list(entry_mod.queries())[: entry_mod._SWEEP_CAP])
+    assert critical <= head and never_checked <= head
