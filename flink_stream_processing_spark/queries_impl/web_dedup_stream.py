@@ -210,6 +210,18 @@ _SPAN_BROADCAST_BUDGET = 2_000_000
 _GUARD_CACHES: list[DataFrame] = []
 
 
+def _session_is_dead(df: DataFrame) -> bool:
+    """True when the frame's session/JVM handle is genuinely gone (a
+    stopped SparkSession nulls its context's _jsc; a torn-down gateway
+    makes even the attribute walk raise). Only THIS state licenses
+    dropping a guard-cache entry unseen — anything else might still be a
+    persisted block."""
+    try:
+        return df.sparkSession._sc._jsc is None
+    except Exception:
+        return True
+
+
 def _prune_released_guard_caches() -> None:
     """Drop entries that are no longer persisted (r15 advice): bench.py
     and the driver unpersist guard blocks through their own RDD-level
@@ -217,15 +229,21 @@ def _prune_released_guard_caches() -> None:
     registry grows one dead reference per guarded query for the life of
     the process — and a later release_guard_caches() would double-
     unpersist them. A block someone else released reports the default
-    (non-persisted) storage level; keep only live ones."""
+    (non-persisted) storage level; keep only live ones. A storageLevel
+    probe that raises on a LIVE session (transient Py4J hiccup) keeps
+    its entry (r16 advice): dropping it would let a still-persisted
+    block escape release_guard_caches() for the process lifetime —
+    the next prune or release retries it instead."""
     alive = []
     for df in _GUARD_CACHES:
         try:
             lvl = df.storageLevel
-            if lvl.useMemory or lvl.useDisk or lvl.useOffHeap:
-                alive.append(df)
         except Exception:
-            pass  # stopped session / dead JVM handle: drop it
+            if not _session_is_dead(df):
+                alive.append(df)  # transient probe failure: keep, retry later
+            continue
+        if lvl.useMemory or lvl.useDisk or lvl.useOffHeap:
+            alive.append(df)
     _GUARD_CACHES[:] = alive
 
 

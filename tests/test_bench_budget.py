@@ -282,6 +282,42 @@ def test_enforced_offender_not_retried_twice_when_also_excursion():
     assert offenders == []
 
 
+def test_unbudgeted_registration_spike_triggers_excursion_retry(capsys):
+    """r16 advice: a newly registered query absent from budget["queries"]
+    previously got neither ceiling nor excursion retry, so its first
+    measured spike became its first recorded timing (and the next
+    calibration's seed). The absolute unbudgeted threshold (2x slack =
+    10 s) must retry the spike; enforcement still ignores the name."""
+    from bench import excursion_offenders, retry_over_ceiling
+
+    budget = {"queries": {"old": 2.0}, "factors": {"old": 2.0}}
+    timings = {"old": 1.0, "brand_new": 30.3}  # the sql_surface_listagg shape
+    assert excursion_offenders(timings, budget, 3.0) == [
+        ("brand_new", 30.3, 0.0, 3.0)
+    ]
+    assert budget_offenders(timings, budget, 3.0) == []  # enforcement unchanged
+    retries, offenders = retry_over_ceiling(timings, budget, 3.0, lambda n: 1.04)
+    assert retries == {"brand_new": [30.3, 1.04]}
+    assert timings["brand_new"] == 1.04
+    assert offenders == []
+    # the visibility line names the unbudgeted query
+    assert "brand_new" in capsys.readouterr().err
+
+
+def test_unbudgeted_registration_normal_timing_not_retried():
+    """A new registration running at a normal multi-second pace (under
+    the 10 s absolute threshold) is logged but NOT retried — the bench
+    doesn't waste a re-run on every first-round query."""
+    from bench import excursion_offenders, retry_over_ceiling
+
+    budget = {"queries": {"old": 2.0}, "factors": {"old": 2.0}}
+    timings = {"old": 1.0, "brand_new": 6.5}
+    assert excursion_offenders(timings, budget, 3.0) == []
+    retries, offenders = retry_over_ceiling(timings, budget, 3.0, lambda n: 0.1)
+    assert retries == {} and offenders == []
+    assert timings["brand_new"] == 6.5
+
+
 def test_calibrator_ceiling_formula_term_dominance(monkeypatch):
     """Pins ceiling = max(2*median, 1.3*max, max+1s) per query, one
     synthetic history per dominance case: a stable multi-second query gets

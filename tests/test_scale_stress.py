@@ -1255,7 +1255,6 @@ def test_kmeans_planted_separated_clusters_at_scale(spark):
 
     n = 5_000 * REPLICAS
     k, d = 8, 8
-    jitter = ((F.pmod(F.xxhash64(F.col("id"), F.col("dim")), F.lit(7)) - 3) / 10.0)
     emb = spark.range(n).select(
         F.col("id").alias("vec_id"),
         F.transform(

@@ -582,6 +582,65 @@ def test_guard_cache_registry_prunes_externally_released_entries(spark):
     assert release_guard_caches(blocking=True) == 1
 
 
+def test_guard_cache_prune_keeps_entry_on_transient_probe_failure(spark):
+    """r16 advice: a storageLevel probe that raises on a LIVE session
+    (transient Py4J hiccup) must KEEP its registry entry — dropping it
+    would let a still-persisted block escape release_guard_caches() for
+    the process lifetime. Only a genuinely dead session/handle licenses
+    the unseen drop."""
+    from flink_stream_processing_spark.queries_impl.web_dedup_stream import (
+        _GUARD_CACHES,
+        _guard_cache,
+        _prune_released_guard_caches,
+        release_guard_caches,
+    )
+
+    class _FlakyProbe:
+        """Wraps a live cached frame; raises on the FIRST storageLevel
+        probe (the transient error), then delegates."""
+
+        def __init__(self, df):
+            self._df = df
+            self.probes = 0
+
+        @property
+        def storageLevel(self):
+            self.probes += 1
+            if self.probes == 1:
+                raise RuntimeError("transient Py4J error")
+            return self._df.storageLevel
+
+        def __getattr__(self, name):
+            return getattr(self._df, name)
+
+    release_guard_caches(blocking=True)
+    real = _guard_cache(spark.range(5).selectExpr("id AS k"))
+    real.count()
+    flaky = _FlakyProbe(real)
+    _GUARD_CACHES[:] = [flaky]
+    _prune_released_guard_caches()  # probe raises, session is live -> kept
+    assert _GUARD_CACHES == [flaky], "transient probe failure dropped a live cache"
+    _prune_released_guard_caches()  # second probe succeeds, still persisted
+    assert _GUARD_CACHES == [flaky]
+
+    class _DeadHandle:
+        """Every attribute walk raises — the torn-down-gateway shape."""
+
+        @property
+        def storageLevel(self):
+            raise RuntimeError("dead JVM handle")
+
+        @property
+        def sparkSession(self):
+            raise RuntimeError("dead JVM handle")
+
+    _GUARD_CACHES.append(_DeadHandle())
+    _prune_released_guard_caches()  # dead handle drops; live entry stays
+    assert _GUARD_CACHES == [flaky]
+    _GUARD_CACHES[:] = [real]
+    assert release_guard_caches(blocking=True) == 1
+
+
 def test_broadcast_guarded_rejects_bc_mass_column(spark):
     """The mass scalar rides in under the fixed name `_bc_mass`; an input
     frame already carrying that column must fail loudly at construction,
