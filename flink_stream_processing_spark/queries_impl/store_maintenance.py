@@ -966,3 +966,233 @@ def refcount_store_append(store_rc: DataFrame, batch_toks: DataFrame) -> DataFra
         .cast("long")
         .alias("n_holders"),
     )
+
+
+# --- library capability (r17, post-saturation policy): IVF list rebalance ---
+# The third leg of the embedding-store lifecycle: appends (ivf_store_append)
+# concentrate ingest drift into a few inverted lists; deletes
+# (ivf_store_tombstones / ivf_state_remove) shrink others. A production
+# ANN index periodically SPLITS overloaded lists (the rebalancing every
+# large IVF deployment runs — see the public FAISS index-maintenance
+# doctrine) so probe latency stays bounded by the target list size
+# instead of the hottest list. No registry entry (the registry saturated
+# at 242 in the r17 flip — OPERATORS.md "Registry policy after
+# saturation"); gated by laws + hypothesis sweep + a planted scale rung.
+#
+# Reference parity note: the reference (StreamJob.java) has no vector
+# store at all — this belongs to the LLM-pipeline extension's
+# similarity-search arc.
+
+
+def overloaded_labels(
+    lists: DataFrame, threshold: int, label_col: str = "label"
+) -> DataFrame:
+    """(label, n) for every inverted list larger than ``threshold`` —
+    one keyed count over the lists table, O(labels) output."""
+    return (
+        lists.groupBy(F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") > threshold)
+    )
+
+
+def _sq_dist(a, b):
+    """Squared L2 between two array<double> columns (the kmeans_fit
+    distance, inlined so this module doesn't import the clustering
+    module's private helper)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_split_overloaded(
+    lists: DataFrame,
+    threshold: int,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Split every inverted list larger than ``threshold`` into two via a
+    deterministic per-label 2-means, leaving every other list untouched.
+    Returns ``(rebalanced_lists, split_map)`` where rebalanced_lists has
+    the input's (id, label, vec) shape with split members relabeled, and
+    split_map is (parent_label, child_label, sub, n_members) — sub 0
+    keeps the parent label, sub 1 gets a fresh label above the current
+    maximum (dense-ranked over the split parents, so concurrent splits
+    can't collide).
+
+    Semantics / determinism: seeds are the member with the lowest id
+    (sub 0) and the member farthest from it (squared L2, ties to the
+    lower id; sub 1), followed by exactly ``max_iter`` Lloyd rounds run
+    for ALL overloaded labels simultaneously — assignment ties break to
+    the lower sub, so the procedure is a pure function of the member
+    set. A degenerate list (all members identical: sub 1 ends empty
+    because every tie goes to sub 0) is NOT split — splitting cannot
+    reduce it, and emitting an empty child would leave a stale centroid
+    directing probes at an empty list (the ivf_store_tombstones rule).
+
+    LAWS (test-pinned in tests/test_store_maintenance.py): the output is
+    a PARTITION of the input ids (same id multiset, each exactly once);
+    non-overloaded lists pass through bit-identical; every emitted split
+    has two nonempty children whose member union is exactly the parent's
+    members; a threshold above the largest list is the identity; and the
+    mergeable quantizer state commutes with the rebalance —
+    ivf_centroid_state(rebalanced) == state - parent members + relabeled
+    members (exact on integer vectors).
+
+    100 TB design: the overloaded-label frame is O(labels) and drives a
+    broadcast semi join, so ONLY the overloaded lists' vectors are ever
+    scanned (measured flat in the opt-in rung while the untouched corpus
+    doubles); each Lloyd round is one broadcast join against the
+    O(2·labels) centroid frame plus one (label, sub, dim) partial agg —
+    the kmeans_fit iteration contract, never a shuffle on vector id; the
+    members frame is checkpointed once so rounds re-read the
+    materialized columnar form; the only driver-side values are loop
+    indices — centroids stay DataFrames end to end (no collect at any
+    size, stricter than kmeans_fit's bounded k×d take)."""
+    over = overloaded_labels(lists, threshold, label_col)
+    members = (
+        lists.join(
+            F.broadcast(over.select(F.col("label").alias(label_col))),
+            label_col,
+            "semi",
+        )
+        .select(
+            F.col(label_col).alias("label"),
+            F.col(id_col).alias("id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+            F.col(vec_col).alias("orig"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    from pyspark.sql.window import Window
+
+    w_min = Window.partitionBy("label").orderBy("id")
+    s0 = (
+        members.withColumn("rn", F.row_number().over(w_min))
+        .filter(F.col("rn") == 1)
+        .select("label", F.col("v").alias("c"))
+    )
+    d0 = members.join(F.broadcast(s0), "label").select(
+        "label", "id", "v", _sq_dist(F.col("v"), F.col("c")).alias("d2")
+    )
+    w_far = Window.partitionBy("label").orderBy(F.desc("d2"), "id")
+    s1 = (
+        d0.withColumn("rn", F.row_number().over(w_far))
+        .filter(F.col("rn") == 1)
+        .select("label", F.col("v").alias("c"))
+    )
+    cents = (
+        s0.select("label", F.lit(0).alias("sub"), "c")
+        .unionByName(s1.select("label", F.lit(1).alias("sub"), "c"))
+        .localCheckpoint(eager=True)
+    )
+
+    w_pick = Window.partitionBy("label", "id").orderBy("d2", "sub")
+    assigned = None
+    for _ in range(max_iter):
+        assigned = (
+            members.join(F.broadcast(cents), "label")
+            .select("label", "id", "v", "sub", _sq_dist(F.col("v"), F.col("c")).alias("d2"))
+            .withColumn("rn", F.row_number().over(w_pick))
+            .filter(F.col("rn") == 1)
+            .select("label", "id", "v", "sub")
+        )
+        per_dim = (
+            assigned.select("label", "sub", F.posexplode("v").alias("dim", "val"))
+            .groupBy("label", "sub", "dim")
+            .agg(F.avg("val").alias("m"))
+        )
+        cents = (
+            per_dim.groupBy("label", "sub")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s["m"],
+                ).alias("c")
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    # narrow (label, id, sub) rows, O(moved members) — checkpointed so the
+    # three consumers below (child counts, relabel, split map) re-read the
+    # materialized form instead of each replaying the Lloyd chain
+    final = (
+        members.join(F.broadcast(cents), "label")
+        .select("label", "id", "sub", _sq_dist(F.col("v"), F.col("c")).alias("d2"))
+        .withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select("label", "id", "sub")
+        .localCheckpoint(eager=True)
+    )
+
+    # a split must yield TWO nonempty children; degenerate lists stay whole
+    child_counts = final.groupBy("label", "sub").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    splittable = (
+        child_counts.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_subs"))
+        .filter(F.col("n_subs") == 2)
+        .select("label")
+    )
+
+    # fresh labels above the global max — the single-row broadcast-scalar
+    # idiom (source_reputation), never a driver collect
+    mx = lists.agg(F.max(F.col(label_col)).cast("long").alias("mx"))
+    # the unpartitioned window and the scalar crossJoin both act on the
+    # O(split labels) frame — single-partition by design, kilobytes.
+    # Checkpointed so the two output plans consume the materialized map
+    # (no nested-loop node survives into them) instead of re-deriving it.
+    w_rank = Window.orderBy("label")
+    child_map = (
+        splittable.withColumn("rank", F.dense_rank().over(w_rank))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("label").alias("parent_label"),
+            (F.col("mx") + F.col("rank")).cast("long").alias("label1"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    split_map = (
+        child_counts.join(
+            F.broadcast(child_map),
+            F.col("label") == F.col("parent_label"),
+        )
+        .select(
+            "parent_label",
+            F.when(F.col("sub") == 0, F.col("parent_label"))
+            .otherwise(F.col("label1"))
+            .cast("long")
+            .alias("child_label"),
+            F.col("sub").cast("int").alias("sub"),
+            "n_members",
+        )
+    )
+
+    relabeled = (
+        final.join(F.broadcast(child_map), F.col("label") == F.col("parent_label"), "inner")
+        .join(members.select("label", "id", "orig"), ["label", "id"])
+        .select(
+            F.col("id").alias(id_col),
+            F.when(F.col("sub") == 0, F.col("label"))
+            .otherwise(F.col("label1"))
+            .cast(lists.schema[label_col].dataType.simpleString())
+            .alias(label_col),
+            F.col("orig").alias(vec_col),
+        )
+    )
+    untouched = (
+        lists.select(id_col, label_col, vec_col)
+        .join(
+            F.broadcast(child_map.select(F.col("parent_label").alias(label_col))),
+            label_col,
+            "left_anti",
+        )
+        .select(id_col, label_col, vec_col)  # the USING join fronts the key
+    )
+    return untouched.unionByName(relabeled), split_map

@@ -594,3 +594,31 @@ def test_streaming_ivf_assign_static_side_plan_shape(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Broadcast" in plan  # the quantizer side must broadcast
+
+
+def test_ivf_split_overloaded_plan_shape(spark):
+    """Plan pins for the r17 library rebalance: every join is a broadcast
+    (the overloaded-label semi, the centroid joins, the relabel maps) —
+    no SortMergeJoin, no CartesianProduct anywhere. The keyed joins are
+    BroadcastHashJoins; the single-row max-label crossJoin (the
+    source_reputation scalar broadcast idiom) is materialized into the
+    checkpointed child relabel map, so NO nested-loop node survives into
+    either output plan."""
+    from flink_stream_processing_spark.plans.inspect import formatted_plan
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        ivf_split_overloaded,
+    )
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .selectExpr("vec_id", "CAST(label AS LONG) AS label",
+                    "CAST(embedding AS ARRAY<DOUBLE>) AS embedding")
+    )
+    reb, smap = ivf_split_overloaded(emb, threshold=50)
+    for label, plan in (
+        ("lists", formatted_plan(reb)),
+        ("split_map", formatted_plan(smap)),
+    ):
+        assert "SortMergeJoin" not in plan, label
+        assert "CartesianProduct" not in plan, label
+        assert "BroadcastNestedLoopJoin" not in plan, label

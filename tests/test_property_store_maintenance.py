@@ -278,3 +278,69 @@ def test_ivf_state_maintenance_equals_dict_model(
             cell[1] -= 1
     want = {k: (s, n) for k, (s, n) in model.items() if n > 0}
     assert _state_rows(state2) == want
+
+
+# --- rebalance sweep: ivf_split_overloaded's algebraic laws on random lists --
+
+# Exact assignment is the planted-fixture tests' job (well-separated
+# blobs have a unique right answer); this sweep checks the laws that
+# must hold on ANY input: the output ids partition the input ids, lists
+# at-or-under the threshold pass through with their labels unchanged,
+# child labels never collide with existing labels, and every emitted
+# split has exactly two nonempty children covering the parent's members.
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=LABELED_VECS, threshold=st.integers(1, 6))
+def test_ivf_split_laws_on_random_lists(spark_global, rows, threshold):
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        ivf_split_overloaded,
+    )
+
+    spark = spark_global
+    lists = _vec_frame(spark, rows)
+    reb, smap = ivf_split_overloaded(lists, threshold=threshold)
+    out = reb.collect()
+    splits = smap.collect()
+
+    in_by_id = {start_id: (lab, v) for start_id, (lab, v) in enumerate(rows)}
+    assert sorted(r["vec_id"] for r in out) == sorted(in_by_id)  # partition
+
+    from collections import Counter
+
+    in_counts = Counter(lab for lab, _ in rows)
+    existing = set(in_counts)
+    split_parents = {r["parent_label"] for r in splits}
+    child_by_parent: dict = {}
+    for r in splits:
+        child_by_parent.setdefault(r["parent_label"], {})[r["sub"]] = (
+            r["child_label"],
+            r["n_members"],
+        )
+
+    for r in out:
+        lab0, v0 = in_by_id[r["vec_id"]]
+        assert r["embedding"] == v0  # vectors never change
+        if lab0 not in split_parents:
+            assert r["label"] == lab0  # untouched lists keep their labels
+
+    for parent, kids in child_by_parent.items():
+        assert in_counts[parent] > threshold  # only overloaded lists split
+        assert set(kids) == {0, 1}
+        assert kids[0][0] == parent  # sub 0 keeps the parent label
+        assert kids[1][0] not in existing  # fresh label, no collision
+        assert kids[0][1] > 0 and kids[1][1] > 0  # both children nonempty
+        assert kids[0][1] + kids[1][1] == in_counts[parent]
+        parent_ids = {i for i, (lab, _) in in_by_id.items() if lab == parent}
+        child_ids = {
+            r["vec_id"] for r in out if r["label"] in (kids[0][0], kids[1][0])
+        }
+        assert child_ids == parent_ids  # children cover exactly the parent
+
+    # fresh labels are pairwise distinct across simultaneous splits
+    fresh = [kids[1][0] for kids in child_by_parent.values()]
+    assert len(fresh) == len(set(fresh))

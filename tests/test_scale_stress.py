@@ -1371,3 +1371,71 @@ def test_cdc_prefix_insertion_moves_boundaries_locally(spark):
     )
     bad = wide.filter(F.col("nb_pt") != F.col("nb_seam") + F.col("nb_t")).count()
     assert bad == 0, f"{bad} docs violate the CDC locality identity"
+
+
+def test_ivf_split_overloaded_planted_blobs_flat_in_untouched_corpus(spark):
+    """ivf_split_overloaded's O(changed) scale rung: ONE overloaded list
+    of FIXED size (20k members planted as two well-separated blobs at
+    ±100 on its own axis, ids interleaved even/odd) sits in a corpus of
+    small untouched lists whose total size GROWS with REPLICAS. The split
+    must (a) recover the planted blobs exactly — sub 0 all-even ids,
+    sub 1 all-odd, a closed-form fixed point like the kmeans rung — and
+    (b) cost roughly the same as the corpus doubles, because only the
+    overloaded list's vectors are ever scanned (the broadcast semi join
+    bound the operator docstring claims). A slope near the corpus-growth
+    factor here would mean the rebalance is secretly rescanning the
+    untouched lists."""
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        ivf_split_overloaded,
+    )
+
+    n_hot = 20_000  # fixed: the changed set
+    n_bulk = 10_000 * REPLICAS  # grows: the untouched corpus
+    d = 8
+    hot = spark.range(n_hot).select(
+        F.col("id").alias("vec_id"),
+        F.lit(0).cast("long").alias("label"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            lambda dim: F.when(
+                dim == 0,
+                F.when(F.col("id") % 2 == 0, F.lit(100.0)).otherwise(F.lit(-100.0)),
+            ).otherwise(
+                ((F.pmod(F.xxhash64(F.col("id"), dim), F.lit(7)) - 3) / 10.0)
+            ),
+        ).alias("embedding"),
+    )
+    # bulk: labels 1..200, ~n_bulk/200 members each — all under threshold
+    bulk = spark.range(n_bulk).select(
+        (F.col("id") + n_hot).alias("vec_id"),
+        (F.pmod(F.col("id"), 200) + 1).cast("long").alias("label"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            lambda dim: ((F.pmod(F.xxhash64(F.col("id"), dim), F.lit(11)) - 5) / 2.0),
+        ).alias("embedding"),
+    )
+    lists = hot.unionByName(bulk).localCheckpoint(eager=True)
+    threshold = n_hot // 2 + n_bulk // 100  # only the hot list is over
+
+    # the operator checkpoints eagerly inside the call (members, cents,
+    # final, child_map), so the WHOLE call sits inside the timer — timing
+    # only the output materialization would hide the Lloyd rounds
+    def _run():
+        reb, smap = ivf_split_overloaded(lists, threshold=threshold)
+        return reb.localCheckpoint(eager=True), smap
+
+    reb, smap = _timed(
+        f"ivf_split_overloaded: 1 hot list @{n_hot} fixed, bulk @{n_bulk}", _run
+    )
+    m = {(r.parent_label, r.sub): (r.child_label, r.n_members) for r in smap.collect()}
+    assert m == {(0, 0): (0, n_hot // 2), (0, 1): (201, n_hot // 2)}, m
+    # exact planted fixed point: even ids keep label 0, odd ids move to 201
+    hot_out = reb.filter(F.col("vec_id") < n_hot)
+    bad = hot_out.filter(
+        F.col("label")
+        != F.when(F.col("vec_id") % 2 == 0, F.lit(0)).otherwise(F.lit(201))
+    ).count()
+    assert bad == 0, f"{bad} hot members off their planted blob"
+    # untouched bulk unchanged
+    assert reb.filter((F.col("vec_id") >= n_hot) & (F.col("label") == 0)).count() == 0
+    assert reb.count() == n_hot + n_bulk

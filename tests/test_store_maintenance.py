@@ -750,3 +750,147 @@ def test_ivf_state_remove_matches_rebuild_on_fixture(spark):
         F.abs(F.col("v_inc") - F.col("centroid_val")) > 2e-6
     ).count()
     assert drifted == 0
+
+
+# --- IVF list rebalance (r17 library capability: ivf_split_overloaded) ------
+
+
+def _split_fixture(spark):
+    """Label 0 overloaded (40 members in two planted blobs at +/-100 on
+    dim 0 — even ids plus, odd ids minus), labels 1-2 small. Integer-ish
+    vectors so every state law is exact."""
+    rows = []
+    for i in range(40):
+        rows.append((i, 0, [100.0 if i % 2 == 0 else -100.0, float(i % 5), 0.0]))
+    for i in range(40, 50):
+        rows.append((i, 1, [0.0, 50.0, float(i)]))
+    for i in range(50, 58):
+        rows.append((i, 2, [0.0, -50.0, float(i)]))
+    return spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+
+
+def test_ivf_split_partitions_ids_and_recovers_planted_blobs(spark):
+    """The split is a PARTITION of the input ids (every id exactly once),
+    non-overloaded lists pass through bit-identical, and on two
+    well-separated planted blobs the 2-means recovers the blobs exactly
+    — sub 0 keeps the parent label, sub 1 gets a fresh label above the
+    global max."""
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        ivf_split_overloaded,
+    )
+
+    lists = _split_fixture(spark)
+    reb, smap = ivf_split_overloaded(lists, threshold=20)
+    out = reb.orderBy("vec_id").collect()
+    assert [r.vec_id for r in out] == list(range(58))  # partition, exactly once
+
+    m = {(r.parent_label, r.sub): (r.child_label, r.n_members) for r in smap.collect()}
+    assert m == {(0, 0): (0, 20), (0, 1): (3, 20)}  # fresh label = max(2)+1
+
+    lab_even = {r.label for r in out if r.vec_id < 40 and r.vec_id % 2 == 0}
+    lab_odd = {r.label for r in out if r.vec_id < 40 and r.vec_id % 2 == 1}
+    assert lab_even == {0} and lab_odd == {3}  # exact planted recovery
+
+    untouched_in = lists.filter(F.col("label") != 0).orderBy("vec_id").collect()
+    untouched_out = [r for r in out if r.vec_id >= 40]
+    assert untouched_in == untouched_out  # bit-identical pass-through
+
+
+def test_ivf_split_identity_when_nothing_overloaded(spark):
+    """A threshold above the largest list is the identity: empty split
+    map, byte-identical lists (schema and column order included)."""
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        ivf_split_overloaded,
+    )
+
+    lists = _split_fixture(spark)
+    reb, smap = ivf_split_overloaded(lists, threshold=1000)
+    assert smap.count() == 0
+    assert reb.schema == lists.schema
+    assert reb.orderBy("vec_id").collect() == lists.orderBy("vec_id").collect()
+
+
+def test_ivf_split_degenerate_identical_list_not_split(spark):
+    """All members identical: 2-means cannot separate them (every
+    assignment ties to sub 0), so the list must stay WHOLE — an empty
+    child would leave a stale centroid directing probes at an empty
+    list (the ivf_store_tombstones rule)."""
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        ivf_split_overloaded,
+    )
+
+    ident = spark.createDataFrame(
+        [(i, 7, [1.0, 2.0]) for i in range(30)],
+        "vec_id long, label long, embedding array<double>",
+    )
+    reb, smap = ivf_split_overloaded(ident, threshold=10)
+    assert smap.count() == 0
+    assert reb.count() == 30
+    assert reb.filter(F.col("label") != 7).count() == 0
+
+
+def test_ivf_split_commutes_with_mergeable_state(spark):
+    """The quantizer-state law: state(rebalanced) == append(remove(
+    state(lists), moved members at their OLD labels), moved members at
+    their NEW labels) — exact on integer vectors. This is what makes the
+    split an O(changed) store operation: the persisted state is
+    maintained from the moved members alone, never a corpus rescan."""
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        ivf_centroid_state,
+        ivf_split_overloaded,
+        ivf_state_append,
+        ivf_state_remove,
+    )
+
+    lists = _split_fixture(spark)
+    reb, smap = ivf_split_overloaded(lists, threshold=20)
+    split_parents = smap.select(F.col("parent_label").alias("label")).distinct()
+    moved_old = lists.join(split_parents, "label", "semi")
+    child_labels = smap.select(F.col("child_label").alias("label")).distinct()
+    moved_new = reb.join(moved_old.select("vec_id"), "vec_id", "semi").join(
+        child_labels, "label", "semi"
+    )
+    s_direct = ivf_centroid_state(reb.select("label", "embedding"))
+    s_incr = ivf_state_append(
+        ivf_state_remove(
+            ivf_centroid_state(lists.select("label", "embedding")),
+            moved_old.select("label", "embedding"),
+        ),
+        moved_new.select("label", "embedding"),
+    )
+    joined = (
+        s_direct.withColumnRenamed("s", "s1")
+        .withColumnRenamed("n", "n1")
+        .join(s_incr, ["label", "dim"], "full_outer")
+    )
+    bad = joined.filter(
+        (F.col("s1") != F.col("s")) | (F.col("n1") != F.col("n"))
+    ).count()
+    assert bad == 0
+    assert joined.filter(F.col("s1").isNull() | F.col("s").isNull()).count() == 0
+
+
+def test_ivf_split_children_union_is_parent(spark):
+    """Every emitted split has two nonempty children whose member union
+    is exactly the parent's member set."""
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        ivf_split_overloaded,
+    )
+
+    lists = _split_fixture(spark)
+    reb, smap = ivf_split_overloaded(lists, threshold=20)
+    for parent in [r.parent_label for r in smap.select("parent_label").distinct().collect()]:
+        kids = {r.child_label: r.n_members for r in smap.filter(F.col("parent_label") == parent).collect()}
+        assert len(kids) == 2 and all(n > 0 for n in kids.values())
+        parent_ids = {r.vec_id for r in lists.filter(F.col("label") == parent).collect()}
+        child_ids = {
+            r.vec_id for r in reb.join(
+                smap.filter(F.col("parent_label") == parent)
+                .select(F.col("child_label").alias("label")),
+                "label",
+                "semi",
+            ).collect()
+        }
+        assert child_ids == parent_ids
