@@ -1439,3 +1439,67 @@ def test_ivf_split_overloaded_planted_blobs_flat_in_untouched_corpus(spark):
     # untouched bulk unchanged
     assert reb.filter((F.col("vec_id") >= n_hot) & (F.col("label") == 0)).count() == 0
     assert reb.count() == n_hot + n_bulk
+
+
+def test_bloom_sharded_merge_lossless_at_1m(spark):
+    """The mergeable Bloom state's scale rung (operators/bloom.py): at
+    500k×REPLICAS/10 member keys, (a) a 32-shard build merged pairwise is
+    BIT-IDENTICAL to the single-pass build (the lossless-merge law at
+    scale — the never-re-scan property the 100 TB design rests on),
+    (b) every member probes positive (zero false negatives, exact), and
+    (c) planted disjoint negatives false-positive within 3× the
+    closed-form (1-e^{-kn/m})^k envelope at this fill ratio. Build is
+    one explode + one partial agg — corpus-linear, measured."""
+    from flink_stream_processing_spark.operators.bloom import (
+        _BLOOM_K,
+        bloom_bits,
+        bloom_merge,
+        bloom_probe,
+    )
+    import math
+    from functools import reduce
+
+    n = 50_000 * REPLICAS
+    m_bits = 1 << 24  # sized so the 1M-key fill ratio keeps FPR meaningful
+    members = spark.range(n).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("key")
+    )
+    single = _timed(
+        f"bloom single-pass build @{n} keys, m=2^24",
+        lambda: bloom_bits(members, m=m_bits).localCheckpoint(eager=True),
+    )
+    shards = [
+        bloom_bits(members.filter(F.pmod(F.xxhash64("key"), F.lit(32)) == s), m=m_bits)
+        for s in range(32)
+    ]
+    merged = _timed(
+        "bloom 32-shard merge",
+        lambda: reduce(bloom_merge, shards).localCheckpoint(eager=True),
+    )
+    diff = (
+        single.withColumnRenamed("word", "w1")
+        .join(merged, "word_idx", "full_outer")
+        .filter(
+            (F.col("w1") != F.col("word"))
+            | F.col("w1").isNull()
+            | F.col("word").isNull()
+        )
+        .count()
+    )
+    assert diff == 0, f"{diff} words differ between sharded and single-pass"
+    fn = _timed(
+        f"bloom probe {n} members",
+        lambda: bloom_probe(members, single, m=m_bits)
+        .filter(~F.col("bloom_positive"))
+        .count(),
+    )
+    assert fn == 0, f"{fn} false negatives"
+    n_neg = 100_000
+    negatives = spark.range(n_neg).select(
+        F.concat(F.lit("neg-"), F.col("id")).alias("key")
+    )
+    fp = bloom_probe(negatives, single, m=m_bits).filter(F.col("bloom_positive")).count()
+    bound = (1 - math.exp(-_BLOOM_K * n / m_bits)) ** _BLOOM_K
+    print(f"\n  [{REPLICAS * 5}k] bloom FPR {fp / n_neg:.5f} vs bound {bound:.5f}",
+          file=sys.stderr)
+    assert fp / n_neg <= 3 * bound + 0.002, (fp / n_neg, bound)
