@@ -161,3 +161,44 @@ def test_bloom_packing_equals_word_model(spark_global, keys):
     }
     got = {r["word_idx"]: r["word"] for r in bloom_bits(frame).collect()}
     assert got == signed
+
+
+def test_bloom_probe_is_streaming_transparent(spark):
+    """Stream ≡ batch law: bloom_probe applied to the REAL file-stream
+    ingest path (stream-static broadcast join + complete-mode aggregate)
+    yields exactly the batch verdicts on the same keys — the admission
+    pre-filter a daily pipeline runs per micro-batch needs no separate
+    streaming implementation. Mirrors the streaming_ivf_assign pattern:
+    one function, two execution modes, pinned equal."""
+    from flink_stream_processing_spark.queries_impl import web_dedup_stream as _wds
+    from flink_stream_processing_spark.queries_impl._stream_helpers import (
+        _run_stream_to_table,
+        _stream_session,
+        table_stream_dir,
+    )
+    from flink_stream_processing_spark.sources.batch import load_table
+
+    from .conftest import SF_DIR
+
+    s = _stream_session(spark)
+    docs = load_table(s, SF_DIR, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text")))).alias("key")
+    state = bloom_bits(
+        docs.filter(F.col("doc_id") % 10 != 0).select(fp)
+    ).localCheckpoint(eager=True)
+
+    # probe the novel batch slice AND a slice of known members (%10 == 1,
+    # inside the corpus), so the law is exercised on BOTH verdicts
+    probe_filter = (F.col("doc_id") % 10 == 0) | (F.col("doc_id") % 10 == 1)
+    batch_verdicts = bloom_probe(docs.filter(probe_filter).select(fp), state)
+    stream = (
+        _wds.documents_file_stream(s, table_stream_dir(SF_DIR, "documents"))
+        .filter(probe_filter)
+        .select(fp)
+    )
+    streamed_verdicts = _run_stream_to_table(bloom_probe(stream, state), "complete")
+
+    got = sorted(map(tuple, streamed_verdicts.collect()))
+    want = sorted(map(tuple, batch_verdicts.collect()))
+    assert got == want and len(want) > 0
+    assert {v for _, v in want} == {True, False}
