@@ -707,6 +707,65 @@ def connected_components(
     return labels
 
 
+def cc_incremental(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Merge a batch of NEW near-dup edges into an existing component
+    labeling without re-deriving or re-scanning the historical pair
+    relation — the daily maintenance verb of the cluster store (r17
+    library capability, post-saturation policy: laws + rung, no registry
+    entry). At 100 TB the expensive input to clustering is the PAIR
+    relation (LSH banding over the whole corpus); once clustered, the
+    partition compresses losslessly to one star edge per non-root node
+    (node -> its component's min label, which is itself a member node).
+    Tomorrow's batch unions its new edges with those O(nodes) star edges
+    and re-propagates — the stars have diameter 2, so the loop converges
+    in a handful of rounds regardless of the ORIGINAL components'
+    diameters, and the historical edge set is never touched again. The
+    saving is dominated by what never re-runs: the pair DERIVATION
+    (signature + banding over the corpus text) and the O(E) edge volume
+    of dense near-dup graphs; the propagation loop itself is cheap either
+    way (path-halving makes even a full rebuild's round count
+    logarithmic — measured comparable on the rung's shallow planted
+    shape, where E ≈ V and nothing upstream needs re-deriving).
+
+    ``labels`` is a (node, lbl) frame in connected_components' canonical
+    min-member form; ``new_pairs`` is any pair frame (ids of either
+    orderable type, same columns as connected_components takes). Nodes
+    never seen before simply enter through their new edges.
+
+    LAWS (test-pinned in tests/test_dedup_incremental_cc.py):
+    - rebuild equivalence (EXACT): cc_incremental(cc(E1), E2) ==
+      cc(E1 ∪ E2) as (node, lbl) frames — same partition, same canonical
+      min-member labels;
+    - idempotence: an empty batch, or a batch of edges already internal
+      to existing components, returns the labeling unchanged —
+      singletons included (they carry no star edge, so they are
+      re-attached by the trailing anti-join rather than dropped by the
+      edge-derived node universe);
+    - monotonicity: labels only ever decrease (a merge adopts the
+      smaller component minimum), and every input node survives.
+    """
+    star = labels.filter(F.col("node") != F.col("lbl")).select(
+        F.col("node").alias(id_a), F.col("lbl").alias(id_b)
+    )
+    batch = new_pairs.select(id_a, id_b)
+    merged = connected_components(
+        star.unionByName(batch), id_a=id_a, id_b=id_b, max_iter=max_iter
+    )
+    # connected_components derives its node universe from EDGES, so
+    # singleton components (node == lbl, no star edge) and isolated nodes
+    # untouched by the batch would vanish — re-attach them unchanged.
+    untouched = labels.join(merged.select("node"), "node", "left_anti").select(
+        "node", "lbl"
+    )
+    return merged.unionByName(untouched)
+
+
 def token_window_hashes(
     base: DataFrame,
     window: int,

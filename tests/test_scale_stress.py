@@ -1503,3 +1503,80 @@ def test_bloom_sharded_merge_lossless_at_1m(spark):
     print(f"\n  [{REPLICAS * 5}k] bloom FPR {fp / n_neg:.5f} vs bound {bound:.5f}",
           file=sys.stderr)
     assert fp / n_neg <= 3 * bound + 0.002, (fp / n_neg, bound)
+
+
+def test_cc_incremental_bridge_batch_exact_at_scale(spark):
+    """cc_incremental's scale rung (operators/dedup.py): 10k×REPLICAS/10
+    pre-labeled 10-node components (the star form a historical run
+    persisted) take a 500-edge bridge batch that merges known component
+    PAIRS. The incremental step must produce the exact closed-form
+    partition — merged pairs adopt the smaller root, untouched
+    components keep their labels bit-for-bit — while touching only the
+    O(nodes) star edges plus the batch, never the historical chain
+    edges. Timed against the full rebuild from the raw 10-node chains
+    for the record: on THIS shape (E ≈ V, shallow diameters that
+    path-halving flattens anyway) the wall times are comparable —
+    measured 9.9 vs 8.3 s at 100k nodes, 11.7 vs 12.7 s at 200k — the
+    capability's real saving is what the rung CANNOT model: the rebuild
+    needs the historical pair relation re-derived (LSH banding over the
+    whole corpus text) while the incremental step starts from the
+    persisted O(nodes) labeling, and dense near-dup graphs have
+    E >> V."""
+    from flink_stream_processing_spark.operators.dedup import (
+        cc_incremental,
+        connected_components,
+    )
+
+    n_comp = 1_000 * REPLICAS  # components of 10 chained nodes each
+    n = n_comp * 10
+    # historical labeling, constructed directly in its canonical form:
+    # nodes c*10 .. c*10+9 form component c with min-member label c*10
+    labels = spark.range(n).select(
+        F.col("id").alias("node"),
+        (F.col("id") - F.pmod(F.col("id"), 10)).alias("lbl"),
+    ).localCheckpoint(eager=True)
+    # bridge batch: component 2c merges with component 2c+1, c < 500
+    batch = spark.range(500).select(
+        (F.col("id") * 20).alias("doc_a"),  # a node of component 2c
+        (F.col("id") * 20 + 15).alias("doc_b"),  # a node of component 2c+1
+    )
+    inc = _timed(
+        f"cc_incremental: 500-edge batch into {n_comp} components @{n} nodes",
+        lambda: cc_incremental(labels, batch).localCheckpoint(eager=True),
+    )
+    # closed form: nodes under 10_000 pair up (component 2c+1 adopts 2c's
+    # root = c*20); everything else keeps its historical label
+    expect = spark.range(n).select(
+        F.col("id").alias("node"),
+        F.when(
+            F.col("id") < 10_000,
+            (F.col("id") - F.pmod(F.col("id"), 20)),
+        )
+        .otherwise(F.col("id") - F.pmod(F.col("id"), 10))
+        .alias("lbl"),
+    )
+    bad = (
+        inc.withColumnRenamed("lbl", "got")
+        .join(expect, "node")
+        .filter(F.col("got") != F.col("lbl"))
+        .count()
+    )
+    assert bad == 0, f"{bad} nodes off the closed-form partition"
+    assert inc.count() == n
+    # the honest alternative: rebuild from the raw chains + batch
+    chains = spark.range(n - 1).filter(
+        F.pmod(F.col("id"), 10) != 9
+    ).select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    rebuild = _timed(
+        f"full rebuild from {n - n_comp} chain edges + batch",
+        lambda: connected_components(
+            chains.unionByName(batch)
+        ).localCheckpoint(eager=True),
+    )
+    diff = (
+        inc.withColumnRenamed("lbl", "got")
+        .join(rebuild, "node")
+        .filter(F.col("got") != F.col("lbl"))
+        .count()
+    )
+    assert diff == 0  # rebuild equivalence at scale
