@@ -8,4 +8,11 @@
 - ``similarity``     : embedding similarity search (LLM extension)
 - ``text``           : text analysis — lang-id, quality, tokens, fingerprints
 - ``multimodal``     : binary-column plumbing for image/audio/video payloads
+- ``clustering``     : distributed k-means (full Lloyd's loop)
+- ``graph``          : pagerank, triangle counts
+- ``pq``             : product quantization (codebook train/encode/ADC)
+- ``setsim``         : exact set-similarity joins
+- ``temporal``       : as-of/SCD2/interval temporal operators
+- ``bloom``          : mergeable Bloom-filter state (lossless shard merge)
+- ``sampling``       : mergeable weighted reservoir (A-Res shard merge)
 """
