@@ -1196,3 +1196,58 @@ def ivf_split_overloaded(
         .select(id_col, label_col, vec_col)  # the USING join fronts the key
     )
     return untouched.unionByName(relabeled), split_map
+
+
+# --- library capability (r17, post-saturation policy): bloom-screened append
+
+
+def bloom_screened_append_delta(
+    store: DataFrame,
+    batch_keys: DataFrame,
+    key: str,
+    m: int | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """``store_append_delta`` with the mergeable Bloom state
+    (operators/bloom.py) as an admission pre-filter — the composition
+    the daily cycle runs at 100 TB: the batch probes the O(m/64)
+    broadcast bitmap first, keys the filter has NEVER seen are admitted
+    to the delta immediately (the no-false-negative law makes that
+    EXACT — a bloom-negative key cannot be in the store), and only the
+    bloom-POSITIVE suspects (true duplicates plus the filter's small
+    false-positive mass) pay the anti-join against the key store. The
+    store-side join input shrinks from |batch| to
+    |true dups| + FPR·|novel| rows, and in the common
+    mostly-novel-ingest case the big store table is probed by a
+    near-empty frame.
+
+    EXACTNESS LAW (test-pinned): output == store_append_delta(store,
+    batch) as key sets, for any m/k — the bloom can only err toward
+    sending a novel key through the exact confirm, never toward
+    dropping one. The screening-mass law is also pinned: the suspect
+    set is exactly the true-duplicate keys plus the planted-negative
+    false positives.
+
+    In production the bitmap is the PERSISTED bloom state maintained by
+    bloom_merge over daily shards (lossless, never re-scanned); here it
+    is built from the store for a self-contained gate — the plan shapes
+    are identical either way."""
+    from ..operators.bloom import _BLOOM_K, _BLOOM_M, bloom_bits, bloom_probe
+
+    m = _BLOOM_M if m is None else m
+    k = _BLOOM_K if k is None else k
+    state = bloom_bits(store.select(F.col(key).alias("key")), m=m, k=k)
+    verdicts = bloom_probe(
+        batch_keys.select(key).distinct().withColumnRenamed(key, "key"),
+        state,
+        m=m,
+        k=k,
+    )
+    fast_novel = verdicts.filter(~F.col("bloom_positive")).select(
+        F.col("key").alias(key)
+    )
+    suspects = verdicts.filter(F.col("bloom_positive")).select(
+        F.col("key").alias(key)
+    )
+    confirmed_novel = suspects.join(store.select(key), key, "left_anti")
+    return fast_novel.unionByName(confirmed_novel)

@@ -894,3 +894,59 @@ def test_ivf_split_children_union_is_parent(spark):
             ).collect()
         }
         assert child_ids == parent_ids
+
+
+# --- bloom-screened append (r17 library capability) --------------------------
+
+
+def test_bloom_screened_delta_equals_exact_delta(spark):
+    """Composition exactness on the real fixture: the bloom-screened
+    append admits EXACTLY store_append_delta's key set — the
+    no-false-negative law makes the fast-admit path safe, and the exact
+    confirm catches every false positive. Pinned for a small m too
+    (high FPR regime: many suspects, same answer)."""
+    from flink_stream_processing_spark.operators.dedup import (
+        exact_fingerprint_store,
+    )
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        bloom_screened_append_delta,
+        store_append_delta,
+    )
+    from flink_stream_processing_spark.sources.batch import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    store = exact_fingerprint_store(docs.filter(F.col("doc_id") % 10 != 0))
+    batch = exact_fingerprint_store(docs.filter(F.col("doc_id") % 10 == 0))
+    want = sorted(
+        r["fingerprint"] for r in store_append_delta(store, batch, "fingerprint").collect()
+    )
+    assert want  # non-degenerate: the fixture batch has novel keys
+    for m in (1 << 16, 1 << 8):  # healthy filter AND saturated tiny filter
+        got = sorted(
+            r["fingerprint"]
+            for r in bloom_screened_append_delta(store, batch, "fingerprint", m=m).collect()
+        )
+        assert got == want, f"m={m}"
+
+
+def test_bloom_screen_shrinks_the_exact_probe_side(spark):
+    """The screening-mass law: the suspect set that reaches the exact
+    store is the true duplicates plus the filter's false positives —
+    measured here as: on an all-novel synthetic batch with a healthy m,
+    the exact confirm receives well under 5% of the batch (vs 100%
+    unscreened)."""
+    from flink_stream_processing_spark.operators.bloom import bloom_bits, bloom_probe
+
+    store_keys = spark.range(20_000).select(
+        F.md5(F.concat(F.lit("s"), F.col("id").cast("string"))).alias("fingerprint")
+    )
+    novel = spark.range(10_000).select(
+        F.md5(F.concat(F.lit("n"), F.col("id").cast("string"))).alias("fingerprint")
+    )
+    state = bloom_bits(store_keys.withColumnRenamed("fingerprint", "key"), m=1 << 20)
+    suspects = (
+        bloom_probe(novel.withColumnRenamed("fingerprint", "key"), state, m=1 << 20)
+        .filter(F.col("bloom_positive"))
+        .count()
+    )
+    assert suspects < 0.05 * 10_000, suspects
