@@ -15,4 +15,5 @@
 - ``temporal``       : as-of/SCD2/interval temporal operators
 - ``bloom``          : mergeable Bloom-filter state (lossless shard merge)
 - ``sampling``       : mergeable weighted reservoir (A-Res shard merge)
+- ``histogram``      : mergeable bounded-domain histogram (quantile store)
 """

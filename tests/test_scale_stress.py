@@ -1580,3 +1580,61 @@ def test_cc_incremental_bridge_batch_exact_at_scale(spark):
         .count()
     )
     assert diff == 0  # rebuild equivalence at scale
+
+
+def test_histogram_sharded_merge_lossless_at_1m(spark):
+    """The mergeable histogram's scale rung (operators/histogram.py): at
+    50k×REPLICAS values of a planted deterministic grid over [0, 1),
+    (a) a 32-shard build merged pairwise equals the single-pass state
+    EXACTLY (the vector-add lossless-merge law at scale), (b) the
+    quantile bracket contains the closed-form planted quantile at every
+    probed q (the grid makes exact quantiles arithmetic, no sort
+    needed), and (c) build is one projection + one keyed count —
+    corpus-linear, measured."""
+    import math
+    from functools import reduce
+
+    from flink_stream_processing_spark.operators.histogram import (
+        histogram_merge,
+        histogram_state,
+        quantile_bracket,
+    )
+
+    n = 50_000 * REPLICAS
+    bins = 1 << 12
+    # planted values: v_i = ((i * 2654435761) % n) / n — a permutation of
+    # the uniform grid {0, 1/n, ..., (n-1)/n}, so the exact q-quantile is
+    # (ceil(q*n) - 1) / n in closed form
+    vals = spark.range(n).select(
+        ((F.col("id") * 2654435761) % n / n).cast("double").alias("v")
+    )
+    single = _timed(
+        f"histogram single-pass build @{n} values, {bins} bins",
+        lambda: histogram_state(vals, "v", 0.0, 1.0, bins=bins).localCheckpoint(
+            eager=True
+        ),
+    )
+    shards = [
+        histogram_state(
+            vals.filter(F.pmod(F.xxhash64("v"), F.lit(32)) == s), "v", 0.0, 1.0, bins=bins
+        )
+        for s in range(32)
+    ]
+    merged = _timed(
+        "histogram 32-shard merge",
+        lambda: reduce(histogram_merge, shards).localCheckpoint(eager=True),
+    )
+    diff = (
+        single.withColumnRenamed("n", "n1")
+        .join(merged, "bin_idx", "full_outer")
+        .filter(
+            (F.col("n1") != F.col("n")) | F.col("n1").isNull() | F.col("n").isNull()
+        )
+        .count()
+    )
+    assert diff == 0, f"{diff} bins differ between sharded and single-pass"
+    for q in (0.01, 0.25, 0.5, 0.9, 0.999):
+        r = quantile_bracket(single, q, 0.0, 1.0, bins=bins).collect()[0]
+        exact = (max(1, math.ceil(q * n)) - 1) / n
+        assert r["value_lo"] <= exact <= r["value_hi"], (q, exact, r)
+        assert r["total"] == n
