@@ -131,3 +131,35 @@ def test_histogram_equals_python_model(spark_global, xs, split, bins):
         histogram_state(_vals(spark, xs[split:]), "v", 0.0, 1.0, bins=bins),
     )
     assert _state_map(merged) == model
+
+
+def test_histogram_state_is_streaming_transparent(spark):
+    """Stream ≡ batch law: histogram_state over the real documents file
+    stream (complete mode) equals the batch state on the same values —
+    the curation pipeline can maintain its quality histogram per
+    micro-batch with the same function. Mirrors the bloom-probe and
+    ivf-assign stream-transparency pins."""
+    from flink_stream_processing_spark.operators.text import quality_score
+    from flink_stream_processing_spark.queries_impl import web_dedup_stream as _wds
+    from flink_stream_processing_spark.queries_impl._stream_helpers import (
+        _run_stream_to_table,
+        _stream_session,
+        table_stream_dir,
+    )
+    from flink_stream_processing_spark.sources.batch import load_table
+
+    from .conftest import SF_DIR
+
+    s = _stream_session(spark)
+    batch_q = quality_score(load_table(s, SF_DIR, "documents")).select("quality")
+    want = _state_map(histogram_state(batch_q, "quality", 0.0, 1.0, bins=256))
+
+    stream_q = quality_score(
+        _wds.documents_file_stream(s, table_stream_dir(SF_DIR, "documents"))
+    ).select("quality")
+    got = _state_map(
+        _run_stream_to_table(
+            histogram_state(stream_q, "quality", 0.0, 1.0, bins=256), "complete"
+        )
+    )
+    assert got == want and sum(want.values()) > 0
