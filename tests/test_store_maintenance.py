@@ -950,3 +950,59 @@ def test_bloom_screen_shrinks_the_exact_probe_side(spark):
         .count()
     )
     assert suspects < 0.05 * 10_000, suspects
+
+
+def test_bloom_store_multi_generation_cycle(spark):
+    """The persisted-filter daily cycle (r18-queue item, pinned early):
+    day N's admission filter = bloom_merge(day N-1's filter,
+    bloom_bits(day N's admitted delta)). Three planted generations with
+    overlapping batches must satisfy BOTH invariants exactly — (a) every
+    day's screened delta equals the exact store_append_delta against the
+    keys admitted so far (the composition stays exact across
+    generations), and (b) the generation-3 filter is bit-identical to a
+    single-pass build over all admitted keys (the lossless-merge chain
+    never drifts from the from-scratch filter, so the cycle can run
+    forever without a re-scan)."""
+    from flink_stream_processing_spark.operators.bloom import bloom_bits, bloom_merge
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        store_append_delta,
+    )
+
+    def keys(prefix, lo, hi):
+        return spark.range(lo, hi).select(
+            F.md5(F.concat(F.lit(prefix), F.col("id").cast("string"))).alias("k")
+        )
+
+    # day batches overlap each other AND re-present old keys
+    batches = [
+        keys("a", 0, 3_000),
+        keys("a", 2_000, 5_000).unionByName(keys("b", 0, 1_000)),
+        keys("a", 4_000, 6_000).unionByName(keys("b", 500, 1_500)),
+    ]
+    store = spark.createDataFrame([], "k string")
+    filt = bloom_bits(store.withColumnRenamed("k", "key"))
+    for day, batch in enumerate(batches):
+        # screened admission against the PERSISTED filter: negatives are
+        # admitted fast, suspects confirm against the exact store
+        from flink_stream_processing_spark.operators.bloom import bloom_probe
+
+        verd = bloom_probe(batch.distinct().withColumnRenamed("k", "key"), filt)
+        fast = verd.filter(~F.col("bloom_positive")).select(F.col("key").alias("k"))
+        suspects = verd.filter(F.col("bloom_positive")).select(F.col("key").alias("k"))
+        delta = fast.unionByName(suspects.join(store, "k", "left_anti"))
+        want = sorted(r["k"] for r in store_append_delta(store, batch, "k").collect())
+        got = sorted(r["k"] for r in delta.collect())
+        assert got == want, f"day {day}: screened delta != exact delta"
+        assert want  # every planted day admits something
+        store = store.unionByName(delta).localCheckpoint(eager=True)
+        filt = bloom_merge(
+            filt, bloom_bits(delta.withColumnRenamed("k", "key"))
+        ).localCheckpoint(eager=True)
+    # the chained filter equals the from-scratch filter over all admitted keys
+    scratch = {
+        (r["word_idx"], r["word"])
+        for r in bloom_bits(store.withColumnRenamed("k", "key")).collect()
+    }
+    chained = {(r["word_idx"], r["word"]) for r in filt.collect()}
+    assert chained == scratch
+    assert store.count() == 6_000 + 1_500  # a-keys 0..6000, b-keys 0..1500
