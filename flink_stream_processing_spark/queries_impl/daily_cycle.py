@@ -1,0 +1,253 @@
+"""The first-class DAILY-CYCLE composition — the one function a 100 TB
+corpus operator actually schedules (r18 library capability, post-
+saturation policy: no registry entry; laws + hypothesis sweep + plan
+pin + planted scale rung — OPERATORS.md "Registry policy after
+saturation").
+
+Every maintenance verb in this chain already exists and is individually
+law-pinned (store_maintenance.py, operators/bloom.py); what was missing
+is the COMPOSITION a production pipeline runs once per ingest day, over
+all four persisted store families at once:
+
+    bloom screen  →  exact-store anti-join confirm  →  minhash append
+                  →  span refcount update           →  tombstone purge
+
+``DailyStores`` is the persisted state (what lives as bucketed
+parquet/Delta tables between runs); ``daily_cycle_step`` is one day.
+
+END-TO-END CYCLE LAW (test-pinned in tests/test_daily_cycle.py, swept
+by hypothesis against an exact Python model): N days of incremental
+steps produce stores EQUAL — rows, refcounts, band payloads included —
+to ``daily_stores_build`` run from scratch over the surviving admitted
+doc set. The admission rule is ``incremental_exact_dedup``'s (min-id
+representative per novel fingerprint), reproduced here behind the bloom
+screen; the bloom's no-false-negative law makes the screened admission
+EXACTLY equal to the unscreened anti-join, so the cycle law holds for
+any (m, k).
+
+100 TB DESIGN (the point of the composition):
+- The ingest batch's TEXT is scanned exactly ONCE per day — an eager
+  localCheckpoint at entry feeds the fingerprint extraction, the
+  shingle pass, and the span-window pass (plan-pinned: with parquet
+  inputs, the five output store plans contain zero batch re-scans). A
+  daily batch is the small side (~0.1 % of corpus); materializing it to
+  executor storage is cheap and saves three full re-reads.
+- The CORPUS is never scanned at all. Every store-side input is the
+  persisted state: the bloom bitmap is an O(m/64) broadcast, the exact
+  confirm is one anti-join on the bucketed fingerprint key probed only
+  by the bloom-POSITIVE suspects (true dups + FPR·novel — in the
+  common mostly-novel ingest the big store table is probed by a
+  near-empty frame), the refcount update is one keyed outer join, and
+  the minhash append writes per-doc rows with no store read.
+- The takedown side scans ONLY the removed docs' text (the caller
+  fetches it by id — an O(removed) bucketed lookup, see
+  ``takedown_holder_ids`` for the expansion that produces the ids).
+
+BLOOM-AFTER-PURGE SEMANTICS (deliberate, documented): a Bloom filter
+cannot delete, so purged fingerprints stay bloom-positive. That NEVER
+breaks exactness — a purged key's re-ingest is bloom-positive, falls
+to the exact confirm, finds the store no longer has it, and is
+correctly admitted; the only cost is suspect mass that no longer
+corresponds to a stored key. ``rebuild_bloom=True`` re-derives the
+bitmap from the post-purge fingerprint STORE (one scan of the key
+table, never the corpus) — the periodic compaction-time hygiene a
+production deployment runs; law-pinned bit-identical to a from-scratch
+bitmap.
+
+CALLER CONTRACT (inherited from the tombstone family, law-pinned
+there): ``removed_docs`` must be EXPANSION-CLOSED — every current
+holder of a removed fingerprint is in the set (``takedown_holder_ids``
+produces exactly this) — and each takedown is applied once (replaying
+a day double-decrements; see test_tombstone_requests_are_idempotent
+for the request-level idempotence that holds BEFORE expansion).
+
+Reference parity note: the reference pipeline (StreamJob.java) keeps no
+persisted dedup state at all — this module belongs to the LLM-pipeline
+extension's incremental-dedup arc (SURVEY.md "training-data pipeline"
+mandate), modeled on the daily-ingest maintenance loop described in
+"Deduplicating Training Data Makes Language Models Better" (Lee et
+al., 2022) §4.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.bloom import (
+    _BLOOM_K,
+    _BLOOM_M,
+    bloom_bits,
+    bloom_merge,
+    bloom_probe,
+)
+from ..operators.dedup import (
+    band_hashes,
+    exact_fingerprint_store,
+    minhash_signatures,
+    shingle_array,
+)
+# Module-object binding, not attribute imports: store_maintenance is a
+# REGISTERED module (queries.py imports it), so an attribute import here
+# would break under first-import cycles (the _span_shared rule); resolve
+# its functions at call time.
+from . import store_maintenance as _sm
+
+
+class DailyStores(NamedTuple):
+    """The four persisted store families the daily cycle maintains — at
+    100 TB each is a bucketed parquet/Delta table keyed as noted."""
+
+    fingerprints: DataFrame  # (fingerprint) — exact store, bucketed on key
+    bloom: DataFrame  # (word_idx, word) — sparse admission bitmap, O(m/64)
+    bands: DataFrame  # (doc_id, band_id, band_hash) — LSH bucket table
+    shingles: DataFrame  # (doc_id, sh_arr) — per-doc distinct shingles
+    span_rc: DataFrame  # (h, n_holders) — refcount span store, bucketed on h
+
+
+def _fp(text_col: str = "text"):
+    """The family's fingerprint key (exact_fingerprint_store's contract:
+    md5 of lower(trim(text)), internal whitespace preserved)."""
+    return F.md5(F.lower(F.trim(F.col(text_col))))
+
+
+def _doc_slice(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) projection — everything the cycle reads of a doc."""
+    return docs.select("doc_id", "text")
+
+
+def _minhash_rows(docs: DataFrame):
+    """Band + shingle-array rows for a doc frame — ONE shingle pass feeds
+    both tables (minhash_store_append's payload, factored so the cycle
+    can run it on the already-admitted set without re-deriving
+    survivors). Docs under the 3-token shingle floor drop out here, in
+    the incremental AND from-scratch paths alike."""
+    arrs = shingle_array(docs).select(
+        "doc_id", F.array_distinct("sh_arr").alias("sh_arr")
+    )
+    return band_hashes(minhash_signatures(arrs)), arrs
+
+
+def daily_stores_build(
+    corpus: DataFrame, m: int = _BLOOM_M, k: int = _BLOOM_K
+) -> DailyStores:
+    """From-scratch build over a doc frame — the day-0 bootstrap AND the
+    cycle law's comparator (N incremental days must equal this over the
+    surviving admitted doc set). One logical pass over the corpus text
+    fans into the four extractions; at 100 TB this is the one full-scan
+    job the pipeline ever runs."""
+    docs = _doc_slice(corpus)
+    fingerprints = exact_fingerprint_store(docs)
+    bands, shingles = _minhash_rows(docs)
+    return DailyStores(
+        fingerprints=fingerprints,
+        bloom=bloom_bits(fingerprints, key_col="fingerprint", m=m, k=k),
+        bands=bands,
+        shingles=shingles,
+        span_rc=_sm.span_refcount_store(_sm._tokenized(docs)),
+    )
+
+
+def daily_cycle_step(
+    stores: DailyStores,
+    batch: DataFrame,
+    removed_docs: Optional[DataFrame] = None,
+    m: int = _BLOOM_M,
+    k: int = _BLOOM_K,
+    rebuild_bloom: bool = False,
+) -> DailyStores:
+    """One ingest day over all four store families: screen, confirm,
+    admit, append, purge. Returns the next generation of every store;
+    writes nothing (the caller persists each table, bucket-routed, via
+    ``compacted_store`` — exactly as the per-family verbs document).
+
+    ``batch``: today's raw docs (doc_id, text, ...). Scanned once — see
+    the module docstring's plan contract.
+    ``removed_docs``: today's EXPANSION-CLOSED takedown set with text
+    (doc_id, text, ...), or None for a no-takedown day. Scanned once;
+    never triggers a corpus scan.
+    ``rebuild_bloom``: re-derive the bitmap from the post-step
+    fingerprint store (compaction-time hygiene) instead of the O(delta)
+    incremental merge.
+    """
+    batch = _doc_slice(batch).localCheckpoint(eager=True)
+
+    # 1) bloom screen + exact confirm (bloom_screened_append_delta's
+    # shape, against the PERSISTED bitmap instead of a rebuilt one).
+    batch_fp = batch.select("doc_id", _fp().alias("fingerprint"))
+    verdicts = bloom_probe(
+        batch_fp.select("fingerprint").distinct().withColumnRenamed(
+            "fingerprint", "key"
+        ),
+        stores.bloom,
+        m=m,
+        k=k,
+    )
+    fast_novel = verdicts.filter(~F.col("bloom_positive")).select(
+        F.col("key").alias("fingerprint")
+    )
+    suspects = verdicts.filter(F.col("bloom_positive")).select(
+        F.col("key").alias("fingerprint")
+    )
+    confirmed_novel = suspects.join(
+        stores.fingerprints.select("fingerprint"), "fingerprint", "left_anti"
+    )
+    # Three consumers (store union, bloom increment, admission semi) of
+    # an O(batch) frame — materialize once.
+    novel_fps = (
+        fast_novel.unionByName(confirmed_novel).localCheckpoint(eager=True)
+    )
+
+    # 2) admission: min-id representative per novel fingerprint — the
+    # incremental_exact_dedup rule, byte-for-byte (the cycle law depends
+    # on it). Two consumers of the admitted text (shingles, spans).
+    admitted_ids = (
+        batch_fp.join(novel_fps, "fingerprint", "semi")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    admitted_docs = batch.join(
+        admitted_ids, "doc_id", "semi"
+    ).localCheckpoint(eager=True)
+
+    # 3) appends on all four families.
+    fingerprints = stores.fingerprints.unionByName(novel_fps)
+    new_bands, new_arrs = _minhash_rows(admitted_docs)
+    bands = stores.bands.unionByName(new_bands)
+    shingles = stores.shingles.unionByName(new_arrs)
+    span_rc = _sm.refcount_store_append(
+        stores.span_rc, _sm._tokenized(admitted_docs)
+    )
+    bloom = bloom_merge(
+        stores.bloom, bloom_bits(novel_fps, key_col="fingerprint", m=m, k=k)
+    )
+
+    # 4) tombstone purge — expansion-closed, so fingerprint-level removal
+    # is clean (every holder leaves), doc-keyed tables anti-join, and the
+    # shared-hash refcounts decrement with sharing protection.
+    if removed_docs is not None:
+        removed = _doc_slice(removed_docs).localCheckpoint(eager=True)
+        removed_fps = removed.select(_fp().alias("fingerprint")).distinct()
+        removed_ids = removed.select("doc_id")
+        fingerprints = fingerprints.join(removed_fps, "fingerprint", "left_anti")
+        bands, shingles = _sm.minhash_store_tombstones(bands, shingles, removed_ids)
+        dec = _sm.tombstone_decrements(_sm._tokenized(removed))
+        span_rc = (
+            _sm.purged_refcount_store(span_rc, dec)
+            .filter(F.col("n_after") > 0)
+            .select("h", F.col("n_after").alias("n_holders"))
+        )
+
+    if rebuild_bloom:
+        bloom = bloom_bits(fingerprints, key_col="fingerprint", m=m, k=k)
+
+    return DailyStores(
+        fingerprints=fingerprints,
+        bloom=bloom,
+        bands=bands,
+        shingles=shingles,
+        span_rc=span_rc,
+    )

@@ -1,0 +1,277 @@
+"""Laws for the r18 daily-cycle composition (queries_impl/daily_cycle.py)
+— the library capability wiring bloom screen → exact confirm → minhash
+append → span refcount update → tombstone purge into ONE per-day state
+transition over all four persisted store families.
+
+The per-verb laws live with their operators (test_store_maintenance.py,
+test_bloom.py); this module pins what only the COMPOSITION can get
+wrong: cross-family doc-set consistency (every family must agree on
+which docs entered and left), the bloom-after-purge exactness argument,
+the single-batch-scan plan contract, and the end-to-end N-day ≡
+from-scratch cycle law — deterministic on the fixture here, swept on
+random shapes against an exact Python model below."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from flink_stream_processing_spark.operators.dedup import incremental_exact_dedup
+from flink_stream_processing_spark.queries_impl.daily_cycle import (
+    DailyStores,
+    daily_cycle_step,
+    daily_stores_build,
+)
+from flink_stream_processing_spark.queries_impl.store_maintenance import (
+    _TOMBSTONE_RESIDUE,
+)
+from flink_stream_processing_spark.sources.batch import load_table
+
+from .conftest import SF_DIR
+
+# The bloom stays deliberately small in the laws: a high fill ratio
+# maximizes false positives, which is the HARD path for the exactness
+# law (every suspect must be saved by the exact confirm).
+_SMALL_M, _SMALL_K = 1 << 10, 3
+
+
+def _checkpointed(stores: DailyStores) -> DailyStores:
+    """Persist a generation the way the production caller would — the
+    step's inputs are materialized tables, not live lineage."""
+    return DailyStores(*[df.localCheckpoint(eager=True) for df in stores])
+
+
+def _assert_stores_equal(got: DailyStores, want: DailyStores, skip_bloom: bool):
+    """Row-set equality per family (payloads included). The incremental
+    bloom is skipped where purges occurred (no-delete is the documented
+    design); rebuild_bloom variants compare it bit-for-bit."""
+    for fname in got._fields:
+        if skip_bloom and fname == "bloom":
+            continue
+        g, w = getattr(got, fname), getattr(want, fname)
+        extra, missing = g.exceptAll(w).count(), w.exceptAll(g).count()
+        assert extra == 0 and missing == 0, (
+            f"{fname}: {extra} extra / {missing} missing rows vs from-scratch"
+        )
+
+
+def _three_way_split(docs):
+    corpus = docs.filter(~(F.col("doc_id") % 10).isin(0, 5))
+    b1 = docs.filter(F.col("doc_id") % 10 == 5)
+    b2 = docs.filter(F.col("doc_id") % 10 == 0)
+    return corpus, b1, b2
+
+
+def test_daily_cycle_two_generations_equal_from_scratch(spark):
+    """THE cycle law on the fixture: day0 build → day1 append → day2
+    append+takedown equals a from-scratch build over the surviving doc
+    set, across ALL FOUR families (fingerprint sets, band payloads,
+    shingle arrays, span refcounts). rebuild_bloom additionally makes
+    the bitmap bit-identical to the from-scratch bitmap."""
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus, b1, b2 = _three_way_split(docs)
+
+    day0 = _checkpointed(daily_stores_build(corpus))
+    day1 = _checkpointed(daily_cycle_step(day0, b1))
+
+    held = corpus.unionByName(b1)
+    removed = held.filter(F.col("doc_id") % 10 == _TOMBSTONE_RESIDUE)
+    day2 = daily_cycle_step(day1, b2, removed_docs=removed, rebuild_bloom=True)
+
+    # fixture has no byte-identical cross-doc pairs (pinned by the
+    # tombstone family), so survivors = held − removed ∪ b2 and the
+    # takedown set is expansion-closed by construction
+    final_docs = held.join(removed.select("doc_id"), "doc_id", "left_anti").unionByName(b2)
+    want = daily_stores_build(final_docs)
+    _assert_stores_equal(day2, want, skip_bloom=False)
+
+
+def test_screened_admission_equals_unscreened_exact_dedup(spark):
+    """The composed step's admitted set must equal incremental_exact_dedup
+    byte-for-byte — the bloom screen is a pure plan optimization (the
+    no-false-negative law), never a semantics change. Run at a high fill
+    ratio so false positives actually exercise the confirm path."""
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus, b1, _ = _three_way_split(docs)
+    day0 = _checkpointed(daily_stores_build(corpus, m=_SMALL_M, k=_SMALL_K))
+    day1 = daily_cycle_step(day0, b1, m=_SMALL_M, k=_SMALL_K)
+    got = {
+        r["fingerprint"]
+        for r in day1.fingerprints.exceptAll(day0.fingerprints).collect()
+    }
+    want = {
+        r["fingerprint"]
+        for r in incremental_exact_dedup(b1, day0.fingerprints).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_purged_doc_reingest_is_readmitted(spark):
+    """The bloom-after-purge exactness argument, executed: a doc purged on
+    day 1 stays bloom-POSITIVE forever (blooms cannot delete), so its
+    day-2 re-ingest must flow through the exact confirm and be correctly
+    re-admitted — across every family. This is the case that would break
+    if admission ever trusted the bloom's positive verdicts."""
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus, _, _ = _three_way_split(docs)
+    victim = corpus.filter(F.col("doc_id") % 100 == 1)
+    n_victims = victim.count()
+    assert n_victims > 0
+
+    day0 = _checkpointed(daily_stores_build(corpus, m=_SMALL_M, k=_SMALL_K))
+    empty = corpus.filter(F.lit(False))
+    day1 = _checkpointed(
+        daily_cycle_step(
+            day0, empty, removed_docs=victim, m=_SMALL_M, k=_SMALL_K
+        )
+    )
+    assert (
+        day1.fingerprints.join(
+            victim.select(
+                F.md5(F.lower(F.trim("text"))).alias("fingerprint")
+            ),
+            "fingerprint",
+            "semi",
+        ).count()
+        == 0
+    )
+    day2 = daily_cycle_step(day1, victim, m=_SMALL_M, k=_SMALL_K)
+    # after re-ingest the stores equal a from-scratch build over the
+    # original corpus again — the purge → re-admit round-trip is exact
+    _assert_stores_equal(day2, daily_stores_build(corpus, m=_SMALL_M, k=_SMALL_K), skip_bloom=True)
+
+
+def test_planted_duplicate_batch_admits_one_representative(spark):
+    """Planted admission shapes the fixture can't produce: a byte-identical
+    re-crawl of a corpus doc (must NOT be admitted anywhere), an in-batch
+    duplicate pair (min-id representative only), and case/padding
+    variants that normalize to the same fingerprint (one admission)."""
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon"), (1, "zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),  # exact store dup
+            (11, "lambda mu nu xi omicron"),  # novel pair rep (min id)
+            (12, "lambda mu nu xi omicron"),  # in-batch dup of 11
+            (13, "  LAMBDA MU NU XI OMICRON  "),  # normalizes to 11's fp
+            (14, "pi rho sigma tau upsilon"),  # plain novel
+        ],
+        "doc_id long, text string",
+    )
+    day0 = _checkpointed(daily_stores_build(corpus, m=_SMALL_M, k=_SMALL_K))
+    day1 = daily_cycle_step(day0, batch, m=_SMALL_M, k=_SMALL_K)
+    admitted = {r["doc_id"] for r in day1.shingles.collect()} - {0, 1}
+    assert admitted == {11, 14}
+    assert day1.fingerprints.count() == 4  # 2 corpus + 2 novel
+    # refcounts only count admitted docs (docs here are under the span
+    # window so span_rc stays empty — consistency is pinned by the
+    # fixture law and the hypothesis sweep on longer docs)
+
+
+def test_cycle_scans_batch_text_exactly_once(spark):
+    """The plan contract: with parquet-backed batch/takedown inputs and
+    persisted (checkpointed) stores, every output store's optimized plan
+    contains ZERO parquet relations — the one batch scan (and the one
+    removed-docs scan) happened at the step's eager entry checkpoint,
+    and nothing downstream re-reads any table; the corpus is never read
+    at all (same pin family as test_delta_never_rescans_corpus_text)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus, b1, _ = _three_way_split(docs)
+    day0 = _checkpointed(daily_stores_build(corpus))
+    removed = corpus.filter(F.col("doc_id") % 10 == _TOMBSTONE_RESIDUE)
+    day1 = daily_cycle_step(day0, b1, removed_docs=removed)
+    for fname in day1._fields:
+        plan = getattr(day1, fname)._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("Relation") == 0, f"{fname} re-scans a table:\n{plan}"
+        assert "ExistingRDD" in plan or "LogicalRDD" in plan
+
+
+# --- hypothesis sweep: the N-day cycle vs an exact Python model --------------
+
+# Docs are concatenations of passages from a tiny pool, so exact dups
+# within and across days are COMMON (random text never collides) and
+# span windows genuinely share hashes across docs. The model replays
+# admission (min-id per novel fingerprint, day order) and
+# expansion-closed takedowns with plain set/dict arithmetic; Spark must
+# agree on the fingerprint store exactly, and every derived family must
+# equal a from-scratch build over the model's surviving doc set.
+
+_POOL = [[f"w{p}t{i}" for i in range(11)] for p in range(4)]
+
+_DOC = st.lists(st.integers(min_value=0, max_value=3), min_size=1, max_size=3).map(
+    lambda picks: " ".join(t for p in picks for t in _POOL[p])
+)
+# (text, day ∈ {0: corpus, 1, 2}, takedown-flag)
+_CORPUS = st.lists(
+    st.tuples(_DOC, st.integers(min_value=0, max_value=2), st.booleans()),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _md5(text: str) -> str:
+    return hashlib.md5(text.encode()).hexdigest()
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=_CORPUS)
+def test_daily_cycle_equals_python_model(spark_global, corpus):
+    spark = spark_global
+    rows = [(i, text, day, rm) for i, (text, day, rm) in enumerate(corpus)]
+    schema = "doc_id long, text string"
+
+    def frame(sel):
+        return spark.createDataFrame([(i, t) for i, t, _, _ in sel], schema)
+
+    day_docs = {d: [r for r in rows if r[2] == d] for d in (0, 1, 2)}
+
+    # exact model: replay admission in day order
+    store_fp = {_md5(t) for _, t, _, _ in day_docs[0]}
+    doc_set = [(i, t) for i, t, _, _ in day_docs[0]]
+    for d in (1, 2):
+        novel: dict[str, int] = {}
+        for i, t, _, _ in day_docs[d]:
+            fp = _md5(t)
+            if fp not in store_fp and (fp not in novel or i < novel[fp]):
+                novel[fp] = i
+        by_id = {i: t for i, t, _, _ in day_docs[d]}
+        doc_set += [(i, by_id[i]) for i in sorted(novel.values())]
+        store_fp |= set(novel)
+    # expansion-closed takedown at end of day 2: every current holder of
+    # a flagged doc's fingerprint leaves
+    removed_fps = {_md5(t) for _, t, _, rm in rows if rm}
+    removed = [(i, t) for i, t in doc_set if _md5(t) in removed_fps]
+    doc_set = [(i, t) for i, t in doc_set if _md5(t) not in removed_fps]
+    store_fp -= removed_fps
+
+    day0 = _checkpointed(
+        daily_stores_build(frame(day_docs[0]), m=_SMALL_M, k=_SMALL_K)
+    )
+    day1 = _checkpointed(
+        daily_cycle_step(day0, frame(day_docs[1]), m=_SMALL_M, k=_SMALL_K)
+    )
+    day2 = daily_cycle_step(
+        day1,
+        frame(day_docs[2]),
+        removed_docs=(
+            spark.createDataFrame(removed, schema) if removed else None
+        ),
+        m=_SMALL_M,
+        k=_SMALL_K,
+    )
+
+    got_fp = {r["fingerprint"] for r in day2.fingerprints.collect()}
+    assert got_fp == store_fp
+    want = daily_stores_build(
+        spark.createDataFrame(doc_set, schema), m=_SMALL_M, k=_SMALL_K
+    )
+    _assert_stores_equal(day2, want, skip_bloom=bool(removed))

@@ -1638,3 +1638,143 @@ def test_histogram_sharded_merge_lossless_at_1m(spark):
         exact = (max(1, math.ceil(q * n)) - 1) / n
         assert r["value_lo"] <= exact <= r["value_hi"], (q, exact, r)
         assert r["total"] == n
+
+
+def test_daily_cycle_two_generation_planted_rung(spark):
+    """The daily-cycle composition's 2-generation planted rung
+    (queries_impl/daily_cycle.py): over a 5k×REPLICAS salted corpus,
+    day 1 ingests a FIXED planted batch (half byte-identical re-crawls
+    of corpus docs — zero must be admitted — half novel docs — all must
+    be admitted) and takes down a planted slice in the SAME step;
+    day 2 re-ingests the taken-down docs, which are bloom-positive
+    forever (blooms cannot delete) and must be re-admitted through the
+    exact confirm. Exact planted counts at every stage, fingerprint-set
+    equality with a from-scratch store at the end, and a realistically
+    sized bitmap (m=2^22) whose screening actually works at this key
+    count (measured FPR on the novel keys). Generation wall-times are
+    printed for the slope record; the delta work is fixed, so the
+    per-generation time should grow with the corpus-linear union
+    materialization, not with re-scans of unchanged text."""
+    from flink_stream_processing_spark.operators.bloom import bloom_probe
+    from flink_stream_processing_spark.operators.dedup import (
+        exact_fingerprint_store,
+    )
+    from flink_stream_processing_spark.queries_impl.daily_cycle import (
+        DailyStores,
+        daily_cycle_step,
+        daily_stores_build,
+    )
+
+    replicas = REPLICAS
+    m_bits, k = 1 << 22, 5
+    # sf0.1 has a handful of duplicate normalized texts — drop them so
+    # every planted count is exact (the cycle handles dups fine; the
+    # RUNG's arithmetic wants sole-holder fingerprints by construction)
+    base = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .withColumn("fp", F.md5(F.lower(F.trim("text"))))
+        .dropDuplicates(["fp"])
+        .select(F.col("doc_id").alias("base_id"), "text")
+    )
+    n_base = base.count()
+    reps = spark.range(replicas).select(F.col("id").cast("int").alias("replica"))
+    salted = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda w: F.concat(w, F.lit("_"), F.col("replica").cast("string")),
+        ),
+        " ",
+    )
+    corpus = (
+        base.crossJoin(reps)
+        .select(
+            (F.col("base_id") * replicas + F.col("replica")).alias("doc_id"),
+            F.when(F.col("replica") == 0, F.col("text")).otherwise(salted).alias("text"),
+        )
+        .repartition(32, "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    n_corpus = n_base * replicas
+
+    # fixed planted batch: re-crawls of the replica-1 docs of even bases
+    # (new ids, identical bytes) + novel salted docs
+    dup_batch = corpus.filter(
+        (F.pmod(F.col("doc_id"), F.lit(replicas)) == 1)
+        & (F.col("doc_id") % (2 * replicas) < replicas)
+    ).select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    novel_batch = base.filter(F.col("base_id") % 2 == 0).select(
+        (F.col("base_id") + 20_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" novelmarker"), F.col("base_id")).alias("text"),
+    )
+    n_dup, n_novel = dup_batch.count(), novel_batch.count()
+    batch1 = dup_batch.unionByName(novel_batch).localCheckpoint(eager=True)
+
+    # expansion-closed takedown slice: replica-2 docs of every 50th base
+    # (salted => unique fingerprints, sole holders by construction)
+    removed = corpus.filter(
+        (F.pmod(F.col("doc_id"), F.lit(replicas)) == 2)
+        & ((F.col("doc_id") / replicas).cast("long") % 50 == 0)
+    ).localCheckpoint(eager=True)
+    n_removed = removed.count()
+    assert n_dup > 0 and n_novel > 0 and n_removed > 0 and replicas >= 3
+
+    day0 = _timed(
+        f"daily_cycle build @{n_corpus} docs",
+        lambda: DailyStores(
+            *[
+                df.localCheckpoint(eager=True)
+                for df in daily_stores_build(corpus, m=m_bits, k=k)
+            ]
+        ),
+    )
+    assert day0.fingerprints.count() == n_corpus
+
+    # the bitmap screens for real at this size: novel keys mostly pass fast
+    novel_fp_probe = bloom_probe(
+        novel_batch.select(F.md5(F.lower(F.trim("text"))).alias("key")),
+        day0.bloom,
+        m=m_bits,
+        k=k,
+    )
+    fpr = novel_fp_probe.filter(F.col("bloom_positive")).count() / n_novel
+    print(f"\n  bloom FPR on {n_novel} novel keys @m=2^22: {fpr:.4f}", file=sys.stderr)
+    assert fpr < 0.05
+
+    day1 = _timed(
+        f"daily_cycle gen1: +{n_dup} dups +{n_novel} novel -{n_removed} takedown",
+        lambda: DailyStores(
+            *[
+                df.localCheckpoint(eager=True)
+                for df in daily_cycle_step(
+                    day0, batch1, removed_docs=removed, m=m_bits, k=k
+                )
+            ]
+        ),
+    )
+    # planted admission: every novel doc in, every re-crawl out, every
+    # takedown purged
+    assert day1.fingerprints.count() == n_corpus + n_novel - n_removed
+    admitted1 = day1.shingles.join(day0.shingles, "doc_id", "left_anti")
+    assert admitted1.filter(F.col("doc_id") < 20_000_000).count() == 0
+    assert admitted1.count() == n_novel
+    assert day1.bands.count() == day0.bands.count() + 16 * n_novel - 16 * n_removed
+
+    day2 = _timed(
+        f"daily_cycle gen2: re-ingest the {n_removed} purged docs",
+        lambda: DailyStores(
+            *[
+                df.localCheckpoint(eager=True)
+                for df in daily_cycle_step(day1, removed, m=m_bits, k=k)
+            ]
+        ),
+    )
+    assert day2.fingerprints.count() == n_corpus + n_novel
+    readmitted = day2.shingles.join(day1.shingles, "doc_id", "left_anti")
+    assert readmitted.count() == n_removed
+    assert (
+        readmitted.join(removed.select("doc_id"), "doc_id", "left_anti").count() == 0
+    )
+    # fingerprint-set equality with from-scratch over the final doc set
+    want_fp = exact_fingerprint_store(corpus.unionByName(novel_batch))
+    assert day2.fingerprints.exceptAll(want_fp).count() == 0
+    assert want_fp.exceptAll(day2.fingerprints).count() == 0
