@@ -25,6 +25,13 @@ LAWS (test-pinned in tests/test_sampling.py):
   re-presenting already-sampled items) changes nothing — merge dedups
   on the id, which is safe because the key is a pure function of
   (id, weight);
+- drift determinism: if the pure-function contract is ever violated
+  (same id, different weights across inputs), the merge keeps the
+  minimum-(ares_key, …) row per id — deterministic and
+  argument-order-independent, never an arbitrary survivor;
+- stream ≡ batch: folding reservoir_merge over the micro-batches of a
+  file stream (foreachBatch refresh) yields exactly the batch
+  reservoir over the same rows;
 - prefix property: the k-reservoir is a prefix of the (k+1)-reservoir
   under the (key, id) total order;
 - bounded size: a merge output never exceeds k rows.
@@ -53,19 +60,28 @@ def ares_keyed(
     seed: str = _ARES_SEED,
 ) -> DataFrame:
     """Attach the deterministic A-Res key -ln(u)/w, u = the first 8 md5
-    hex chars of (seed || id) as a uniform in (0, 1] — byte-identical to
-    the registered weighted_sample_ares query's construction, so the two
-    surfaces can never disagree on a sample. Requires weight > 0 rows
-    (zero/negative weights are the caller's filter, same as the query).
-    Output: input columns + ares_key."""
+    hex chars of (seed || id) as a uniform clamped into (0, 1] —
+    byte-identical to the registered weighted_sample_ares query's
+    construction, so the two surfaces can never disagree on a sample.
+    The raw conv(md5[:8])/2^32 value lives in [0, 1); an id whose md5
+    prefix is 00000000 (probability 2^-32) would yield -ln(0) = null,
+    and a null key would sort FIRST under Spark's ascending-nulls-first
+    default, permanently claiming a reservoir slot regardless of weight
+    — so the integer is clamped to >= 1 (u >= 2^-32) in BOTH surfaces
+    and the oracle, leaving every other key bit-identical (r17 ADVICE).
+    Requires weight > 0 rows (zero/negative weights are the caller's
+    filter, same as the query). Output: input columns + ares_key."""
     unif = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("double")
+        F.greatest(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("double"),
+            F.lit(1.0),
+        )
         / F.lit(4294967296.0)
     )
     return items.withColumn(
@@ -90,7 +106,23 @@ def reservoir_merge(
     id first — the key is a pure function of (id, weight), so an item
     present in both inputs (a re-presented batch, an overlap between
     shards, merge(s, s)) carries identical rows and survives exactly
-    once. O(|a| + |b|) rows touched; never re-scans any corpus."""
-    return weighted_reservoir(
-        a.unionByName(b).dropDuplicates([id_col]), k, id_col
+    once. The dedup is DETERMINISTIC: per id, keep the row with the
+    minimum (ares_key, remaining columns) — so if the same id ever
+    arrives with DIFFERENT weights (weight drift between refreshes,
+    outside the pure-function contract), the merge still picks one
+    well-defined row (the highest-weight/lowest-key one) instead of an
+    arbitrary dropDuplicates survivor (r17 ADVICE). O(|a| + |b|) rows
+    touched; never re-scans any corpus."""
+    from pyspark.sql import Window
+
+    u = a.unionByName(b)
+    order_cols = ["ares_key"] + sorted(
+        c for c in u.columns if c not in (id_col, "ares_key")
     )
+    w = Window.partitionBy(id_col).orderBy(*order_cols)
+    dedup = (
+        u.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return weighted_reservoir(dedup, k, id_col)

@@ -471,8 +471,9 @@ def q_pii_scan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WEIGHTED_SAMPLE_ORACLE = """
 WITH u AS (
   SELECT doc_id, n_chars,
-         ('0x' || substr(md5('ares' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-           / 4294967296.0 AS unif
+         greatest(
+           ('0x' || substr(md5('ares' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+           1) / 4294967296.0 AS unif
   FROM documents
   WHERE n_chars > 0
 ), keyed AS (
@@ -497,14 +498,22 @@ def q_weighted_sample_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
     heap merged on the driver (TakeOrderedAndProject), NOT a global sort
     — the only shape that survives a 100 TB corpus for a 50-row sample."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    # greatest(conv, 1): the raw md5-prefix integer lives in [0, 2^32);
+    # clamping to >= 1 keeps u in (0, 1] so -ln(u) is never null (a null
+    # key would sort first and steal a sample slot) — clamped identically
+    # in the oracle and the library twin (operators/sampling.py, r17
+    # ADVICE); every non-pathological key is bit-unchanged.
     unif = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("ares"), F.col("doc_id").cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("double")
+        F.greatest(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("ares"), F.col("doc_id").cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("double"),
+            F.lit(1.0),
+        )
         / F.lit(4294967296.0)
     )
     keyed = docs.select(

@@ -135,3 +135,90 @@ def test_reservoir_merge_equals_python_model(spark_global, weights, k, split):
     a = weighted_reservoir(keyed.filter(F.col("doc_id") < split), k)
     b = weighted_reservoir(keyed.filter(F.col("doc_id") >= split), k)
     assert _sample(reservoir_merge(a, b, k)) == model
+
+
+def test_reservoir_merge_deterministic_under_weight_drift(spark):
+    """Drift determinism (r17 ADVICE): the same id arriving with DIFFERENT
+    weights across the two inputs (outside the pure-function contract)
+    must merge to ONE well-defined row — the minimum-(ares_key, …) one,
+    i.e. the highest-weight variant — independent of argument order,
+    never an arbitrary dropDuplicates survivor."""
+    low = ares_keyed(_items(spark, [(i, 1.0) for i in range(20)]), "w")
+    high = ares_keyed(_items(spark, [(i, 9.0) for i in range(10)]), "w")
+    ab = reservoir_merge(low, high, 15).collect()
+    ba = reservoir_merge(high, low, 15).collect()
+    assert sorted(map(tuple, ab)) == sorted(map(tuple, ba))
+    drifted = {r["doc_id"]: r["w"] for r in ab if r["doc_id"] < 10}
+    assert drifted and all(w == 9.0 for w in drifted.values())
+
+
+def test_reservoir_u_clamp_never_yields_null_keys(spark):
+    """The (0, 1] clamp (r17 ADVICE): no id can produce a null ares_key —
+    even the pathological md5-prefix-00000000 case maps to u = 2^-32 —
+    and the clamp leaves every fixture key bit-identical to the
+    registered query's (pinned by
+    test_reservoir_matches_registered_query_construction)."""
+    keyed = ares_keyed(_items(spark, [(i, 1.0) for i in range(5_000)]), "w")
+    assert keyed.filter(F.col("ares_key").isNull()).count() == 0
+    # the clamp's output for the would-be-zero integer is finite and max
+    # (u = 2^-32 -> key = -ln(2^-32)/w = 32 ln 2, the largest possible)
+    import math
+
+    assert abs(-math.log(1.0 / 4294967296.0) - 32 * math.log(2)) < 1e-9
+
+
+def test_reservoir_foreachbatch_refresh_equals_batch(spark, tmp_path):
+    """Stream ≡ batch (the r18 streaming-refresh pin, completing the
+    mergeable-store family: HLL max / bloom or / histogram add /
+    reservoir merge): folding reservoir_merge over the micro-batches of
+    a real file stream — the foreachBatch refresh a standing sample
+    panel runs — yields EXACTLY the one-shot batch reservoir over the
+    same rows. Multiple micro-batches are forced (maxFilesPerTrigger=1
+    over a 4-file layout) so the fold genuinely exercises the merge."""
+    from flink_stream_processing_spark.queries_impl._stream_helpers import (
+        _stream_session,
+    )
+    from flink_stream_processing_spark.sources.batch import load_table
+
+    from .conftest import SF_DIR
+
+    k = 40
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", F.col("n_chars").cast("double").alias("w"))
+    )
+    src = str(tmp_path / "docs_stream")
+    docs.repartition(4).write.parquet(src)
+
+    s = _stream_session(spark)
+    stream = s.readStream.schema("doc_id long, w double").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+
+    state = {"rows": []}
+
+    def refresh(batch_df, _batch_id):
+        batch_res = weighted_reservoir(ares_keyed(batch_df, "w"), k)
+        if state["rows"]:
+            held = batch_df.sparkSession.createDataFrame(
+                state["rows"], "doc_id long, w double, ares_key double"
+            )
+            batch_res = reservoir_merge(held, batch_res, k)
+        state["rows"] = [
+            (r["doc_id"], r["w"], r["ares_key"]) for r in batch_res.collect()
+        ]
+
+    q = stream.writeStream.foreachBatch(refresh).trigger(
+        availableNow=True
+    ).start()
+    assert q.awaitTermination(300)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2, "stream collapsed into one micro-batch"
+
+    want = sorted(
+        (r["doc_id"], r["ares_key"])
+        for r in weighted_reservoir(ares_keyed(docs, "w"), k).collect()
+    )
+    got = sorted((d, key) for d, _w, key in state["rows"])
+    assert got == want and len(want) == k
