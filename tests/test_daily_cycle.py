@@ -275,3 +275,44 @@ def test_daily_cycle_equals_python_model(spark_global, corpus):
         spark.createDataFrame(doc_set, schema), m=_SMALL_M, k=_SMALL_K
     )
     _assert_stores_equal(day2, want, skip_bloom=bool(removed))
+
+
+def test_daily_cycle_is_streaming_transparent(spark, tmp_path):
+    """Stream ≡ batch for the WHOLE composition (extending the per-store
+    streaming-refresh family — HLL max, bloom or, histogram add,
+    reservoir merge — to the composed cycle): folding daily_cycle_step
+    over the micro-batches of a real file stream (the foreachBatch
+    refresh a production ingest runs) lands on EXACTLY the from-scratch
+    build over corpus ∪ streamed docs, every family, payloads included.
+    Multiple micro-batches are forced (maxFilesPerTrigger=1 over a
+    4-file layout) so the fold genuinely replays multi-day admission —
+    the micro-batch boundary IS the day boundary at stream granularity."""
+    from flink_stream_processing_spark.queries_impl._stream_helpers import (
+        _stream_session,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    src = str(tmp_path / "ingest_stream")
+    batch.repartition(4).write.parquet(src)
+
+    s = _stream_session(spark)
+    stream = s.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+
+    state = {"stores": _checkpointed(daily_stores_build(corpus))}
+
+    def refresh(batch_df, _batch_id):
+        state["stores"] = _checkpointed(
+            daily_cycle_step(state["stores"], batch_df)
+        )
+
+    q = stream.writeStream.foreachBatch(refresh).trigger(availableNow=True).start()
+    assert q.awaitTermination(300)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2, "stream collapsed into one micro-batch"
+
+    want = daily_stores_build(corpus.unionByName(docs.filter(F.col("doc_id") % 10 == 0)))
+    _assert_stores_equal(state["stores"], want, skip_bloom=False)
