@@ -1778,3 +1778,80 @@ def test_daily_cycle_two_generation_planted_rung(spark):
     want_fp = exact_fingerprint_store(corpus.unionByName(novel_batch))
     assert day2.fingerprints.exceptAll(want_fp).count() == 0
     assert want_fp.exceptAll(day2.fingerprints).count() == 0
+
+
+def test_mg_heavy_hitters_planted_rung(spark):
+    """The Misra–Gries summary's scale rung (operators/heavy_hitters.py):
+    three hot keys planted at fixed stream shares (4/2/1 %) inside a
+    uniform background of 500k×REPLICAS/10 items over a 100k-key tail.
+    (a) all three planted keys are recovered by mg_heavy_hitters at
+    φ = 0.5 % with k = 256 and carry estimates within the certificate;
+    (b) a 16-shard build merged pairwise satisfies the SAME bound over
+    the union (the mergeable-summaries theorem at scale) with ≤ k rows
+    of state; (c) the build is one map-side-combined count —
+    corpus-linear, measured — while every merge touches O(k) rows."""
+    from functools import reduce
+
+    from flink_stream_processing_spark.operators.heavy_hitters import (
+        mg_build,
+        mg_heavy_hitters,
+        mg_merge,
+    )
+
+    n = 50_000 * REPLICAS
+    k = 256
+    # planted: id-ranges map deterministically to the hot keys; the rest
+    # spread uniformly over a 100k-key tail
+    key = (
+        F.when(F.col("id") % 100 < 4, F.lit("hot_a"))
+        .when(F.col("id") % 100 < 6, F.lit("hot_b"))
+        .when(F.col("id") % 100 < 7, F.lit("hot_c"))
+        .otherwise(F.concat(F.lit("t"), F.pmod(F.xxhash64("id"), F.lit(100_000))))
+    )
+    items = spark.range(n).select(key.alias("key")).localCheckpoint(eager=True)
+
+    state = _timed(
+        f"mg_build @{n} items, k={k}",
+        lambda: MGStateCheckpointed(mg_build(items, k=k)),
+    )
+    meta = state.meta.collect()[0]
+    assert meta["n_total"] == n and meta["err_bound"] <= n / (k + 1)
+    assert state.counters.count() <= k
+
+    hh = {r["key"]: r["est"] for r in mg_heavy_hitters(state, 0.005).collect()}
+    for planted, share in (("hot_a", 0.04), ("hot_b", 0.02), ("hot_c", 0.01)):
+        assert planted in hh, f"{planted} missed at {share:.0%}"
+        true = int(n * share)
+        assert 0 <= true - hh[planted] <= meta["err_bound"], (planted, hh[planted])
+
+    # each shard state is materialized (persisted, as a production shard
+    # summary would be) before merging: a lazily chained 15-deep merge
+    # would compound TakeOrdered barriers into one enormous plan
+    shards = [
+        MGStateCheckpointed(
+            mg_build(items.filter(F.pmod(F.xxhash64("key"), F.lit(16)) == s), k=k)
+        )
+        for s in range(16)
+    ]
+    merged = _timed(
+        "mg 16-shard merge (O(k) rows per step)",
+        lambda: reduce(
+            lambda a, b: MGStateCheckpointed(mg_merge(a, b, k=k)), shards
+        ),
+    )
+    mm = merged.meta.collect()[0]
+    assert mm["n_total"] == n and mm["err_bound"] <= n / (k + 1)
+    assert merged.counters.count() <= k
+    mh = {r["key"]: r["est"] for r in mg_heavy_hitters(merged, 0.005).collect()}
+    for planted, share in (("hot_a", 0.04), ("hot_b", 0.02), ("hot_c", 0.01)):
+        assert planted in mh, f"{planted} missed after shard merge"
+        assert 0 <= int(n * share) - mh[planted] <= mm["err_bound"]
+
+
+def MGStateCheckpointed(state):
+    from flink_stream_processing_spark.operators.heavy_hitters import MGState
+
+    return MGState(
+        state.counters.localCheckpoint(eager=True),
+        state.meta.localCheckpoint(eager=True),
+    )
