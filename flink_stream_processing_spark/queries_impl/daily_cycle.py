@@ -251,3 +251,99 @@ def daily_cycle_step(
         shingles=shingles,
         span_rc=span_rc,
     )
+
+
+# --- the embedding-side daily cycle (same round, same policy) ---------------
+# The text stores above cover dedup/span maintenance; a 100 TB pipeline
+# runs the SAME per-day loop on its vector index: assign the ingest
+# batch to the coarse quantizer, append to the inverted lists, keep the
+# mergeable centroid state in sync, apply takedowns. The per-verb pieces
+# (ivf_assign / ivf_state_append / ivf_state_remove, store_maintenance)
+# are law-pinned; this composition pins the CROSS-STORE invariant they
+# must jointly preserve:
+#
+#     state == ivf_centroid_state(lists)     (exact on integer vectors)
+#
+# through any sequence of appends and takedowns — the O(changed) state
+# is always the quantizer a from-scratch rescan of the lists would
+# build, so probes never see drift between the two representations.
+#
+# ORDER SENSITIVITY (deliberate, documented): assignment uses the
+# quantizer AS OF the batch's day, so splitting one batch into N days
+# can assign a vector differently than the one-shot batch would — the
+# same drift a production IVF index accepts (FAISS-style maintenance).
+# What IS split-invariant, and law-pinned, is the consistency invariant
+# above: however the days were sliced, state ≡ rebuild(lists) holds at
+# every generation (the streaming-transparency form this family admits).
+
+
+class EmbeddingStores(NamedTuple):
+    """The vector index's persisted pair — at 100 TB the lists are a
+    label-bucketed parquet/Delta table; the state is O(labels × dims)."""
+
+    lists: DataFrame  # (vec_id, label, embedding)
+    state: DataFrame  # (label, dim, s, n) — mergeable quantizer state
+
+
+def centroid_vectors_from_state(state: DataFrame) -> DataFrame:
+    """(label, centroid array<double>) from the mergeable state — the
+    broadcastable quantizer ivf_assign consumes. s/n per dim, assembled
+    in dim order; on integer vectors this EQUALS ivf_centroids over the
+    lists (law-pinned), so assigning against the O(labels) state is
+    indistinguishable from assigning against a full list rescan."""
+    return (
+        state.select("label", "dim", (F.col("s") / F.col("n")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda st: st["c"],
+            ).alias("centroid")
+        )
+    )
+
+
+def embedding_stores_build(labeled: DataFrame) -> EmbeddingStores:
+    """From-scratch build over an already-labeled vector frame (the
+    trained day-0 index) — bootstrap and law comparator."""
+    rows = labeled.select("vec_id", "label", "embedding")
+    return EmbeddingStores(lists=rows, state=_sm.ivf_centroid_state(rows))
+
+
+def embedding_cycle_step(
+    stores: EmbeddingStores,
+    batch: DataFrame,
+    removed_ids: Optional[DataFrame] = None,
+) -> EmbeddingStores:
+    """One ingest day on the vector index: assign the batch against the
+    state-derived quantizer (O(labels) broadcast — the corpus is never
+    rescanned), append to lists and state, then apply the takedown
+    (ids only — the removed vectors' rows are fetched from the lists by
+    one O(removed) semi join, the takedown family's standard shape).
+    CALLER CONTRACT (inherited from ivf_state_remove): each takedown is
+    applied once; removed_ids ⊆ current list membership."""
+    batch = batch.select("vec_id", "embedding").localCheckpoint(eager=True)
+    assigned = _sm.ivf_assign(batch, centroid_vectors_from_state(stores.state))
+    new_rows = (
+        batch.join(
+            assigned.select(
+                "vec_id",
+                F.col("assigned_label")
+                .cast(stores.lists.schema["label"].dataType.simpleString())
+                .alias("label"),
+            ),
+            "vec_id",
+        )
+        .select("vec_id", "label", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    lists = stores.lists.unionByName(new_rows)
+    state = _sm.ivf_state_append(stores.state, new_rows)
+    if removed_ids is not None:
+        ids = removed_ids.select("vec_id")
+        removed_rows = lists.join(ids, "vec_id", "semi").localCheckpoint(
+            eager=True
+        )
+        lists = lists.join(ids, "vec_id", "left_anti")
+        state = _sm.ivf_state_remove(state, removed_rows)
+    return EmbeddingStores(lists=lists, state=state)

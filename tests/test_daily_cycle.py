@@ -316,3 +316,216 @@ def test_daily_cycle_is_streaming_transparent(spark, tmp_path):
 
     want = daily_stores_build(corpus.unionByName(docs.filter(F.col("doc_id") % 10 == 0)))
     _assert_stores_equal(state["stores"], want, skip_bloom=False)
+
+
+# --- embedding-side cycle laws ----------------------------------------------
+
+from flink_stream_processing_spark.queries_impl.daily_cycle import (  # noqa: E402
+    EmbeddingStores,
+    centroid_vectors_from_state,
+    embedding_cycle_step,
+    embedding_stores_build,
+)
+
+
+def _eck(stores: EmbeddingStores) -> EmbeddingStores:
+    return EmbeddingStores(*[df.localCheckpoint(eager=True) for df in stores])
+
+
+def _assert_state_tracks_lists(spark, stores: EmbeddingStores, exact: bool):
+    """THE cross-store invariant: the mergeable quantizer state equals a
+    from-scratch rebuild over the lists — (label, dim, s, n) rows, s
+    exactly on integer vectors (fp-tolerance on the real fixture)."""
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        ivf_centroid_state,
+    )
+
+    rebuilt = ivf_centroid_state(stores.lists)
+    j = stores.state.select(
+        "label", "dim", F.col("s").alias("s1"), F.col("n").alias("n1")
+    ).join(rebuilt, ["label", "dim"], "full_outer")
+    assert (
+        j.filter(
+            (F.col("n1") != F.col("n")) | F.col("n1").isNull() | F.col("n").isNull()
+        ).count()
+        == 0
+    )
+    tol = 0.0 if exact else 1e-6
+    assert j.filter(F.abs(F.col("s1") - F.col("s")) > tol).count() == 0
+
+
+def _int_vecs(spark, rows):
+    """rows: [(vec_id, label_or_None, [ints])] — label None marks ingest."""
+    return spark.createDataFrame(
+        [(i, lbl, [float(x) for x in v]) for i, lbl, v in rows],
+        "vec_id long, label int, embedding array<double>",
+    )
+
+
+def test_embedding_cycle_state_tracks_lists_exactly(spark):
+    """Integer vectors make every sum exact, so the invariant is pinned
+    with zero tolerance through append → append+takedown → takedown-only
+    generations, including an emptied label dropping out of the state."""
+    corpus = _int_vecs(
+        spark,
+        [(0, 0, [2, 4, 6]), (1, 0, [4, 8, 2]), (2, 1, [1, 3, 5]), (3, 2, [9, 9, 9])],
+    )
+    day0 = _eck(embedding_stores_build(corpus))
+    _assert_state_tracks_lists(spark, day0, exact=True)
+
+    # neither b1 vector may land on label 2 (centroid [9,9,9] attracts
+    # anything near-uniform by cosine): [3,5,7] -> label 1 (0.983 vs
+    # 0.95), [4,8,2] -> label 0 (0.95 vs 0.88)
+    b1 = _int_vecs(spark, [(10, 0, [3, 5, 7]), (11, 0, [4, 8, 2])]).select(
+        "vec_id", "embedding"
+    )
+    day1 = _eck(embedding_cycle_step(day0, b1))
+    _assert_state_tracks_lists(spark, day1, exact=True)
+    assert day1.lists.count() == 6
+
+    # append + takedown in one step; vec 3 was label 2's only member —
+    # the label must vanish from the state (emptied-list rule). The b2
+    # vector is parallel to label 1's centroid (cosine 1.0), so it cannot
+    # land on label 2 and keep it alive.
+    b2 = _int_vecs(spark, [(12, 0, [1, 3, 5])]).select("vec_id", "embedding")
+    removed = spark.createDataFrame([(3,), (10,)], "vec_id long")
+    day2 = _eck(embedding_cycle_step(day1, b2, removed_ids=removed))
+    _assert_state_tracks_lists(spark, day2, exact=True)
+    assert day2.state.filter(F.col("label") == 2).count() == 0
+    assert day2.lists.count() == 5
+
+
+def test_embedding_state_quantizer_equals_rescan_quantizer(spark):
+    """centroid_vectors_from_state(state) == ivf_centroids(lists) exactly
+    on integer vectors — assigning against the O(labels × dims) state is
+    indistinguishable from assigning against a full list rescan, which
+    is the whole point of carrying the mergeable form."""
+    from flink_stream_processing_spark.operators.similarity import ivf_centroids
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        ivf_centroid_state,
+    )
+
+    lists = _int_vecs(
+        spark,
+        [(0, 0, [2, 4, 6]), (1, 0, [4, 8, 2]), (2, 1, [1, 3, 5]), (3, 1, [7, 5, 3])],
+    )
+    got = centroid_vectors_from_state(ivf_centroid_state(lists))
+    want = ivf_centroids(lists)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_embedding_cycle_append_remove_round_trip_on_fixture(spark):
+    """Real-data round trip: ingest the fixture batch, take it down, land
+    bit-exactly back on the corpus lists with the state still tracking
+    (fp tolerance — float embeddings)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0).select(
+        "vec_id", "label", "embedding"
+    )
+    b1 = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    day0 = _eck(embedding_stores_build(corpus))
+    day1 = _eck(embedding_cycle_step(day0, b1))
+    _assert_state_tracks_lists(spark, day1, exact=False)
+    removed = day1.lists.filter(F.col("vec_id") % 10 == 0).select("vec_id")
+    day2 = _eck(embedding_cycle_step(day1, b1.filter(F.lit(False)), removed_ids=removed))
+    _assert_state_tracks_lists(spark, day2, exact=False)
+    assert day2.lists.exceptAll(corpus).count() == 0
+    assert corpus.exceptAll(day2.lists).count() == 0
+
+
+def test_embedding_cycle_invariant_is_split_invariant(spark):
+    """Assignment is deliberately order-sensitive (each day assigns
+    against that day's quantizer — accepted IVF drift, documented), but
+    the consistency invariant must hold at EVERY generation under ANY
+    day slicing, and the ingested id set is slicing-independent."""
+    corpus = _int_vecs(
+        spark, [(0, 0, [5, 1, 1]), (1, 1, [1, 5, 1]), (2, 2, [1, 1, 5])]
+    )
+    batch_rows = [(10 + i, None, [1 + i % 3, 2 + i % 4, 3 + i % 5]) for i in range(9)]
+    whole = _int_vecs(spark, [(i, 0, v) for i, _, v in batch_rows]).select(
+        "vec_id", "embedding"
+    )
+    one_shot = _eck(embedding_cycle_step(_eck(embedding_stores_build(corpus)), whole))
+    _assert_state_tracks_lists(spark, one_shot, exact=True)
+
+    sliced = _eck(embedding_stores_build(corpus))
+    for d in range(3):
+        day_batch = _int_vecs(
+            spark, [(i, 0, v) for i, _, v in batch_rows[d * 3 : (d + 1) * 3]]
+        ).select("vec_id", "embedding")
+        sliced = _eck(embedding_cycle_step(sliced, day_batch))
+        _assert_state_tracks_lists(spark, sliced, exact=True)
+    got_ids = sorted(r["vec_id"] for r in sliced.lists.collect())
+    want_ids = sorted(r["vec_id"] for r in one_shot.lists.collect())
+    assert got_ids == want_ids
+
+
+def test_embedding_cycle_never_rescans_tables(spark):
+    """Plan pin (the doc-cycle contract, vector side): with checkpointed
+    stores and parquet-backed batch, both output frames' optimized plans
+    contain zero parquet relations — the one batch scan happened at the
+    entry checkpoint; the lists are consumed from their persisted form."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 10 != 0).select(
+        "vec_id", "label", "embedding"
+    )
+    b1 = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    day1 = embedding_cycle_step(_eck(embedding_stores_build(corpus)), b1)
+    for fname in day1._fields:
+        plan = getattr(day1, fname)._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("Relation") == 0, f"{fname} re-scans a table:\n{plan}"
+        assert "ExistingRDD" in plan or "LogicalRDD" in plan
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    corpus=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.lists(st.integers(min_value=1, max_value=5), min_size=3, max_size=3),
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    batches=st.lists(
+        st.lists(
+            st.lists(st.integers(min_value=1, max_value=5), min_size=3, max_size=3),
+            min_size=0,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=2,
+    ),
+    removals=st.sets(st.integers(min_value=0, max_value=10), max_size=4),
+)
+def test_embedding_cycle_invariant_sweep(spark_global, corpus, batches, removals):
+    """Random-shape sweep of the cross-store invariant: any sequence of
+    appends and (membership-filtered) takedowns keeps
+    state == ivf_centroid_state(lists) EXACTLY — integer vectors, so the
+    full_outer edge cases (brand-new labels, emptied labels, empty
+    batches, empty removals) are all exercised with zero tolerance."""
+    spark = spark_global
+    stores = _eck(
+        embedding_stores_build(
+            _int_vecs(spark, [(i, lbl, v) for i, (lbl, v) in enumerate(corpus)])
+        )
+    )
+    next_id = len(corpus)
+    for day, vecs in enumerate(batches):
+        batch = _int_vecs(
+            spark, [(next_id + j, 0, v) for j, v in enumerate(vecs)]
+        ).select("vec_id", "embedding")
+        next_id += len(vecs)
+        rm = None
+        if day == len(batches) - 1 and removals:
+            # membership-filtered: the caller contract says ids ⊆ lists
+            rm = stores.lists.filter(
+                F.col("vec_id").isin(sorted(removals))
+            ).select("vec_id")
+        stores = _eck(embedding_cycle_step(stores, batch, removed_ids=rm))
+        _assert_state_tracks_lists(spark, stores, exact=True)
