@@ -157,7 +157,8 @@ def daily_cycle_step(
     m: int = _BLOOM_M,
     k: int = _BLOOM_K,
     rebuild_bloom: bool = False,
-) -> DailyStores:
+    with_report: bool = False,
+):
     """One ingest day over all four store families: screen, confirm,
     admit, append, purge. Returns the next generation of every store;
     writes nothing (the caller persists each table, bucket-routed, via
@@ -171,6 +172,18 @@ def daily_cycle_step(
     ``rebuild_bloom``: re-derive the bitmap from the post-step
     fingerprint store (compaction-time hygiene) instead of the O(delta)
     incremental merge.
+    ``with_report``: also return the day's single-row audit report
+    (``compaction_report``'s analog for the composed cycle) — returns
+    ``(DailyStores, report)`` instead of bare ``DailyStores``. Report
+    columns, all longs, all over the day's DELTA frames only (no store
+    scan): n_batch_docs, n_batch_fps (distinct), n_bloom_fast (screened
+    past the store without touching it), n_suspects (paid the exact
+    confirm), n_bloom_false_positives (suspects that confirmed novel —
+    the screen's wasted confirms), n_admitted (novel fingerprints =
+    admitted representative docs), n_removed_docs, n_span_keys_purged
+    (last holder left), n_span_keys_protected (decremented but shared —
+    the sharing-protection observable). Law-pinned: the counts satisfy
+    the screen partition arithmetic and match exact planted batches.
     """
     batch = _doc_slice(batch).localCheckpoint(eager=True)
 
@@ -228,6 +241,8 @@ def daily_cycle_step(
     # 4) tombstone purge — expansion-closed, so fingerprint-level removal
     # is clean (every holder leaves), doc-keyed tables anti-join, and the
     # shared-hash refcounts decrement with sharing protection.
+    removed = None
+    purged = None
     if removed_docs is not None:
         removed = _doc_slice(removed_docs).localCheckpoint(eager=True)
         removed_fps = removed.select(_fp().alias("fingerprint")).distinct()
@@ -235,22 +250,98 @@ def daily_cycle_step(
         fingerprints = fingerprints.join(removed_fps, "fingerprint", "left_anti")
         bands, shingles = _sm.minhash_store_tombstones(bands, shingles, removed_ids)
         dec = _sm.tombstone_decrements(_sm._tokenized(removed))
-        span_rc = (
-            _sm.purged_refcount_store(span_rc, dec)
-            .filter(F.col("n_after") > 0)
-            .select("h", F.col("n_after").alias("n_holders"))
+        purged = _sm.purged_refcount_store(span_rc, dec)
+        if with_report:
+            # two consumers below (store filter + report aggregates) of a
+            # frame that otherwise re-derives the decrement scan
+            purged = purged.localCheckpoint(eager=True)
+        span_rc = purged.filter(F.col("n_after") > 0).select(
+            "h", F.col("n_after").alias("n_holders")
         )
 
     if rebuild_bloom:
         bloom = bloom_bits(fingerprints, key_col="fingerprint", m=m, k=k)
 
-    return DailyStores(
+    out = DailyStores(
         fingerprints=fingerprints,
         bloom=bloom,
         bands=bands,
         shingles=shingles,
         span_rc=span_rc,
     )
+    if not with_report:
+        return out
+
+    # the audit row: every aggregate runs over a day-delta frame already
+    # materialized above (verdicts derives from the batch checkpoint) —
+    # single-row broadcasts composed with the package's scalar-crossJoin
+    # convention, never a store scan
+    cnt = lambda df, name: F.broadcast(  # noqa: E731
+        df.agg(F.count(F.lit(1)).cast("long").alias(name))
+    )
+    # global aggregates over an EMPTY frame return one row with null
+    # sums — coalesce so an empty batch/store reports zeros, not nulls
+    screen = verdicts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_batch_fps"),
+        F.coalesce(
+            F.sum(F.when(F.col("bloom_positive"), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_suspects"),
+    )
+    report = (
+        screen.crossJoin(cnt(batch, "n_batch_docs"))
+        .crossJoin(cnt(novel_fps, "n_admitted"))
+        .crossJoin(
+            cnt(removed, "n_removed_docs")
+            if removed is not None
+            else F.broadcast(
+                screen.select(F.lit(0).cast("long").alias("n_removed_docs"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                purged.agg(
+                    F.coalesce(
+                        F.sum(F.when(F.col("n_after") == 0, 1).otherwise(0)),
+                        F.lit(0),
+                    )
+                    .cast("long")
+                    .alias("n_span_keys_purged"),
+                    F.coalesce(
+                        F.sum(
+                            F.when(
+                                (F.col("n_dec") > 0) & (F.col("n_after") > 0), 1
+                            ).otherwise(0)
+                        ),
+                        F.lit(0),
+                    )
+                    .cast("long")
+                    .alias("n_span_keys_protected"),
+                )
+            )
+            if purged is not None
+            else F.broadcast(
+                screen.select(
+                    F.lit(0).cast("long").alias("n_span_keys_purged"),
+                    F.lit(0).cast("long").alias("n_span_keys_protected"),
+                )
+            )
+        )
+        .select(
+            "n_batch_docs",
+            "n_batch_fps",
+            (F.col("n_batch_fps") - F.col("n_suspects")).alias("n_bloom_fast"),
+            "n_suspects",
+            (F.col("n_admitted") - (F.col("n_batch_fps") - F.col("n_suspects")))
+            .alias("n_bloom_false_positives"),
+            "n_admitted",
+            "n_removed_docs",
+            "n_span_keys_purged",
+            "n_span_keys_protected",
+        )
+    )
+    return out, report
 
 
 # --- the embedding-side daily cycle (same round, same policy) ---------------

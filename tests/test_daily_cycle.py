@@ -529,3 +529,52 @@ def test_embedding_cycle_invariant_sweep(spark_global, corpus, batches, removals
             ).select("vec_id")
         stores = _eck(embedding_cycle_step(stores, batch, removed_ids=rm))
         _assert_state_tracks_lists(spark, stores, exact=True)
+
+
+def test_daily_cycle_report_counts_planted_batch_exactly(spark):
+    """The audit row (compaction_report's analog for the composed cycle):
+    exact values on the planted-duplicate batch — screen partition
+    arithmetic (fast + suspects == batch fps; admitted == fast + false
+    positives), admission counts, and the takedown observables — plus
+    all-zeros on an empty day. A huge bitmap forces zero false
+    positives so every field is closed-form."""
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon"), (1, "zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),  # exact store dup
+            (11, "lambda mu nu xi omicron"),  # novel rep
+            (12, "lambda mu nu xi omicron"),  # in-batch dup of 11
+            (13, "pi rho sigma tau upsilon"),  # plain novel
+        ],
+        "doc_id long, text string",
+    )
+    big_m = 1 << 20
+    day0 = _checkpointed(daily_stores_build(corpus, m=big_m))
+    removed = corpus.filter(F.col("doc_id") == 1)
+    day1, rep = daily_cycle_step(
+        day0, batch, removed_docs=removed, m=big_m, with_report=True
+    )
+    r = rep.collect()[0].asDict()
+    assert r == {
+        "n_batch_docs": 4,
+        "n_batch_fps": 3,  # 11/12 share a fingerprint
+        "n_bloom_fast": 2,  # both novel fps screen clean at m=2^20
+        "n_suspects": 1,  # the true dup
+        "n_bloom_false_positives": 0,
+        "n_admitted": 2,
+        "n_removed_docs": 1,
+        "n_span_keys_purged": 0,  # 5-token docs are under the span window
+        "n_span_keys_protected": 0,
+    }
+    # arithmetic invariants hold on real data at a hostile fill ratio too
+    docs = load_table(spark, SF_DIR, "documents")
+    c2, b2, _ = _three_way_split(docs)
+    d0 = _checkpointed(daily_stores_build(c2, m=_SMALL_M, k=_SMALL_K))
+    _, rep2 = daily_cycle_step(d0, b2, m=_SMALL_M, k=_SMALL_K, with_report=True)
+    r2 = rep2.collect()[0]
+    assert r2["n_bloom_fast"] + r2["n_suspects"] == r2["n_batch_fps"]
+    assert r2["n_admitted"] == r2["n_bloom_fast"] + r2["n_bloom_false_positives"]
+    assert r2["n_bloom_false_positives"] > 0  # the small bitmap really is hostile
