@@ -107,16 +107,28 @@ def _pruned(counts: DataFrame, key_col: str, k: int):
     return counters, delta
 
 
-def mg_build(items: DataFrame, key_col: str = "key", k: int = _MG_K) -> MGState:
+def mg_build(
+    items: DataFrame,
+    key_col: str = "key",
+    k: int = _MG_K,
+    weight_col: str | None = None,
+) -> MGState:
     """Summarize a key stream: exact map-side-combined counts (the one
     corpus scan), offset-pruned to ≤ k counters, with the meta row
-    recording the summarized mass and the pruned offset."""
-    counts = items.groupBy(key_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
+    recording the summarized mass and the pruned offset.
+
+    ``weight_col`` switches occurrence counting to POSITIVE-INTEGER
+    weight sums (bytes per host, tokens per license, …): every
+    guarantee holds verbatim with N = total weight, because the prune's
+    mass amortization argues over the aggregated count multiset and
+    never looks at row multiplicity. Negative or fractional weights are
+    the caller's error (they break the amortization / long arithmetic
+    respectively — same positive-weight contract as ares_keyed)."""
+    w = F.count(F.lit(1)) if weight_col is None else F.sum(F.col(weight_col))
+    counts = items.groupBy(key_col).agg(w.cast("long").alias("n"))
     counters, delta = _pruned(counts, key_col, k)
     meta = (
-        items.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+        items.agg(F.coalesce(w, F.lit(0)).cast("long").alias("n_total"))
         .crossJoin(F.broadcast(delta))
         .select("n_total", F.col("d").alias("err_bound"))
     )

@@ -254,3 +254,56 @@ def test_mg_foreachbatch_refresh_equals_batch(spark, tmp_path):
     assert q2.awaitTermination(300)
     assert dict(state["mg"][0]) == dict(exact)
     assert state["mg"][1][0] == (sum(exact.values()), 0)
+
+
+def test_mg_weighted_guarantees_and_merge(spark):
+    """The weighted form (bytes-per-host shape): guarantees hold with
+    N = total weight — sandwich vs exact weighted sums, certificate,
+    φ-completeness for the planted heavy host — for the build AND a
+    2-shard merge, and the unweighted form is the weight≡1 special case
+    (bit-identical states)."""
+    rows = (
+        [("big.example", 500) for _ in range(10)]
+        + [(f"t{i}.example", 7) for i in range(200)]
+        + [("mid.example", 90) for _ in range(8)]
+    )
+    items = spark.createDataFrame(rows, "host string, nbytes long")
+    exact = Counter()
+    for h, w in rows:
+        exact[h] += w
+    k = 8
+    state = mg_build(items, key_col="host", k=k, weight_col="nbytes")
+    counters = {r["host"]: r["est"] for r in state.counters.collect()}
+    meta = state.meta.collect()[0]
+    _assert_mg_laws(counters, meta["n_total"], meta["err_bound"], exact, k)
+    phi = 1.0 / (k + 1)
+    hh = {r["host"] for r in mg_heavy_hitters(state, phi, key_col="host").collect()}
+    want = {h for h, n in exact.items() if n > phi * sum(exact.values())}
+    assert "big.example" in want and want <= hh
+
+    a = mg_build(
+        items.filter(F.pmod(F.xxhash64("host"), F.lit(2)) == 0),
+        key_col="host",
+        k=k,
+        weight_col="nbytes",
+    )
+    b = mg_build(
+        items.filter(F.pmod(F.xxhash64("host"), F.lit(2)) == 1),
+        key_col="host",
+        k=k,
+        weight_col="nbytes",
+    )
+    m = mg_merge(a, b, key_col="host", k=k)
+    mc = {r["host"]: r["est"] for r in m.counters.collect()}
+    mm = m.meta.collect()[0]
+    _assert_mg_laws(mc, mm["n_total"], mm["err_bound"], exact, k)
+
+    # weight ≡ 1 degenerates to the unweighted build, bit-identically
+    ones = spark.createDataFrame(
+        [(h,) for h, w in rows for _ in range(1)], "host string"
+    ).withColumn("one", F.lit(1).cast("long"))
+    uw = mg_build(ones, key_col="host", k=k)
+    ww = mg_build(ones, key_col="host", k=k, weight_col="one")
+    assert uw.counters.exceptAll(ww.counters).count() == 0
+    assert ww.counters.exceptAll(uw.counters).count() == 0
+    assert uw.meta.collect() == ww.meta.collect()
