@@ -165,7 +165,10 @@ def daily_cycle_step(
     ``compacted_store`` — exactly as the per-family verbs document).
 
     ``batch``: today's raw docs (doc_id, text, ...). Scanned once — see
-    the module docstring's plan contract.
+    the module docstring's plan contract. Doc ids must be unique across
+    the corpus LIFETIME (the standard contract of every doc-keyed store
+    here: bands/shingles key rows on doc_id and takedowns anti-join on
+    it, so a recycled id would alias an unrelated document's rows).
     ``removed_docs``: today's EXPANSION-CLOSED takedown set with text
     (doc_id, text, ...), or None for a no-takedown day. Scanned once;
     never triggers a corpus scan.
@@ -412,7 +415,8 @@ def embedding_cycle_step(
     (ids only — the removed vectors' rows are fetched from the lists by
     one O(removed) semi join, the takedown family's standard shape).
     CALLER CONTRACT (inherited from ivf_state_remove): each takedown is
-    applied once; removed_ids ⊆ current list membership."""
+    applied once; removed_ids ⊆ current list membership; vec_ids are
+    unique across the index lifetime (the lists key rows on vec_id)."""
     batch = batch.select("vec_id", "embedding").localCheckpoint(eager=True)
     assigned = _sm.ivf_assign(batch, centroid_vectors_from_state(stores.state))
     new_rows = (
