@@ -1855,3 +1855,143 @@ def MGStateCheckpointed(state):
         state.counters.localCheckpoint(eager=True),
         state.meta.localCheckpoint(eager=True),
     )
+
+
+def test_reservoir_sharded_merge_exact_at_1m(spark):
+    """The mergeable weighted reservoir's scale rung (the one r17 library
+    capability without one): at 100k×REPLICAS weighted items, a 32-shard
+    build merged pairwise is EXACTLY the whole-corpus reservoir —
+    (doc_id, ares_key) pairs bit-identical, the same lossless-shard
+    story as the bloom/HLL/histogram rungs but through a top-k heap
+    instead of a keyed aggregate. Also pins the k-row bound and that the
+    per-shard reservoir still plans as TakeOrderedAndProject at this
+    size (no global sort creeps in under AQE)."""
+    from functools import reduce
+
+    from flink_stream_processing_spark.operators.sampling import (
+        ares_keyed,
+        reservoir_merge,
+        weighted_reservoir,
+    )
+    from flink_stream_processing_spark.plans.inspect import formatted_plan
+
+    n = 100_000 * REPLICAS
+    k = 100
+    items = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (1.0 + F.pmod(F.xxhash64("id"), F.lit(97)).cast("double")).alias("w"),
+    )
+    keyed = ares_keyed(items, "w").localCheckpoint(eager=True)
+
+    whole = _timed(
+        f"weighted_reservoir @{n} items, k={k}",
+        lambda: weighted_reservoir(keyed, k).localCheckpoint(eager=True),
+    )
+    assert whole.count() == k
+    assert "TakeOrderedAndProject" in formatted_plan(weighted_reservoir(keyed, k))
+
+    shards = [
+        weighted_reservoir(
+            keyed.filter(F.pmod(F.xxhash64("doc_id"), F.lit(32)) == s), k
+        ).localCheckpoint(eager=True)
+        for s in range(32)
+    ]
+    merged = _timed(
+        "reservoir 32-shard merge (k rows per step)",
+        lambda: reduce(
+            lambda a, b: reservoir_merge(a, b, k).localCheckpoint(eager=True),
+            shards,
+        ),
+    )
+    got = sorted((r["doc_id"], r["ares_key"]) for r in merged.collect())
+    want = sorted((r["doc_id"], r["ares_key"]) for r in whole.collect())
+    assert got == want and len(want) == k
+
+
+def test_embedding_cycle_planted_rung(spark):
+    """The embedding-side daily cycle's scale rung (daily_cycle.py §2):
+    three integer-vector blob labels grow with REPLICAS (the untouched
+    corpus); one FIXED batch of vectors planted hard against each blob's
+    axis must assign to its blob exactly; a fixed takedown slice leaves;
+    and the cross-store invariant state == ivf_centroid_state(lists)
+    holds EXACTLY (integer vectors) at every generation. The generation
+    cost carries only the fixed delta + the O(labels × dims) state — no
+    corpus rescan — while the from-scratch build is corpus-linear."""
+    from flink_stream_processing_spark.queries_impl.daily_cycle import (
+        EmbeddingStores,
+        embedding_cycle_step,
+        embedding_stores_build,
+    )
+    from flink_stream_processing_spark.queries_impl.store_maintenance import (
+        ivf_centroid_state,
+    )
+
+    n_bulk = 30_000 * REPLICAS
+    d = 4
+    # blobs: label L concentrated at 50 on axis L (+ small deterministic
+    # jitter on the other axes), L in {0, 1, 2}
+    corpus = spark.range(n_bulk).select(
+        F.col("id").alias("vec_id"),
+        F.pmod(F.col("id"), F.lit(3)).cast("int").alias("label"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            lambda dim: F.when(
+                dim == F.pmod(F.col("id"), F.lit(3)).cast("int"), F.lit(50.0)
+            ).otherwise((F.pmod(F.xxhash64(F.col("id"), dim), F.lit(5))).cast("double")),
+        ).alias("embedding"),
+    ).repartition(32, "vec_id").localCheckpoint(eager=True)
+
+    def _ck(s):
+        return EmbeddingStores(*[df.localCheckpoint(eager=True) for df in s])
+
+    day0 = _timed(
+        f"embedding_stores_build @{n_bulk} vecs",
+        lambda: _ck(embedding_stores_build(corpus)),
+    )
+
+    # fixed planted batch: 3k vectors, each exactly on one blob axis —
+    # assignment is closed-form (cosine 1-ish to its blob, ~0.05 to the
+    # others); fixed takedown: every 100th corpus vector
+    batch = spark.range(3_000).select(
+        (F.col("id") + 10_000_000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            lambda dim: F.when(
+                dim == F.pmod(F.col("id"), F.lit(3)).cast("int"), F.lit(60.0)
+            ).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    ).localCheckpoint(eager=True)
+    # FIXED-size takedown (first 300k ids only): the delta work must not
+    # grow with the corpus, or the flat-generation claim measures the
+    # takedown instead of the composition
+    removed = corpus.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 300_000)
+    ).select("vec_id")
+    n_removed = removed.count()
+
+    day1 = _timed(
+        f"embedding_cycle gen1: +3000 assign -{n_removed} takedown",
+        lambda: _ck(embedding_cycle_step(day0, batch, removed_ids=removed)),
+    )
+    assert day1.lists.count() == n_bulk + 3_000 - n_removed
+    # planted assignment recovered exactly: vec on axis L -> label L
+    bad = day1.lists.filter(
+        (F.col("vec_id") >= 10_000_000)
+        & (F.col("label") != F.pmod(F.col("vec_id") - 10_000_000, F.lit(3)).cast("int"))
+    ).count()
+    assert bad == 0, f"{bad} planted batch vectors off their blob"
+
+    # the invariant at scale, exact: integer vectors
+    rebuilt = ivf_centroid_state(day1.lists)
+    j = day1.state.select(
+        "label", "dim", F.col("s").alias("s1"), F.col("n").alias("n1")
+    ).join(rebuilt, ["label", "dim"], "full_outer")
+    assert (
+        j.filter(
+            (F.col("n1") != F.col("n"))
+            | (F.col("s1") != F.col("s"))
+            | F.col("n1").isNull()
+            | F.col("n").isNull()
+        ).count()
+        == 0
+    )
