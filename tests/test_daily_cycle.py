@@ -237,12 +237,14 @@ def test_daily_cycle_equals_python_model(spark_global, corpus):
     # exact model: replay admission in day order
     store_fp = {_md5(t) for _, t, _, _ in day_docs[0]}
     doc_set = [(i, t) for i, t, _, _ in day_docs[0]]
+    novel_per_day: dict[int, dict] = {}
     for d in (1, 2):
         novel: dict[str, int] = {}
         for i, t, _, _ in day_docs[d]:
             fp = _md5(t)
             if fp not in store_fp and (fp not in novel or i < novel[fp]):
                 novel[fp] = i
+        novel_per_day[d] = novel
         by_id = {i: t for i, t, _, _ in day_docs[d]}
         doc_set += [(i, by_id[i]) for i in sorted(novel.values())]
         store_fp |= set(novel)
@@ -259,7 +261,7 @@ def test_daily_cycle_equals_python_model(spark_global, corpus):
     day1 = _checkpointed(
         daily_cycle_step(day0, frame(day_docs[1]), m=_SMALL_M, k=_SMALL_K)
     )
-    day2 = daily_cycle_step(
+    day2, rep = daily_cycle_step(
         day1,
         frame(day_docs[2]),
         removed_docs=(
@@ -267,6 +269,7 @@ def test_daily_cycle_equals_python_model(spark_global, corpus):
         ),
         m=_SMALL_M,
         k=_SMALL_K,
+        with_report=True,
     )
 
     got_fp = {r["fingerprint"] for r in day2.fingerprints.collect()}
@@ -275,6 +278,17 @@ def test_daily_cycle_equals_python_model(spark_global, corpus):
         spark.createDataFrame(doc_set, schema), m=_SMALL_M, k=_SMALL_K
     )
     _assert_stores_equal(day2, want, skip_bloom=bool(removed))
+
+    # the audit row agrees with the model on every model-computable
+    # field (the bloom SPLIT depends on bit state the model doesn't
+    # carry; its partition arithmetic is what the model can check)
+    r = rep.collect()[0]
+    assert r["n_batch_docs"] == len(day_docs[2])
+    assert r["n_batch_fps"] == len({_md5(t) for _, t, _, _ in day_docs[2]})
+    assert r["n_admitted"] == len(novel_per_day[2])
+    assert r["n_bloom_fast"] + r["n_suspects"] == r["n_batch_fps"]
+    assert r["n_admitted"] == r["n_bloom_fast"] + r["n_bloom_false_positives"]
+    assert r["n_removed_docs"] == len(removed)
 
 
 def test_daily_cycle_is_streaming_transparent(spark, tmp_path):

@@ -307,3 +307,44 @@ def test_mg_weighted_guarantees_and_merge(spark):
     assert uw.counters.exceptAll(ww.counters).count() == 0
     assert ww.counters.exceptAll(uw.counters).count() == 0
     assert uw.meta.collect() == ww.meta.collect()
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(
+        st.tuples(_KEY, st.integers(min_value=1, max_value=50)),
+        min_size=0,
+        max_size=15,
+    ),
+    right=st.lists(
+        st.tuples(_KEY, st.integers(min_value=1, max_value=50)),
+        min_size=0,
+        max_size=15,
+    ),
+    k=st.integers(min_value=1, max_value=5),
+)
+def test_mg_weighted_equals_sum_model(spark_global, left, right, k):
+    """Weighted random sweep: guarantees vs exact weight sums for each
+    side's build and the merged union — N = total weight throughout."""
+    spark = spark_global
+
+    def frame(rows):
+        if not rows:
+            return spark.createDataFrame([], "key string, w long")
+        return spark.createDataFrame(rows, "key string, w long")
+
+    def model(rows):
+        c = Counter()
+        for key, w in rows:
+            c[key] += w
+        return c
+
+    a = mg_build(frame(left), k=k, weight_col="w")
+    b = mg_build(frame(right), k=k, weight_col="w")
+    _assert_mg_laws(*_read(a), model(left), k)
+    _assert_mg_laws(*_read(b), model(right), k)
+    _assert_mg_laws(*_read(mg_merge(a, b, k=k)), model(left + right), k)
