@@ -592,3 +592,76 @@ def test_daily_cycle_report_counts_planted_batch_exactly(spark):
     assert r2["n_bloom_fast"] + r2["n_suspects"] == r2["n_batch_fps"]
     assert r2["n_admitted"] == r2["n_bloom_fast"] + r2["n_bloom_false_positives"]
     assert r2["n_bloom_false_positives"] > 0  # the small bitmap really is hostile
+
+
+def test_daily_cycle_over_persisted_generations(spark, tmp_path):
+    """The production loop nothing else pins: write day-0's stores to
+    disk — the key-bucketed layout the docstrings promise (fingerprints
+    bucketed on fingerprint, span_rc on h) — read them back, and run
+    day 1 FROM THE READ-BACK. Results must equal the in-memory path
+    bit-for-bit (schema fidelity across the parquet round trip: bloom
+    longs, shingle arrays, span hashes). Physically, the bucketed
+    fingerprint store must feed the exact-confirm anti-join with NO
+    exchange on the store side — one Exchange total (the small suspect
+    side) vs two on an unbucketed control."""
+    import uuid
+
+    from flink_stream_processing_spark.operators.relational import bucketed_write
+    from flink_stream_processing_spark.plans import formatted_plan
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus, b1, _ = _three_way_split(docs)
+    day0 = _checkpointed(daily_stores_build(corpus))
+    want = daily_cycle_step(day0, b1)
+
+    suffix = uuid.uuid4().hex[:8]
+    names = {}
+    try:
+        for fname, key in (("fingerprints", "fingerprint"), ("span_rc", "h")):
+            names[fname] = f"cycle_{fname}_{suffix}"
+            bucketed_write(
+                getattr(day0, fname), names[fname], key, 8, str(tmp_path / fname)
+            )
+        for fname in ("bloom", "bands", "shingles"):
+            getattr(day0, fname).write.parquet(str(tmp_path / fname))
+
+        persisted = DailyStores(
+            fingerprints=spark.table(names["fingerprints"]),
+            bloom=spark.read.parquet(str(tmp_path / "bloom")),
+            bands=spark.read.parquet(str(tmp_path / "bands")),
+            shingles=spark.read.parquet(str(tmp_path / "shingles")),
+            span_rc=spark.table(names["span_rc"]),
+        )
+        got = daily_cycle_step(persisted, b1)
+        _assert_stores_equal(got, want, skip_bloom=False)
+
+        # physical layout: the bucketed store side of the exact confirm
+        # joins without its own Exchange. Disable broadcast so the join
+        # shape is the question, not the fixture size.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            suspects = b1.select(
+                F.md5(F.lower(F.trim("text"))).alias("fingerprint")
+            ).distinct()
+            confirm = suspects.join(
+                spark.table(names["fingerprints"]), "fingerprint", "left_anti"
+            )
+            import re
+
+            plan = formatted_plan(confirm)
+            # count DISTINCT Exchange nodes in the plan tree (the details
+            # section re-prints each node, so a raw substring count lies)
+            ex = set(re.findall(r"Exchange \((\d+)\)", plan))
+            assert len(ex) == 1, plan
+            control = suspects.join(
+                day0.fingerprints, "fingerprint", "left_anti"
+            )
+            ex_ctl = set(re.findall(r"Exchange \((\d+)\)", formatted_plan(control)))
+            assert len(ex_ctl) >= 2
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+    finally:
+        for t in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
