@@ -131,7 +131,6 @@ HEADLINE = [
     "histogram_totalprice",
     "table_profile_orders",
     "pareto_frontier_orders",
-    "salted_two_phase_agg",
     "kmeans_assign_update",
     "content_defined_chunks",
     "char_entropy_quality",
@@ -229,6 +228,9 @@ HEADLINE = [
     "change_rate_estimates",
     "source_reputation_scores",
     "streaming_takedown_decrements",
+    # r19 registration (the executed deregistration swap: replaced
+    # salted_two_phase_agg, whose gate moved in-suite)
+    "mg_heavy_hitters_topk",
 ]
 
 
@@ -365,6 +367,45 @@ def retry_over_ceiling(
             file=sys.stderr,
         )
     return retries, budget_offenders(timings, budget, factor)
+
+
+def compact_summary_line(
+    timings: dict[str, float],
+    total: float,
+    sf: float,
+    streaming: dict,
+    retries: dict[str, list[float]],
+    offenders: list[tuple[str, float, float, float]],
+    limit: int = 2000,
+) -> str:
+    """One-line JSON bench summary bounded to ``limit`` chars, printed as
+    the LAST stdout line of a bench run. The driver persists only a
+    2000-char stdout tail per round; the full per-query payload (199+
+    entries) exceeds that, so BENCH_r2..r18.json all recorded
+    ``parsed: null``. This line carries total / query count / top-10
+    slowest / streaming block / retried+offender names, and degrades to a
+    headline-only object in the (never-observed) case the top-10 form
+    still exceeds the cap — it never emits an over-limit line."""
+    top10 = dict(sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))[:10])
+    summary = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries": {k: round(v, 3) for k, v in top10.items()},
+        "streaming": streaming,
+        "retried": sorted(retries),
+        "offenders": sorted(name for name, _t, _b, _f in offenders),
+        "full_record": "BENCH_LOCAL.json",
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) >= limit:
+        line = json.dumps(
+            {k: summary[k] for k in ("metric", "value", "unit", "sf", "n_queries")},
+            separators=(",", ":"),
+        )
+    return line
 
 
 def bench_scale_variants(spark, sf_dir: str) -> dict[str, float]:
@@ -609,6 +650,16 @@ def main() -> None:
         record["retries"] = retries
     payload = json.dumps(record)
     print(payload)
+    # The driver records only a 2000-char stdout TAIL; the full payload
+    # above (199+ queries) exceeds it, which is why BENCH_r2..r18.json all
+    # carry `parsed: null` (r18 verdict ask #2). Emit a compact summary as
+    # the LAST stdout line — total/count/top-10 slowest/streaming/retry+
+    # offender names — guaranteed under 2000 chars, so the driver's tail
+    # parse lands on a complete JSON object. The full record remains in
+    # the payload line and BENCH_LOCAL.json.
+    summary_line = compact_summary_line(
+        timings, total, sf, streaming, retries, offenders
+    )
     # The driver keeps only the tail of the run log, which has amputated
     # early per-query timings from the recorded JSON line before (r3); the
     # file copy is the complete record regardless of log truncation.
@@ -626,6 +677,8 @@ def main() -> None:
             print(f"  could not write {out_path}: {e}", file=sys.stderr)
     else:
         print(f"  sf={sf}: BENCH_LOCAL.json (sf0.1 record) left untouched", file=sys.stderr)
+    # LAST stdout line — the driver's tail-parse target (see above).
+    print(summary_line)
     spark.stop()
 
     # A query still over its ceiling AFTER the retry reproduced its slow

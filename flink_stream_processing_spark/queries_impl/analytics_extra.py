@@ -405,9 +405,18 @@ ORDER BY 1
 """
 
 
-@query("salted_two_phase_agg", oracle=_SALTED_ORACLE)
 def q_salted_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew-safe aggregation made explicit: revenue per order priority via
+    """DEREGISTERED r19 (the post-saturation swap worked example,
+    executed): the driver slot moved to ``mg_heavy_hitters_topk``
+    (llm_text.py). This row was the lowest-marginal-value member of the
+    r19-critical cohort — a performance-technique demonstration whose
+    correctness content (salted composition ≡ plain aggregation) is an
+    invariant, not query semantics; the salting family stays
+    driver-gated through ``salted_skew_join_revenue`` and THIS function
+    keeps its full oracle + no-cartesian plan pin in
+    tests/test_deregistered_gates.py.
+
+    Skew-safe aggregation made explicit: revenue per order priority via
     salt → partial agg on (key, salt) → final agg on key. With only 5
     priority values, a direct groupBy funnels the whole fact table through
     5 reducers; salting fans the partial state across 32×5 groups and the

@@ -138,3 +138,41 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB you group on the 16-byte hash, never the raw document."""
     docs = fingerprint(load_table(spark, sf_dir, "documents"))
     return exact_dedup(docs.withColumnRenamed("fp_md5", "fp"), ["fp"], "doc_id")
+
+
+# --- Misra–Gries heavy hitters (r19 registration — the executed
+# post-saturation swap: this row took the driver slot vacated by
+# salted_two_phase_agg, whose gate moved in-suite). Oracle + K constant
+# are SINGLE-SOURCED in operators/heavy_hitters.py (an operator leaf, not
+# a registered sibling — the r16/r17 import-cycle rule allows this) and
+# shared verbatim with tests/test_heavy_hitters.py, so the driver gate
+# and the in-suite gate can never drift.
+from ..operators.heavy_hitters import (  # noqa: E402
+    MG_TOKENS_K,
+    MG_TOKENS_ORACLE,
+    mg_build,
+)
+from ..operators.text import tokens_col  # noqa: E402
+
+
+@query("mg_heavy_hitters_topk", oracle=MG_TOKENS_ORACLE)
+def q_mg_heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Misra–Gries token summary of the corpus: ≤ k
+    (key, est) counters with the classic guarantee
+    0 ≤ true − est ≤ N/(k+1) for EVERY key (operators/heavy_hitters.py
+    carries the laws, merge algebra, and the 100 TB story — one
+    map-side-combined scan collapsed to k rows; the offset-prune's
+    (k+1)-th-largest is a TakeOrderedAndProject heap, never a global
+    sort). The offset-prune form is deterministic (δ depends only on the
+    count multiset), which is what makes a bit-identical DuckDB oracle
+    possible for a SKETCH — est values match exactly, not just the key
+    set. Reference parity: the reference keeps no frequency state
+    (StreamJob.java has one windowed aggregate); this is the LLM
+    corpus-analytics extension's bounded-state frequency member next to
+    the randomized count_min_sketch_tokens row."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(tokens_col()).alias("key")
+    )
+    return mg_build(toks, k=MG_TOKENS_K).counters.orderBy(
+        F.desc("est"), "key"
+    )

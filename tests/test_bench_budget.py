@@ -346,3 +346,46 @@ def test_calibrator_ceiling_formula_term_dominance(monkeypatch):
     assert abs(ceiling(q_spike) - 11.7) < 0.05
     # small: max+1 = 2.2 beats 2*median(1.1)=2.2... use strict max term
     assert abs(ceiling(q_small) - max(2 * 1.1, 1.3 * 1.2, 1.2 + 1.0)) < 0.05
+
+
+def test_compact_summary_line_fits_driver_tail():
+    """r18 verdict ask #2: the driver persists only a 2000-char stdout
+    tail, so the final stdout line must be a complete JSON object under
+    that cap even at the full 199-query registry with the real streaming
+    block and a worst-case retry/offender roster. Built from the committed
+    BENCH_LOCAL.json so the assertion tracks the actual registry size."""
+    from bench import compact_summary_line
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "BENCH_LOCAL.json")) as f:
+        rec = json.load(f)
+    timings = rec["queries"]
+    # worst plausible roster: every recorded retry plus 10 named offenders
+    retries = {k: [v, v] for k, v in list(timings.items())[:10]}
+    offenders = [(k, v, v, 2.0) for k, v in list(timings.items())[:10]]
+    line = compact_summary_line(
+        timings, rec["value"], rec["sf"], rec["streaming"], retries, offenders
+    )
+    assert len(line) < 2000, len(line)
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total_sec"
+    assert parsed["value"] == rec["value"]
+    assert parsed["n_queries"] == len(timings)
+    assert len(parsed["queries"]) == 10
+    # the 10 kept entries are exactly the slowest 10
+    slowest = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert parsed["queries"] == {k: round(v, 3) for k, v in slowest}
+    assert parsed["streaming"] == rec["streaming"]
+
+
+def test_compact_summary_line_degrades_rather_than_overflow():
+    """Pathologically long query names must trigger the headline-only
+    fallback, never an over-limit line."""
+    from bench import compact_summary_line
+
+    timings = {("q" * 400) + str(i): float(i) for i in range(12)}
+    line = compact_summary_line(timings, 66.0, 0.1, {}, {}, [], limit=2000)
+    assert len(line) < 2000
+    parsed = json.loads(line)
+    assert parsed["n_queries"] == 12 and parsed["value"] == 66.0
+    assert "queries" not in parsed

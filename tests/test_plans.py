@@ -325,7 +325,9 @@ _NO_CARTESIAN_SWEEP = [
     "asof_join_latest_view",
     "interval_join_click_errors",
     "salted_skew_join_revenue",
-    "salted_two_phase_agg",
+    # salted_two_phase_agg deregistered r19 (swap); its no-cartesian pin
+    # lives with its oracle gate in test_deregistered_gates.py
+    "mg_heavy_hitters_topk",
     "ivf_ann_topk",
     "ann_lsh_topk",
     "embedding_near_dup_pairs",
@@ -364,6 +366,7 @@ _SCALAR_CROSS_ALLOWED = {
     "q11_important_stock",  # scalar 3x-average gate
     "mmr_diversified_topk",  # scalar pool bound
     "cms_join_cardinality",  # single-row sketch dimensions
+    "mg_heavy_hitters_topk",  # single-row (δ) prune offset broadcast
 }
 
 

@@ -69,10 +69,18 @@ def _max_record_round() -> int:
 
 
 def _critical(rounds: dict[str, int]) -> set[str]:
-    """Mirror of the tier-0 computation in entry_mod._sweep_order."""
+    """Mirror of the tier-0 computation in entry_mod._sweep_order —
+    including its restriction to REGISTERED names (`for n in names`): a
+    deregistered row lives on in the CORRECTNESS history but holds no
+    sweep slot (the r19 swap is exactly the vacate-a-slot move the
+    worked example's arithmetic relies on)."""
     next_round = 1 + _max_record_round()
     ceiling = -(-len(q.QUERIES) // entry_mod._SWEEP_CAP)
-    return {n for n, r in rounds.items() if next_round - r >= ceiling}
+    return {
+        n
+        for n, r in rounds.items()
+        if n in q.QUERIES and next_round - r >= ceiling
+    }
 
 
 def test_invariant_critical_rows_lead_the_sweep_oldest_first():
