@@ -99,6 +99,21 @@ def weighted_reservoir(
     return keyed.orderBy("ares_key", id_col).limit(k)
 
 
+def _orderable(dt) -> bool:
+    """True iff Spark can ORDER BY a column of this type: maps are
+    unorderable, containers are orderable iff their element/field types
+    are (mirrors Catalyst's RowOrdering.isOrderable)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def reservoir_merge(
     a: DataFrame, b: DataFrame, k: int, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -111,13 +126,22 @@ def reservoir_merge(
     arrives with DIFFERENT weights (weight drift between refreshes,
     outside the pure-function contract), the merge still picks one
     well-defined row (the highest-weight/lowest-key one) instead of an
-    arbitrary dropDuplicates survivor (r17 ADVICE). O(|a| + |b|) rows
-    touched; never re-scans any corpus."""
+    arbitrary dropDuplicates survivor (r17 ADVICE). Payload columns of
+    UNORDERABLE types (maps, or arrays/structs containing them) are
+    excluded from the tiebreak rather than raising AnalysisException
+    (r18 ADVICE) — the pick stays deterministic through ares_key + the
+    orderable columns; rows for one id identical in ALL of those but
+    differing inside a map value alone are outside the determinism
+    contract (a drift that changes a weight always changes ares_key, so
+    the documented weight-drift case is still well-defined). O(|a| +
+    |b|) rows touched; never re-scans any corpus."""
     from pyspark.sql import Window
 
     u = a.unionByName(b)
     order_cols = ["ares_key"] + sorted(
-        c for c in u.columns if c not in (id_col, "ares_key")
+        f.name
+        for f in u.schema.fields
+        if f.name not in (id_col, "ares_key") and _orderable(f.dataType)
     )
     w = Window.partitionBy(id_col).orderBy(*order_cols)
     dedup = (

@@ -137,16 +137,32 @@ def daily_stores_build(
     cycle law's comparator (N incremental days must equal this over the
     surviving admitted doc set). One logical pass over the corpus text
     fans into the four extractions; at 100 TB this is the one full-scan
-    job the pipeline ever runs."""
+    job the pipeline ever runs.
+
+    Admission semantics are the CYCLE's, unconditionally (r18 ADVICE): a
+    corpus containing byte-identical duplicates contributes ONE min-id
+    representative per fingerprint to the doc-keyed tables
+    (bands/shingles/span_rc), exactly as the incremental path would have
+    admitted it — so build and cycle can never produce store states the
+    other cannot reach, and the cycle-law comparator holds for ANY
+    bootstrap corpus, pre-deduped or not. On an already-deduped corpus
+    the representative rule is the identity (one doc per fingerprint)."""
     docs = _doc_slice(corpus)
+    rep_ids = (
+        docs.select("doc_id", _fp().alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    rep_docs = docs.join(rep_ids, "doc_id", "semi")
     fingerprints = exact_fingerprint_store(docs)
-    bands, shingles = _minhash_rows(docs)
+    bands, shingles = _minhash_rows(rep_docs)
     return DailyStores(
         fingerprints=fingerprints,
         bloom=bloom_bits(fingerprints, key_col="fingerprint", m=m, k=k),
         bands=bands,
         shingles=shingles,
-        span_rc=_sm.span_refcount_store(_sm._tokenized(docs)),
+        span_rc=_sm.span_refcount_store(_sm._tokenized(rep_docs)),
     )
 
 
@@ -171,7 +187,17 @@ def daily_cycle_step(
     it, so a recycled id would alias an unrelated document's rows).
     ``removed_docs``: today's EXPANSION-CLOSED takedown set with text
     (doc_id, text, ...), or None for a no-takedown day. Scanned once;
-    never triggers a corpus scan.
+    never triggers a corpus scan. The expansion MUST run over STORE
+    MEMBERSHIP — the admitted survivor set — not the raw corpus (r18
+    ADVICE): the raw corpus includes non-admitted byte-identical
+    duplicates whose spans were never appended, so including them
+    over-decrements shared span refcounts (n_after can reach 0 or go
+    negative while a live doc still holds the key). The violation is
+    OBSERVABLE, not silent: the ``with_report`` path counts
+    ``n_span_keys_overdecremented`` (n_after < 0 — impossible under a
+    membership-closed expansion, law-pinned at zero in the cycle
+    tests), so a pipeline that wires the expansion to the wrong frame
+    sees a non-zero audit column on day one.
     ``rebuild_bloom``: re-derive the bitmap from the post-step
     fingerprint store (compaction-time hygiene) instead of the O(delta)
     incremental merge.
@@ -185,8 +211,10 @@ def daily_cycle_step(
     the screen's wasted confirms), n_admitted (novel fingerprints =
     admitted representative docs), n_removed_docs, n_span_keys_purged
     (last holder left), n_span_keys_protected (decremented but shared —
-    the sharing-protection observable). Law-pinned: the counts satisfy
-    the screen partition arithmetic and match exact planted batches.
+    the sharing-protection observable), n_span_keys_overdecremented
+    (n_after < 0 — the membership-contract violation observable, zero
+    under a correct expansion). Law-pinned: the counts satisfy the
+    screen partition arithmetic and match exact planted batches.
     """
     batch = _doc_slice(batch).localCheckpoint(eager=True)
 
@@ -321,6 +349,17 @@ def daily_cycle_step(
                     )
                     .cast("long")
                     .alias("n_span_keys_protected"),
+                    # n_after < 0 is impossible under a membership-closed
+                    # takedown expansion (every decrement has a matching
+                    # append) — a non-zero here means the expansion ran
+                    # over the raw corpus instead of the admitted
+                    # survivor set and shared keys are being over-purged
+                    F.coalesce(
+                        F.sum(F.when(F.col("n_after") < 0, 1).otherwise(0)),
+                        F.lit(0),
+                    )
+                    .cast("long")
+                    .alias("n_span_keys_overdecremented"),
                 )
             )
             if purged is not None
@@ -328,6 +367,7 @@ def daily_cycle_step(
                 screen.select(
                     F.lit(0).cast("long").alias("n_span_keys_purged"),
                     F.lit(0).cast("long").alias("n_span_keys_protected"),
+                    F.lit(0).cast("long").alias("n_span_keys_overdecremented"),
                 )
             )
         )
@@ -342,6 +382,7 @@ def daily_cycle_step(
             "n_removed_docs",
             "n_span_keys_purged",
             "n_span_keys_protected",
+            "n_span_keys_overdecremented",
         )
     )
     return out, report

@@ -582,6 +582,7 @@ def test_daily_cycle_report_counts_planted_batch_exactly(spark):
         "n_removed_docs": 1,
         "n_span_keys_purged": 0,  # 5-token docs are under the span window
         "n_span_keys_protected": 0,
+        "n_span_keys_overdecremented": 0,
     }
     # arithmetic invariants hold on real data at a hostile fill ratio too
     docs = load_table(spark, SF_DIR, "documents")
@@ -665,3 +666,77 @@ def test_daily_cycle_over_persisted_generations(spark, tmp_path):
     finally:
         for t in names.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_duplicate_bootstrap_admits_representatives(spark):
+    """r18 ADVICE closure: daily_stores_build applies the cycle's min-id
+    representative rule unconditionally, so a bootstrap corpus
+    CONTAINING byte-identical duplicates builds exactly the stores the
+    incremental admission path would have produced — (a) bit-equal per
+    family to building over the pre-deduped corpus, and (b) the cycle
+    law holds FROM a duplicate bootstrap (day-1 over the dup bootstrap
+    == from-scratch over survivors + day-1 admissions)."""
+    dup_corpus = spark.createDataFrame(
+        [
+            (3, "alpha beta gamma delta epsilon"),
+            (7, "alpha beta gamma delta epsilon"),  # byte-identical dup
+            (5, "zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    deduped = dup_corpus.filter(F.col("doc_id") != 7)
+    got = daily_stores_build(dup_corpus, m=_SMALL_M, k=_SMALL_K)
+    want = daily_stores_build(deduped, m=_SMALL_M, k=_SMALL_K)
+    _assert_stores_equal(got, want, skip_bloom=False)
+    # doc-keyed tables carry ONLY the min-id representative
+    assert {r["doc_id"] for r in got.bands.select("doc_id").distinct().collect()} <= {3, 5}
+
+    batch = spark.createDataFrame(
+        [(11, "lambda mu nu xi omicron")], "doc_id long, text string"
+    )
+    day1 = daily_cycle_step(
+        _checkpointed(got), batch, m=_SMALL_M, k=_SMALL_K
+    )
+    scratch = daily_stores_build(
+        deduped.unionByName(batch), m=_SMALL_M, k=_SMALL_K
+    )
+    _assert_stores_equal(day1, scratch, skip_bloom=False)
+
+
+def test_raw_corpus_takedown_expansion_is_observable(spark):
+    """r18 ADVICE closure: a takedown expansion wired over the RAW corpus
+    (including a non-admitted byte-identical dup whose spans were never
+    appended) over-decrements shared span refcounts — the audit row's
+    n_span_keys_overdecremented column must expose it (and reads zero
+    under the correct membership-closed expansion)."""
+    # docs must clear the _SPAN_W=20 window: 25 tokens, with doc 5
+    # sharing exactly the first 20-token run (one shared window key) and
+    # docs 3/7 byte-identical (doc 7 is NOT admitted). Doc 3's windows
+    # past the shared prefix have n_holders == 1, so a raw-corpus
+    # takedown of {3, 7} decrements them twice -> n_after == -1.
+    base = [f"w{i}" for i in range(1, 21)]
+    t_shared = " ".join(base + ["a1", "a2", "a3", "a4", "a5"])
+    t_other = " ".join(base + ["b1", "b2", "b3"])
+    corpus = spark.createDataFrame(
+        [(3, t_shared), (7, t_shared), (5, t_other)],
+        "doc_id long, text string",
+    )
+    stores = _checkpointed(daily_stores_build(corpus, m=_SMALL_M, k=_SMALL_K))
+    empty = corpus.filter(F.lit(False))
+
+    # CORRECT: expansion over store membership (admitted survivors = {3})
+    member_removed = corpus.filter(F.col("doc_id") == 3)
+    _, rep_ok = daily_cycle_step(
+        stores, empty, removed_docs=member_removed,
+        m=_SMALL_M, k=_SMALL_K, with_report=True,
+    )
+    assert rep_ok.collect()[0]["n_span_keys_overdecremented"] == 0
+
+    # WRONG: expansion over the raw corpus — doc 7's spans were never
+    # appended, so shared keys decrement twice for one append
+    raw_removed = corpus.filter(F.col("doc_id").isin(3, 7))
+    _, rep_bad = daily_cycle_step(
+        stores, empty, removed_docs=raw_removed,
+        m=_SMALL_M, k=_SMALL_K, with_report=True,
+    )
+    assert rep_bad.collect()[0]["n_span_keys_overdecremented"] > 0

@@ -222,3 +222,29 @@ def test_reservoir_foreachbatch_refresh_equals_batch(spark, tmp_path):
     )
     got = sorted((d, key) for d, _w, key in state["rows"])
     assert got == want and len(want) == k
+
+
+def test_reservoir_merge_tolerates_unorderable_payload_columns(spark):
+    """r18 ADVICE: a map-typed payload column must not break the merge
+    (the r17 drift-dedup ordered by EVERY non-id column, which raises
+    AnalysisException for unorderable types). The dedup now tiebreaks on
+    ares_key + the ORDERABLE payload columns only; overlap still
+    survives exactly once and the pick stays deterministic in argument
+    order."""
+    rows = [(i, 1.0, {"s": str(i)}) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, w double, meta map<string,string>")
+    keyed = ares_keyed(df, "w")
+    a = keyed.filter(F.col("doc_id") < 15)
+    b = keyed.filter(F.col("doc_id") >= 5)  # ids 5..14 overlap
+    ab = reservoir_merge(a, b, 12)
+    ba = reservoir_merge(b, a, 12)
+    got = [(r["doc_id"], r["ares_key"]) for r in ab.collect()]
+    assert len(got) == 12 and len({d for d, _ in got}) == 12
+    assert sorted(got) == sorted(
+        (r["doc_id"], r["ares_key"]) for r in ba.collect()
+    )
+    # full-frame check: the map column rides through untouched
+    assert {r["meta"]["s"] for r in ab.collect()} == {
+        str(d) for d, _ in got
+    }
+
