@@ -83,6 +83,7 @@ from ..operators.bloom import (
     bloom_merge,
     bloom_probe,
 )
+from ..operators.cbf import cbf_counts, cbf_merge, cbf_probe, cbf_remove
 from ..operators.dedup import (
     band_hashes,
     exact_fingerprint_store,
@@ -94,6 +95,40 @@ from ..operators.dedup import (
 # would break under first-import cycles (the _span_shared rule); resolve
 # its functions at call time.
 from . import store_maintenance as _sm
+
+
+# --- admission-screen strategies (r19): the cycle is screen-agnostic --------
+# "bloom": the r18 default — O(m/64) packed bitmap, lossless merge, NO
+#   delete (purged keys stay screen-positive until rebuild_bloom).
+# "cbf": counting Bloom filter (operators/cbf.py) — same positions, same
+#   no-false-negative guarantee, and takedowns DECREMENT the screen, so
+#   the persisted screen stays EXACTLY equal to a from-scratch build
+#   over the surviving fingerprint store (law-pinned: the cycle law
+#   holds WITHOUT skip_bloom, and a purged doc's re-ingest rides the
+#   fast path again instead of paying the exact confirm forever).
+# Each strategy: (build(keys_df, key_col, m, k), merge(a, b),
+# probe(probes, state, m, k) -> (key, bloom_positive), remove-or-None).
+
+
+def _screen_strategy(screen: str):
+    if screen == "bloom":
+        return (
+            lambda keys, key_col, m, k: bloom_bits(keys, key_col=key_col, m=m, k=k),
+            bloom_merge,
+            lambda probes, state, m, k: bloom_probe(probes, state, m=m, k=k),
+            None,
+        )
+    if screen == "cbf":
+        return (
+            lambda keys, key_col, m, k: cbf_counts(keys, key_col=key_col, m=m, k=k),
+            cbf_merge,
+            lambda probes, state, m, k: cbf_probe(probes, state, m=m, k=k)
+            .withColumnRenamed("cbf_positive", "bloom_positive"),
+            lambda state, removed, m, k: cbf_remove(
+                state, removed, key_col="fingerprint", m=m, k=k
+            ),
+        )
+    raise ValueError(f"unknown screen {screen!r} (expected 'bloom' or 'cbf')")
 
 
 class DailyStores(NamedTuple):
@@ -131,7 +166,10 @@ def _minhash_rows(docs: DataFrame):
 
 
 def daily_stores_build(
-    corpus: DataFrame, m: int = _BLOOM_M, k: int = _BLOOM_K
+    corpus: DataFrame,
+    m: int = _BLOOM_M,
+    k: int = _BLOOM_K,
+    screen: str = "bloom",
 ) -> DailyStores:
     """From-scratch build over a doc frame — the day-0 bootstrap AND the
     cycle law's comparator (N incremental days must equal this over the
@@ -157,9 +195,10 @@ def daily_stores_build(
     rep_docs = docs.join(rep_ids, "doc_id", "semi")
     fingerprints = exact_fingerprint_store(docs)
     bands, shingles = _minhash_rows(rep_docs)
+    build, _, _, _ = _screen_strategy(screen)
     return DailyStores(
         fingerprints=fingerprints,
-        bloom=bloom_bits(fingerprints, key_col="fingerprint", m=m, k=k),
+        bloom=build(fingerprints, "fingerprint", m, k),
         bands=bands,
         shingles=shingles,
         span_rc=_sm.span_refcount_store(_sm._tokenized(rep_docs)),
@@ -174,6 +213,7 @@ def daily_cycle_step(
     k: int = _BLOOM_K,
     rebuild_bloom: bool = False,
     with_report: bool = False,
+    screen: str = "bloom",
 ):
     """One ingest day over all four store families: screen, confirm,
     admit, append, purge. Returns the next generation of every store;
@@ -201,6 +241,14 @@ def daily_cycle_step(
     ``rebuild_bloom``: re-derive the bitmap from the post-step
     fingerprint store (compaction-time hygiene) instead of the O(delta)
     incremental merge.
+    ``screen``: the admission-screen strategy — "bloom" (default, the
+    r18 bitmap: no delete, ``rebuild_bloom`` for hygiene) or "cbf"
+    (counting Bloom filter: takedowns decrement the screen, the
+    persisted screen stays exactly the from-scratch state over
+    survivors, and purged keys regain the fast path on re-ingest).
+    The stores' ``bloom`` field holds whichever state the strategy
+    maintains; a generation must be stepped with the screen it was
+    built with.
     ``with_report``: also return the day's single-row audit report
     (``compaction_report``'s analog for the composed cycle) — returns
     ``(DailyStores, report)`` instead of bare ``DailyStores``. Report
@@ -217,17 +265,18 @@ def daily_cycle_step(
     screen partition arithmetic and match exact planted batches.
     """
     batch = _doc_slice(batch).localCheckpoint(eager=True)
+    scr_build, scr_merge, scr_probe, scr_remove = _screen_strategy(screen)
 
     # 1) bloom screen + exact confirm (bloom_screened_append_delta's
     # shape, against the PERSISTED bitmap instead of a rebuilt one).
     batch_fp = batch.select("doc_id", _fp().alias("fingerprint"))
-    verdicts = bloom_probe(
+    verdicts = scr_probe(
         batch_fp.select("fingerprint").distinct().withColumnRenamed(
             "fingerprint", "key"
         ),
         stores.bloom,
-        m=m,
-        k=k,
+        m,
+        k,
     )
     fast_novel = verdicts.filter(~F.col("bloom_positive")).select(
         F.col("key").alias("fingerprint")
@@ -265,9 +314,7 @@ def daily_cycle_step(
     span_rc = _sm.refcount_store_append(
         stores.span_rc, _sm._tokenized(admitted_docs)
     )
-    bloom = bloom_merge(
-        stores.bloom, bloom_bits(novel_fps, key_col="fingerprint", m=m, k=k)
-    )
+    bloom = scr_merge(stores.bloom, scr_build(novel_fps, "fingerprint", m, k))
 
     # 4) tombstone purge — expansion-closed, so fingerprint-level removal
     # is clean (every holder leaves), doc-keyed tables anti-join, and the
@@ -279,6 +326,11 @@ def daily_cycle_step(
         removed_fps = removed.select(_fp().alias("fingerprint")).distinct()
         removed_ids = removed.select("doc_id")
         fingerprints = fingerprints.join(removed_fps, "fingerprint", "left_anti")
+        if scr_remove is not None:
+            # delete-capable screen: the takedown decrements the same
+            # positions the keys' admission incremented — exact inverse,
+            # so the screen tracks the fingerprint store bit-for-bit
+            bloom = scr_remove(bloom, removed_fps, m, k)
         bands, shingles = _sm.minhash_store_tombstones(bands, shingles, removed_ids)
         dec = _sm.tombstone_decrements(_sm._tokenized(removed))
         purged = _sm.purged_refcount_store(span_rc, dec)
@@ -291,7 +343,7 @@ def daily_cycle_step(
         )
 
     if rebuild_bloom:
-        bloom = bloom_bits(fingerprints, key_col="fingerprint", m=m, k=k)
+        bloom = scr_build(fingerprints, "fingerprint", m, k)
 
     out = DailyStores(
         fingerprints=fingerprints,

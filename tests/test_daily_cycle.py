@@ -740,3 +740,61 @@ def test_raw_corpus_takedown_expansion_is_observable(spark):
         m=_SMALL_M, k=_SMALL_K, with_report=True,
     )
     assert rep_bad.collect()[0]["n_span_keys_overdecremented"] > 0
+
+
+def test_cbf_screen_cycle_law_includes_the_screen(spark):
+    """r19 capability: with screen="cbf" the cycle law extends to the
+    SCREEN ITSELF — after appends AND takedowns, the persisted counter
+    state equals a from-scratch CBF build over the surviving fingerprint
+    store, counter-identical, with no rebuild pass (the bitmap family
+    needs skip_bloom here and rebuild_bloom for hygiene)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus, b1, b2 = _three_way_split(docs)
+
+    day0 = _checkpointed(daily_stores_build(corpus, m=_SMALL_M, k=_SMALL_K, screen="cbf"))
+    day1 = _checkpointed(
+        daily_cycle_step(day0, b1, m=_SMALL_M, k=_SMALL_K, screen="cbf")
+    )
+    held = corpus.unionByName(b1)
+    removed = held.filter(F.col("doc_id") % 10 == _TOMBSTONE_RESIDUE)
+    day2 = daily_cycle_step(
+        day1, b2, removed_docs=removed, m=_SMALL_M, k=_SMALL_K, screen="cbf"
+    )
+    final_docs = held.join(
+        removed.select("doc_id"), "doc_id", "left_anti"
+    ).unionByName(b2)
+    want = daily_stores_build(final_docs, m=_SMALL_M, k=_SMALL_K, screen="cbf")
+    # NO skip_bloom: the screen is part of the equality now
+    _assert_stores_equal(day2, want, skip_bloom=False)
+
+
+def test_cbf_screen_restores_fast_path_after_purge(spark):
+    """The operational win over the bitmap: a purged doc's re-ingest is
+    screen-NEGATIVE again under cbf (fast path, zero store probes),
+    where the bitmap keeps it suspect forever. Same admission either
+    way (exactness law) — only the suspect mass differs, and the audit
+    row shows it."""
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon"), (1, "zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    victim = corpus.filter(F.col("doc_id") == 1)
+    empty = corpus.filter(F.lit(False))
+    big_m = 1 << 20  # negligible FPR so the fast/suspect split is exact
+
+    for screen, want_suspects in (("bloom", 1), ("cbf", 0)):
+        day0 = _checkpointed(daily_stores_build(corpus, m=big_m, screen=screen))
+        day1 = _checkpointed(
+            daily_cycle_step(day0, empty, removed_docs=victim, m=big_m, screen=screen)
+        )
+        day2, rep = daily_cycle_step(
+            day1, victim, m=big_m, with_report=True, screen=screen
+        )
+        r = rep.collect()[0]
+        assert r["n_admitted"] == 1, screen  # exactness either way
+        assert r["n_suspects"] == want_suspects, screen
+        # both screens converge to the same fingerprint store
+        assert {x["fingerprint"] for x in day2.fingerprints.collect()} == {
+            x["fingerprint"]
+            for x in daily_stores_build(corpus, m=big_m).fingerprints.collect()
+        }

@@ -1995,3 +1995,70 @@ def test_embedding_cycle_planted_rung(spark):
         ).count()
         == 0
     )
+
+
+def test_cbf_sharded_build_and_exact_delete_at_1m(spark):
+    """The counting Bloom filter's scale rung (r19 library capability):
+    at 100k×REPLICAS keys, a 32-shard build merged pairwise is EXACTLY
+    the whole-corpus state (the additive-group lossless-shard story),
+    and deleting the odd half leaves the state counter-identical to a
+    build that only ever saw the even half — the delete capability at
+    the size where a bitmap rebuild would re-scan the full key store.
+    State stays ≤ min(k·n, m) rows and the probe still broadcasts."""
+    from functools import reduce
+
+    from flink_stream_processing_spark.operators.cbf import (
+        cbf_counts,
+        cbf_merge,
+        cbf_probe,
+        cbf_remove,
+    )
+    from flink_stream_processing_spark.plans.inspect import formatted_plan
+
+    n = 100_000 * REPLICAS
+    m, k = 1 << 22, 5
+    keys = spark.range(n).select(
+        F.concat(F.lit("key"), F.col("id").cast("string")).alias("key")
+    ).localCheckpoint(eager=True)
+
+    whole = _timed(
+        f"cbf_counts @{n} keys, m=2^22",
+        lambda: cbf_counts(keys, m=m, k=k).localCheckpoint(eager=True),
+    )
+    assert whole.count() <= min(k * n, m)
+
+    shards = [
+        cbf_counts(
+            keys.filter(F.pmod(F.xxhash64("key"), F.lit(32)) == s), m=m, k=k
+        ).localCheckpoint(eager=True)
+        for s in range(32)
+    ]
+    merged = _timed(
+        "cbf 32-shard pairwise merge",
+        lambda: reduce(
+            lambda a, b: cbf_merge(a, b).localCheckpoint(eager=True), shards
+        ),
+    )
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+    odd = keys.filter(F.col("key").substr(F.lit(4), F.lit(18)).cast("long") % 2 == 1)
+    even = keys.filter(F.col("key").substr(F.lit(4), F.lit(18)).cast("long") % 2 == 0)
+    after = _timed(
+        f"cbf_remove of {n // 2} keys (exact inverse)",
+        lambda: cbf_remove(whole, odd, m=m, k=k).localCheckpoint(eager=True),
+    )
+    want = cbf_counts(even, m=m, k=k)
+    assert after.exceptAll(want).count() == 0
+    assert want.exceptAll(after).count() == 0
+
+    # survivors probe positive; the probe plan still broadcasts the state
+    sample = even.limit(1_000)
+    assert (
+        cbf_probe(sample, after, m=m, k=k)
+        .filter(~F.col("cbf_positive"))
+        .count()
+        == 0
+    )
+    plan = formatted_plan(cbf_probe(sample, after, m=m, k=k))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
