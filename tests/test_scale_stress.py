@@ -2062,3 +2062,89 @@ def test_cbf_sharded_build_and_exact_delete_at_1m(spark):
     )
     plan = formatted_plan(cbf_probe(sample, after, m=m, k=k))
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_lm_sharded_train_and_score_rung(spark):
+    """The LM quality scorer's scale rung (r19 library capability):
+    train over 50k×REPLICAS synthetic 20-token docs — a 16-shard
+    pairwise merge equals the whole-corpus model EXACTLY (both count
+    frames) — then score a fixed 10k-doc batch against the big model.
+    The score pass must stay the two-hash-join + one-fold shape (no
+    cartesian; the V ride-in is the only BNLJ) at a model size where a
+    forced broadcast would be the wrong call."""
+    from functools import reduce
+
+    from flink_stream_processing_spark.operators.lm import (
+        lm_merge,
+        lm_score,
+        lm_train,
+    )
+
+    n = 50_000 * REPLICAS
+    # 20-token docs over a ~1000-word power-lawish vocab (id-dependent
+    # mix keeps bigram diversity realistic)
+    text_expr = F.concat_ws(
+        " ",
+        *[
+            F.concat(
+                F.lit("w"),
+                F.pmod(
+                    F.xxhash64(F.col("id") * 20 + j),
+                    F.lit(37 + (j * 53) % 997),
+                ).cast("string"),
+            )
+            for j in range(20)
+        ],
+    )
+    corpus = (
+        spark.range(n)
+        .select(F.col("id").alias("doc_id"), text_expr.alias("text"))
+        .localCheckpoint(eager=True)
+    )
+
+    whole = lm_train(corpus)
+    whole_uni = _timed(
+        f"lm_train @{n} docs (unigram frame)",
+        lambda: whole.unigrams.localCheckpoint(eager=True),
+    )
+    whole_bi = whole.bigrams.localCheckpoint(eager=True)
+
+    from flink_stream_processing_spark.operators.lm import LMModel
+
+    shards = [
+        LMModel(
+            *[
+                df.localCheckpoint(eager=True)
+                for df in lm_train(
+                    corpus.filter(F.pmod(F.col("doc_id"), F.lit(16)) == s)
+                )
+            ]
+        )
+        for s in range(16)
+    ]
+    merged = _timed(
+        "lm 16-shard pairwise merge",
+        lambda: reduce(
+            lambda a, b: LMModel(
+                *[
+                    df.localCheckpoint(eager=True)
+                    for df in lm_merge(a, b)
+                ]
+            ),
+            shards,
+        ),
+    )
+    assert merged.unigrams.exceptAll(whole_uni).count() == 0
+    assert whole_uni.exceptAll(merged.unigrams).count() == 0
+    assert merged.bigrams.exceptAll(whole_bi).count() == 0
+    assert whole_bi.exceptAll(merged.bigrams).count() == 0
+
+    batch = corpus.limit(10_000)
+    scored = _timed(
+        f"lm_score 10k docs vs {whole_bi.count()}-bigram model",
+        lambda: lm_score(
+            batch, LMModel(unigrams=whole_uni, bigrams=whole_bi)
+        ).localCheckpoint(eager=True),
+    )
+    assert scored.count() == 10_000
+    assert scored.filter(F.col("ppl").isNull()).count() == 0
