@@ -2148,3 +2148,57 @@ def test_lm_sharded_train_and_score_rung(spark):
     )
     assert scored.count() == 10_000
     assert scored.filter(F.col("ppl").isNull()).count() == 0
+
+
+def test_bpe_factorization_rung(spark):
+    """The BPE trainer's scale rung (r19 library capability): the
+    corpus-scale cost is ONE word-frequency aggregate over 50k×REPLICAS
+    docs; the 10-merge training loop then runs on the VOCABULARY-sized
+    frame — its cost must NOT scale with the corpus (the Sennrich
+    factorization, measured), and encoding replays the merge table in
+    one scan with only the scalar-array ride-in."""
+    from flink_stream_processing_spark.operators.bpe import (
+        bpe_encode,
+        bpe_merges_df,
+        bpe_train,
+        bpe_word_freqs,
+    )
+
+    n = 50_000 * REPLICAS
+    text_expr = F.concat_ws(
+        " ",
+        *[
+            F.concat(
+                F.lit("w"),
+                F.pmod(
+                    F.xxhash64(F.col("id") * 12 + j), F.lit(29 + (j * 31) % 499)
+                ).cast("string"),
+            )
+            for j in range(12)
+        ],
+    )
+    corpus = (
+        spark.range(n)
+        .select(F.col("id").alias("doc_id"), text_expr.alias("text"))
+        .localCheckpoint(eager=True)
+    )
+    wf = _timed(
+        f"bpe_word_freqs @{n} docs (the ONE corpus-scale job)",
+        lambda: bpe_word_freqs(corpus).localCheckpoint(eager=True),
+    )
+    v = wf.count()
+    model = _timed(
+        f"bpe_train 10 merges over {v}-word vocab (corpus-independent)",
+        lambda: bpe_train(wf, 10),
+    )
+    assert len(model.merges) == 10
+    enc = _timed(
+        f"bpe_encode {v} words",
+        lambda: bpe_encode(wf, bpe_merges_df(model, spark)).localCheckpoint(
+            eager=True
+        ),
+    )
+    bad = enc.filter(
+        F.concat_ws("", F.col("pieces")) != F.col("word")
+    ).count()
+    assert bad == 0
