@@ -147,12 +147,10 @@ def bpe_train(word_freqs: DataFrame, n_merges: int) -> BPEModel:
     ).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
-        best = (
-            _pair_counts(vocab)
-            .orderBy(F.desc("cnt"), "a", "b")
-            .limit(1)
-            .collect()
-        )
+        # the package never .collect()s unbounded results; .take(1) is
+        # the audited bounded driver exchange (the kmeans_fit idiom) —
+        # the merge being learned IS the output, one row per iteration
+        best = _pair_counts(vocab).orderBy(F.desc("cnt"), "a", "b").take(1)
         if not best:
             break
         a, b = best[0]["a"], best[0]["b"]

@@ -798,3 +798,69 @@ def test_cbf_screen_restores_fast_path_after_purge(spark):
             x["fingerprint"]
             for x in daily_stores_build(corpus, m=big_m).fingerprints.collect()
         }
+
+
+def test_cbf_cycle_is_streaming_transparent_with_takedowns(spark, tmp_path):
+    """Stream ≡ batch for the CBF-screened cycle WITH a mid-stream
+    takedown: folding daily_cycle_step(screen="cbf") over a real file
+    stream's micro-batches, applying a takedown on one of them, lands
+    EXACTLY on the from-scratch CBF build over the survivors — screen
+    INCLUDED (the bitmap variant must skip the screen here; the
+    counting screen follows the store through stream-granularity
+    takedowns with no rebuild)."""
+    from flink_stream_processing_spark.queries_impl._stream_helpers import (
+        _stream_session,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    streamed = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    # the takedown: a slice of the ORIGINAL corpus, expansion-closed by
+    # the fixture's no-cross-dup property
+    removed = corpus.filter(F.col("doc_id") % 100 == 7).select("doc_id", "text")
+    n_removed = removed.count()
+    assert n_removed > 0
+
+    src = str(tmp_path / "cbf_ingest_stream")
+    streamed.repartition(3).write.parquet(src)
+
+    s = _stream_session(spark)
+    stream = s.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+
+    state = {
+        "stores": _checkpointed(
+            daily_stores_build(corpus, m=_SMALL_M, k=_SMALL_K, screen="cbf")
+        ),
+        "takedown_done": False,
+    }
+
+    def refresh(batch_df, _batch_id):
+        rm = None
+        if not state["takedown_done"]:
+            rm = removed  # first micro-batch day also processes the takedown
+            state["takedown_done"] = True
+        state["stores"] = _checkpointed(
+            daily_cycle_step(
+                state["stores"],
+                batch_df,
+                removed_docs=rm,
+                m=_SMALL_M,
+                k=_SMALL_K,
+                screen="cbf",
+            )
+        )
+
+    q = stream.writeStream.foreachBatch(refresh).trigger(availableNow=True).start()
+    assert q.awaitTermination(300)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2, "stream collapsed into one micro-batch"
+
+    survivors = (
+        corpus.select("doc_id", "text")
+        .join(removed.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(streamed)
+    )
+    want = daily_stores_build(survivors, m=_SMALL_M, k=_SMALL_K, screen="cbf")
+    _assert_stores_equal(state["stores"], want, skip_bloom=False)
