@@ -2202,3 +2202,80 @@ def test_bpe_factorization_rung(spark):
         F.concat_ws("", F.col("pieces")) != F.col("word")
     ).count()
     assert bad == 0
+
+
+def test_pca_moment_state_rung(spark):
+    """The PCA moment state's scale rung (r19 library capability): the
+    corpus-scale cost is ONE aggregate producing d(d+1)/2 + d + 1 rows
+    (d=16 here) over 50k×REPLICAS vectors; a 16-shard pairwise merge
+    equals the whole state at float tolerance and fits to the same
+    spectrum; the transform is one scan. The fit itself is bounded
+    driver math — corpus-independent by construction."""
+    from functools import reduce
+
+    import numpy as np
+
+    from flink_stream_processing_spark.operators.pca import (
+        pca_fit,
+        pca_model_df,
+        pca_moment_merge,
+        pca_moment_state,
+        pca_transform,
+        PCAMomentState,
+    )
+
+    n, d = 50_000 * REPLICAS, 16
+    # anisotropic data: dim j scaled by (j+1), plus an id-driven mean
+    vec_expr = F.expr(
+        f"transform(sequence(0, {d - 1}), j -> "
+        "CAST((pmod(xxhash64(id * 16 + j), 1000) - 500) AS DOUBLE) / 500.0 "
+        "* (j + 1))"
+    )
+    vecs = (
+        spark.range(n)
+        .select(F.col("id").alias("vec_id"), vec_expr.alias("embedding"))
+        .localCheckpoint(eager=True)
+    )
+    whole = _timed(
+        f"pca_moment_state @{n} vectors d={d}",
+        lambda: PCAMomentState(
+            *[df.localCheckpoint(eager=True) for df in pca_moment_state(vecs)]
+        ),
+    )
+    assert whole.cross_sums.count() == d * (d + 1) // 2
+
+    shards = [
+        PCAMomentState(
+            *[
+                df.localCheckpoint(eager=True)
+                for df in pca_moment_state(
+                    vecs.filter(F.pmod(F.col("vec_id"), F.lit(16)) == s)
+                )
+            ]
+        )
+        for s in range(16)
+    ]
+    merged = _timed(
+        "pca 16-shard moment merge (d^2-sized steps)",
+        lambda: reduce(
+            lambda a, b: PCAMomentState(
+                *[df.localCheckpoint(eager=True) for df in pca_moment_merge(a, b)]
+            ),
+            shards,
+        ),
+    )
+    mw, mm = pca_fit(whole, 4), pca_fit(merged, 4)
+    assert np.allclose(mw.eigenvalues, mm.eigenvalues, rtol=1e-9)
+    assert np.allclose(
+        np.array(mw.components), np.array(mm.components), atol=1e-7
+    )
+    # variance concentrates in the high-j dims by construction
+    assert mw.explained_ratio[0] > 1.5 / d
+
+    proj = _timed(
+        f"pca_transform @{n} vectors -> 4 dims",
+        lambda: pca_transform(vecs, pca_model_df(mw, spark)).localCheckpoint(
+            eager=True
+        ),
+    )
+    assert proj.count() == n
