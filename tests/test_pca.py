@@ -210,3 +210,97 @@ def test_pca_equals_numpy_model(spark_global, data, k):
         assert np.allclose(
             np.array(model.components), comps, atol=1e-5
         )
+
+
+def test_moment_state_is_streaming_transparent(spark, tmp_path):
+    """Stream ≡ batch for the moment state (the per-store streaming-
+    refresh family — HLL max / bloom or / CBF sum / reservoir merge —
+    extended to second moments): folding pca_moment_merge over a real
+    file stream's micro-batches fits to the same spectrum as the batch
+    state over the full corpus."""
+    from flink_stream_processing_spark.operators.pca import PCAMomentState
+    from flink_stream_processing_spark.queries_impl._stream_helpers import (
+        _stream_session,
+    )
+
+    vecs = _fixture(spark).select("vec_id", "embedding")
+    src = str(tmp_path / "pca_stream")
+    vecs.repartition(3).write.parquet(src)
+
+    s = _stream_session(spark)
+    stream = s.readStream.schema("vec_id long, embedding array<float>").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+
+    state: dict = {"moments": None}
+
+    def refresh(batch_df, _batch_id):
+        delta = PCAMomentState(
+            *[
+                df.localCheckpoint(eager=True)
+                for df in pca_moment_state(batch_df)
+            ]
+        )
+        state["moments"] = (
+            delta
+            if state["moments"] is None
+            else PCAMomentState(
+                *[
+                    df.localCheckpoint(eager=True)
+                    for df in pca_moment_merge(state["moments"], delta)
+                ]
+            )
+        )
+
+    q = stream.writeStream.foreachBatch(refresh).trigger(availableNow=True).start()
+    assert q.awaitTermination(300)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2, "stream collapsed into one micro-batch"
+
+    got = pca_fit(state["moments"], 5)
+    want = pca_fit(pca_moment_state(vecs), 5)
+    assert np.allclose(got.eigenvalues, want.eigenvalues, atol=1e-8)
+    assert np.allclose(
+        np.array(got.components), np.array(want.components), atol=1e-6
+    )
+
+
+def test_pca_composes_with_ivf_assignment(spark):
+    """The embedding-pipeline composition: PCA-projected vectors flow
+    straight into the registered IVF coarse quantizer (the
+    production PCA→IVF/PQ shape) — the projected space preserves the
+    fixture's label structure at least as well as chance, and the
+    plumbing (array<double> proj column renamed into the vec schema)
+    needs no adapters."""
+    from flink_stream_processing_spark.queries_impl import store_maintenance as sm
+
+    vecs = _fixture(spark)
+    model = pca_fit(pca_moment_state(vecs), 16)
+    proj = (
+        pca_transform(vecs, pca_model_df(model, spark))
+        .select("vec_id", "label", F.col("proj").alias("embedding"))
+        .localCheckpoint(eager=True)
+    )
+    # centroids per true label IN THE PROJECTED SPACE, then re-assign
+    cents = (
+        proj.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("t"))
+        .select(
+            "label",
+            F.expr("transform(t, s -> s.c)").alias("centroid"),
+        )
+    )
+    assigned = sm.ivf_assign(proj.select("vec_id", "embedding"), cents)
+    joined = assigned.join(
+        proj.select("vec_id", F.col("label").alias("true_label")), "vec_id"
+    )
+    n = joined.count()
+    agree = joined.filter(F.col("assigned_label") == F.col("true_label")).count()
+    # near-isotropic fixture: require (much) better than the 1/n_labels
+    # chance rate, not a clustering miracle
+    n_labels = cents.count()
+    assert n == vecs.count()
+    assert agree / n > 1.5 / n_labels, (agree, n, n_labels)
