@@ -2279,3 +2279,68 @@ def test_pca_moment_state_rung(spark):
         ),
     )
     assert proj.count() == n
+
+
+def test_pmi_counts_and_score_rung(spark):
+    """The PMI miner's scale rung (r19 library capability): the
+    corpus-scale cost is the one extraction pass (unigrams + in-array
+    adjacent pairs) over 50k×REPLICAS 12-token docs; scoring then runs
+    VOCABULARY-sized (two joins against the unigram table + the totals
+    ride-in) — its cost must not scale with the corpus. Shard merge is
+    exact."""
+    from flink_stream_processing_spark.operators.pmi import (
+        PMICounts,
+        pmi_counts,
+        pmi_merge,
+        pmi_score,
+    )
+
+    n = 50_000 * REPLICAS
+    text_expr = F.concat_ws(
+        " ",
+        *[
+            F.concat(
+                F.lit("w"),
+                F.pmod(
+                    F.xxhash64(F.col("id") * 12 + j), F.lit(23 + (j * 41) % 499)
+                ).cast("string"),
+            )
+            for j in range(12)
+        ],
+    )
+    corpus = (
+        spark.range(n)
+        .select(F.col("id").alias("doc_id"), text_expr.alias("text"))
+        .localCheckpoint(eager=True)
+    )
+    whole = _timed(
+        f"pmi_counts @{n} docs",
+        lambda: PMICounts(
+            *[df.localCheckpoint(eager=True) for df in pmi_counts(corpus)]
+        ),
+    )
+    halves = [
+        PMICounts(
+            *[
+                df.localCheckpoint(eager=True)
+                for df in pmi_counts(
+                    corpus.filter(F.pmod(F.col("doc_id"), F.lit(2)) == s)
+                )
+            ]
+        )
+        for s in range(2)
+    ]
+    merged = pmi_merge(halves[0], halves[1])
+    for got, want in (
+        (merged.unigrams, whole.unigrams),
+        (merged.pairs, whole.pairs),
+        (merged.totals, whole.totals),
+    ):
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+    scored = _timed(
+        f"pmi_score over {whole.pairs.count()}-pair vocab (corpus-independent)",
+        lambda: pmi_score(whole, min_count=20).localCheckpoint(eager=True),
+    )
+    assert scored.count() > 0
+    assert scored.filter(F.col("pair_cnt") < 20).count() == 0
