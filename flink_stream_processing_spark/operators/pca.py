@@ -116,6 +116,36 @@ def pca_moment_merge(a: PCAMomentState, b: PCAMomentState) -> PCAMomentState:
     )
 
 
+def pca_moment_remove(
+    state: PCAMomentState, removed: DataFrame, vec_col: str = "embedding"
+) -> PCAMomentState:
+    """Takedown support for second moments (the CBF delete story): the
+    moment state is an additive group, so removing a vector batch is
+    merging its NEGATED moments — the result equals a state that never
+    saw those vectors (exactly on the integers n, at float tolerance on
+    the sums), with zero corpus re-scans. Contract: ``removed`` must be
+    vectors the state actually summarized (membership-closed, the
+    tombstone family's rule); over-removal shows up as n drifting below
+    the survivor count — the caller's count audit, since float sums
+    carry no per-key observability the way CBF counters do."""
+    neg = pca_moment_state(removed, vec_col)
+    return PCAMomentState(
+        counts=state.counts.unionByName(
+            neg.counts.select((-F.col("n")).cast("long").alias("n"))
+        ).agg(F.sum("n").cast("long").alias("n")),
+        dim_sums=state.dim_sums.unionByName(
+            neg.dim_sums.select("i", (-F.col("s")).alias("s"))
+        )
+        .groupBy("i")
+        .agg(F.sum("s").alias("s")),
+        cross_sums=state.cross_sums.unionByName(
+            neg.cross_sums.select("i", "j", (-F.col("s")).alias("s"))
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s")),
+    )
+
+
 def pca_fit(state: PCAMomentState, k: int) -> PCAModel:
     """Solve the d×d sample-covariance eigenproblem on the driver from
     the BOUNDED moment state (the audited .take(n) exchange — O(d²)

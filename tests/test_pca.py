@@ -304,3 +304,24 @@ def test_pca_composes_with_ivf_assignment(spark):
     n_labels = cents.count()
     assert n == vecs.count()
     assert agree / n > 1.5 / n_labels, (agree, n, n_labels)
+
+
+def test_moment_remove_is_exact_inverse(spark):
+    """Takedown law (the CBF delete story for second moments): removing
+    a batch's moments leaves a state whose FIT equals the fit over the
+    survivors — append N days, remove day K, no corpus re-scan. n is
+    integer-exact; sums at float tolerance."""
+    from flink_stream_processing_spark.operators.pca import pca_moment_remove
+
+    vecs = _fixture(spark)
+    gone = vecs.filter(F.col("vec_id") % 5 == 0)
+    kept = vecs.filter(F.col("vec_id") % 5 != 0)
+    after = pca_moment_remove(pca_moment_state(vecs), gone)
+    assert after.counts.take(1)[0]["n"] == kept.count()
+    got = pca_fit(after, 5)
+    want = pca_fit(pca_moment_state(kept), 5)
+    assert np.allclose(got.eigenvalues, want.eigenvalues, atol=1e-8)
+    assert np.allclose(
+        np.array(got.components), np.array(want.components), atol=1e-6
+    )
+    assert np.allclose(got.mean, want.mean, atol=1e-10)
