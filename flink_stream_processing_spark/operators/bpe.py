@@ -90,9 +90,15 @@ def bpe_freq_merge(a: DataFrame, b: DataFrame) -> DataFrame:
 
 def _chars(word) -> Column:
     """Codepoint split (substring is codepoint-based — the unicode pin
-    the fuzzy operators established)."""
+    the fuzzy operators established). The EMPTY word — real under the
+    package tokenization, where an empty doc yields one empty token —
+    splits to a single empty piece (array('')), keeping concat(pieces)
+    == word; the guard matters because Spark's sequence(1, 0) counts
+    DOWN ([1, 0]), it does not return an empty range."""
     return F.expr(
-        f"transform(sequence(1, char_length({word})), i -> substring({word}, i, 1))"
+        f"CASE WHEN char_length({word}) = 0 THEN array('') "
+        f"ELSE transform(sequence(1, char_length({word})), "
+        f"i -> substring({word}, i, 1)) END"
     )
 
 

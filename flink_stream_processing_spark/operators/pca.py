@@ -81,7 +81,10 @@ def pca_moment_state(vecs: DataFrame, vec_col: str = "embedding") -> PCAMomentSt
     size."""
     v = F.col(vec_col).cast("array<double>")
     dims = vecs.select(F.posexplode(v).alias("i", "x"))
-    cross = vecs.select(
+    # the empty-array guard matters: Spark's sequence(0, -1) counts DOWN
+    # ([0, -1]) rather than returning an empty range, and element_at(0)
+    # throws — an empty vector must contribute nothing, not crash
+    cross = vecs.filter(F.size(F.col(vec_col)) > 0).select(
         F.explode(
             F.expr(
                 f"flatten(transform(sequence(0, size({vec_col}) - 1), i -> "
@@ -92,7 +95,9 @@ def pca_moment_state(vecs: DataFrame, vec_col: str = "embedding") -> PCAMomentSt
         ).alias("t")
     )
     return PCAMomentState(
-        counts=vecs.agg(F.count(F.lit(1)).cast("long").alias("n")),
+        counts=vecs.filter(F.size(F.col(vec_col)) > 0).agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        ),
         dim_sums=dims.groupBy("i").agg(F.sum("x").alias("s")),
         cross_sums=cross.select("t.i", "t.j", "t.v")
         .groupBy("i", "j")

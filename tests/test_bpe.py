@@ -178,3 +178,18 @@ def test_bpe_equals_python_reference(spark_global, corpus, n_merges):
     pm, pv = _py_bpe(corpus, n_merges)
     assert model.merges == pm
     assert {r["word"]: r["pieces"] for r in model.vocab.collect()} == pv
+
+
+def test_empty_word_round_trips(spark):
+    """The package tokenization yields one EMPTY token for an empty doc;
+    the char split must give array('') (Spark's sequence(1, 0) counts
+    DOWN, not empty — the guarded case), training must not learn merges
+    from it, and encoding round-trips."""
+    wf = bpe_word_freqs(_docs(spark, [(0, ""), (1, "ab ab")]))
+    model = bpe_train(wf, 3)
+    vocab = {r["word"]: r["pieces"] for r in model.vocab.collect()}
+    assert vocab[""] == [""]
+    assert vocab["ab"] == ["ab"]
+    assert ("", "") not in model.merges
+    enc = bpe_encode(wf, bpe_merges_df(model, spark))
+    assert {r["word"]: r["pieces"] for r in enc.collect()} == vocab

@@ -325,3 +325,22 @@ def test_moment_remove_is_exact_inverse(spark):
         np.array(got.components), np.array(want.components), atol=1e-6
     )
     assert np.allclose(got.mean, want.mean, atol=1e-10)
+
+
+def test_empty_vectors_are_skipped_not_counted(spark):
+    """Spark's sequence(0, -1) counts DOWN and element_at(0) throws —
+    an empty embedding row must contribute nothing to ANY moment (n
+    included), not crash or skew the mean."""
+    from flink_stream_processing_spark.operators.pca import PCAMomentState
+
+    good = [(i, [float(i), 1.0]) for i in range(4)]
+    vecs = spark.createDataFrame(
+        good + [(99, [])], "vec_id long, embedding array<double>"
+    )
+    state = pca_moment_state(vecs)
+    clean = pca_moment_state(
+        spark.createDataFrame(good, "vec_id long, embedding array<double>")
+    )
+    assert state.counts.take(1)[0]["n"] == 4
+    got, want = pca_fit(state, 2), pca_fit(clean, 2)
+    assert got.mean == want.mean and got.eigenvalues == want.eigenvalues
