@@ -144,9 +144,14 @@ def lm_score(
 ) -> DataFrame:
     """Per-doc add-k bigram log-probability and perplexity:
     (doc_id, n_transitions, logprob, ppl), NULL-scored for docs with no
-    transition. Two hash joins on the model's natural keys (NOT forced
-    broadcast — a web-scale model outgrows an executor; Spark/AQE still
-    broadcasts small models on its own) + one groupBy(doc_id)."""
+    transition — and for EVERY doc when the model is EMPTY (V == 0: a
+    training corpus with no transition at all defines no distribution;
+    the guard matters concretely because the smoothing denominator is
+    then 0 + k·0 and Spark 4's ANSI mode turns that division into a
+    runtime error, not an Infinity). Two hash joins on the model's
+    natural keys (NOT forced broadcast — a web-scale model outgrows an
+    executor; Spark/AQE still broadcasts small models on its own) + one
+    groupBy(doc_id)."""
     tr = _transitions(docs, text)
     v = lm_vocab_size(model)
     scored = (
@@ -155,14 +160,15 @@ def lm_score(
         .crossJoin(F.broadcast(v))
         .select(
             "doc_id",
-            (
+            F.when(
+                F.col("v") > 0,
                 F.log(
                     (F.coalesce("n2", F.lit(0)).cast("double") + F.lit(k))
                     / (
                         F.coalesce("n1", F.lit(0)).cast("double")
                         + F.lit(k) * F.col("v").cast("double")
                     )
-                )
+                ),
             ).alias("lp"),
         )
     )

@@ -60,6 +60,9 @@ def _model_score(text, uni, bi, v, k=_LM_K):
     import re
 
     toks = re.split(r"\s+", text.strip().lower())
+    n = max(len(toks) - 1, 0)
+    if v == 0:  # empty model defines no distribution (the ANSI-div guard)
+        return n, None, None
     lps = [
         math.log((bi.get((w1, w2), 0) + k) / (uni.get(w1, 0) + k * v))
         for w1, w2 in zip(toks, toks[1:])
@@ -209,8 +212,24 @@ def test_lm_equals_python_model(spark_global, corpus, batch, k):
         n, lp, ppl = _model_score(t, uni, bi, v, k)
         r = got[100 + i]
         assert r["n_transitions"] == n, t
-        if n == 0:
-            assert r["logprob"] is None and r["ppl"] is None
+        if lp is None:  # no transitions, or the empty-model guard
+            assert r["logprob"] is None and r["ppl"] is None, t
         else:
             assert abs(r["logprob"] - lp) < 1e-6, t
             assert abs(r["ppl"] - ppl) < 1e-6, t
+
+
+def test_empty_model_scores_null_not_divide_by_zero(spark):
+    """A model trained on a corpus with NO transitions (all docs < 2
+    tokens) defines no distribution: every score is NULL — under Spark
+    4's ANSI mode the unguarded smoothing denominator (0 + k·0) would
+    be a runtime DIVIDE_BY_ZERO, which is exactly what hypothesis
+    caught (the guard keeps the division in the untaken CASE branch)."""
+    model = lm_train(_docs(spark, [(0, "solo"), (1, "")]))
+    assert lm_vocab_size(model).collect()[0]["v"] == 0
+    got = {
+        r["doc_id"]: (r["n_transitions"], r["logprob"], r["ppl"])
+        for r in lm_score(_docs(spark, [(10, "a b c"), (11, "x")]), model).collect()
+    }
+    assert got[10] == (2, None, None)
+    assert got[11] == (0, None, None)
