@@ -2344,3 +2344,65 @@ def test_pmi_counts_and_score_rung(spark):
     )
     assert scored.count() > 0
     assert scored.filter(F.col("pair_cnt") < 20).count() == 0
+
+
+def test_cms_sharded_build_and_exact_delete_rung(spark):
+    """The turnstile CMS store's scale rung (r19 library capability):
+    32-shard build merged pairwise == whole state at 100k×REPLICAS
+    items, delete-half == build-over-half (both cell-identical), state
+    bounded by d·w, probe broadcasts."""
+    from functools import reduce
+
+    from flink_stream_processing_spark.operators.cms import (
+        cms_counts,
+        cms_merge,
+        cms_query,
+        cms_remove,
+    )
+    from flink_stream_processing_spark.plans.inspect import formatted_plan
+
+    n = 100_000 * REPLICAS
+    w, d = 1 << 14, 4
+    items = spark.range(n).select(
+        F.concat(F.lit("k"), F.pmod(F.col("id"), F.lit(5_000)).cast("string")).alias(
+            "key"
+        ),
+        F.col("id").alias("id"),
+    ).localCheckpoint(eager=True)
+
+    whole = _timed(
+        f"cms_counts @{n} items, w=2^14 d=4",
+        lambda: cms_counts(items, w=w, d=d).localCheckpoint(eager=True),
+    )
+    assert whole.count() <= d * w
+
+    shards = [
+        cms_counts(
+            items.filter(F.pmod(F.col("id"), F.lit(32)) == s), w=w, d=d
+        ).localCheckpoint(eager=True)
+        for s in range(32)
+    ]
+    merged = _timed(
+        "cms 32-shard pairwise merge",
+        lambda: reduce(
+            lambda a, b: cms_merge(a, b).localCheckpoint(eager=True), shards
+        ),
+    )
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+    odd = items.filter(F.col("id") % 2 == 1)
+    even = items.filter(F.col("id") % 2 == 0)
+    after = _timed(
+        f"cms_remove of {n // 2} items (exact inverse)",
+        lambda: cms_remove(whole, odd, w=w, d=d).localCheckpoint(eager=True),
+    )
+    want = cms_counts(even, w=w, d=d)
+    assert after.exceptAll(want).count() == 0
+    assert want.exceptAll(after).count() == 0
+
+    probe = even.select("key").distinct().limit(500)
+    est = cms_query(probe, after, w=w, d=d)
+    assert est.filter(F.col("cms_estimate") <= 0).count() == 0
+    plan = formatted_plan(est)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
