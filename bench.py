@@ -377,6 +377,7 @@ def compact_summary_line(
     retries: dict[str, list[float]],
     offenders: list[tuple[str, float, float, float]],
     limit: int = 2000,
+    host_speed: dict | None = None,
 ) -> str:
     """One-line JSON bench summary bounded to ``limit`` chars, printed as
     the LAST stdout line of a bench run. The driver persists only a
@@ -399,6 +400,8 @@ def compact_summary_line(
         "offenders": sorted(name for name, _t, _b, _f in offenders),
         "full_record": "BENCH_LOCAL.json",
     }
+    if host_speed:
+        summary["host_speed"] = host_speed
     line = json.dumps(summary, separators=(",", ":"))
     if len(line) >= limit:
         line = json.dumps(
@@ -491,9 +494,34 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, float]:
         shutil.rmtree(src, ignore_errors=True)
 
 
+def cpu_fingerprint() -> dict:
+    """~1.5 s single-core host-speed probe recorded with every bench run:
+    md5 throughput (C-speed) + a pure-Python loop (interpreter speed).
+    Exists because r18/r19 both measured near-uniform 1.3-1.4x bench
+    slowdowns on UNCHANGED plans with an idle machine — the only way to
+    tell 'this session's host is slower' from 'the plans regressed' is a
+    plan-free speed number stored alongside the timings."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = hashlib.md5()
+    block = b"x" * 1_000_000
+    for _ in range(100):
+        h.update(block)
+    md5_mb_s = round(100.0 / (time.perf_counter() - t0), 1)
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i
+    loop_m_s = round(5.0 / (time.perf_counter() - t0), 2)
+    return {"md5_mb_per_s": md5_mb_s, "pyloop_m_iter_per_s": loop_m_s}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    host_speed = cpu_fingerprint()
+    print(f"  [host] {host_speed}", file=sys.stderr)
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -645,6 +673,7 @@ def main() -> None:
         "scale_variants_sec": variants,
         "streaming": streaming,
         "sf": sf,
+        "host_speed": host_speed,
     }
     if retries:
         record["retries"] = retries
@@ -658,7 +687,7 @@ def main() -> None:
     # parse lands on a complete JSON object. The full record remains in
     # the payload line and BENCH_LOCAL.json.
     summary_line = compact_summary_line(
-        timings, total, sf, streaming, retries, offenders
+        timings, total, sf, streaming, retries, offenders, host_speed=host_speed
     )
     # The driver keeps only the tail of the run log, which has amputated
     # early per-query timings from the recorded JSON line before (r3); the
