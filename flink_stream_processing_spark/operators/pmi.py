@@ -157,7 +157,15 @@ def pmi_score(counts: PMICounts, min_count: int = _PMI_MIN_COUNT) -> DataFrame:
             "b",
             F.col("cnt").alias("pair_cnt"),
             F.round(pmi, 6).alias("pmi"),
-            F.round(pmi / -F.log(p_ab), 6).alias("npmi"),
+            # npmi's normalizer −log p(a,b) is 0 when ONE pair type holds
+            # the entire pair mass (p == 1, e.g. a single-bigram corpus):
+            # no collocation signal exists and under Spark's ANSI mode
+            # the raw division is a runtime error, so the guard emits
+            # NULL (kept in the untaken CASE branch)
+            F.when(
+                F.col("cnt") < F.col("n_bi"),
+                F.round(pmi / -F.log(p_ab), 6),
+            ).alias("npmi"),
         )
         .orderBy(F.desc("npmi"), "a", "b")
     )
@@ -187,9 +195,11 @@ WITH t AS (
 SELECT pr.a, pr.b, pr.cnt AS pair_cnt,
        round(ln(pr.cnt) + 2 * ln(tot.n_uni) - ln(tot.n_bi)
              - ln(ua.cnt) - ln(ub.cnt), 6) AS pmi,
-       round((ln(pr.cnt) + 2 * ln(tot.n_uni) - ln(tot.n_bi)
-              - ln(ua.cnt) - ln(ub.cnt))
-             / -ln(CAST(pr.cnt AS DOUBLE) / tot.n_bi), 6) AS npmi
+       CASE WHEN pr.cnt < tot.n_bi THEN
+         round((ln(pr.cnt) + 2 * ln(tot.n_uni) - ln(tot.n_bi)
+                - ln(ua.cnt) - ln(ub.cnt))
+               / -ln(CAST(pr.cnt AS DOUBLE) / tot.n_bi), 6)
+       END AS npmi
 FROM pr
 JOIN uni ua ON pr.a = ua.w
 JOIN uni ub ON pr.b = ub.w

@@ -55,7 +55,9 @@ def _py_model(texts, min_count):
             - math.log(uni[b])
         )
         denom = -math.log(c / n_bi)
-        npmi = pmi / denom if denom != 0 else math.inf  # p(a,b)==1 edge
+        # p(a,b)==1: one pair type holds the whole mass — no collocation
+        # signal, NULL on both engines (the ANSI-div guard)
+        npmi = pmi / denom if c < n_bi else None
         out[(a, b)] = (c, pmi, npmi)
     return out
 
@@ -177,7 +179,18 @@ def test_pmi_equals_python_model(spark_global, texts, min_count):
         gc, gp, gn = got[k]
         assert gc == c, k
         assert abs(gp - pmi) < 1e-6, k
-        # npmi divides by -log p(a,b); at p == 1 (single repeated pair)
-        # both sides hit the same 0/0 -> ±inf guard region
-        if math.isfinite(npmi):
+        if npmi is None:  # the p(a,b)==1 degenerate corpus
+            assert gn is None, k
+        else:
             assert abs(gn - npmi) < 1e-6, k
+
+
+def test_single_bigram_corpus_scores_null_npmi(spark):
+    """The hypothesis find, pinned deterministically: a corpus whose one
+    pair type carries the whole pair mass (p(a,b) == 1) has no npmi
+    normalizer — NULL npmi, finite pmi, no ANSI DIVIDE_BY_ZERO."""
+    got = pmi_score(pmi_counts(_docs(spark, ["a a"])), min_count=1).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["a"], r["b"]) == ("a", "a")
+    assert r["pmi"] is not None and r["npmi"] is None
