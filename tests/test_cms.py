@@ -199,3 +199,57 @@ def test_cms_equals_python_model(spark_global, inserts, n_remove):
                 for j in range(d)
             )
             assert est[key] == want, key
+
+
+def test_cms_state_is_streaming_transparent_with_takedowns(spark, tmp_path):
+    """Stream ≡ batch for the turnstile store WITH a mid-stream delete:
+    folding cms_merge over micro-batches and applying a takedown
+    decrement lands cell-identical on the batch build over survivors."""
+    from flink_stream_processing_spark.queries_impl._stream_helpers import (
+        _stream_session,
+    )
+
+    items = spark.range(2_000).select(
+        F.col("id"),
+        F.concat(F.lit("k"), F.pmod(F.col("id"), F.lit(50)).cast("string")).alias(
+            "key"
+        ),
+    )
+    removed = items.filter(F.col("id") % 4 == 0).select("key")
+    kept = items.filter(F.col("id") % 4 != 0).select("key")
+    src = str(tmp_path / "cms_stream")
+    items.select("id", "key").repartition(3).write.parquet(src)
+
+    s = _stream_session(spark)
+    stream = s.readStream.schema("id long, key string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+
+    state: dict = {"cells": None, "takedown_done": False}
+
+    def refresh(batch_df, _batch_id):
+        delta = cms_counts(batch_df.select("key"), w=_W, d=_D).localCheckpoint(
+            eager=True
+        )
+        merged = (
+            delta
+            if state["cells"] is None
+            else cms_merge(state["cells"], delta).localCheckpoint(eager=True)
+        )
+        if not state["takedown_done"]:
+            merged = cms_remove(merged, removed, w=_W, d=_D).localCheckpoint(
+                eager=True
+            )
+            state["takedown_done"] = True
+        state["cells"] = merged
+
+    q = stream.writeStream.foreachBatch(refresh).trigger(availableNow=True).start()
+    assert q.awaitTermination(300)
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2
+    assert state["takedown_done"]
+
+    # NOTE the takedown ran against the FIRST micro-batch's partial state,
+    # decrementing keys later batches re-inserted — legal in the turnstile
+    # group (cells are order-free sums), so the fold still equals
+    # batch-over-survivors exactly
+    assert _rows(state["cells"]) == _rows(cms_counts(kept, w=_W, d=_D))

@@ -233,3 +233,48 @@ def test_empty_model_scores_null_not_divide_by_zero(spark):
     }
     assert got[10] == (2, None, None)
     assert got[11] == (0, None, None)
+
+
+def test_lm_counts_are_streaming_transparent(spark, tmp_path):
+    """Stream ≡ batch for the LM count state (the per-store streaming-
+    refresh family): folding lm_merge over a real file stream's
+    micro-batches equals the batch model over the full corpus — count
+    frames exactly, scores follow."""
+    from flink_stream_processing_spark.operators.lm import LMModel
+    from flink_stream_processing_spark.queries_impl._stream_helpers import (
+        _stream_session,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    src = str(tmp_path / "lm_stream")
+    docs.repartition(3).write.parquet(src)
+
+    s = _stream_session(spark)
+    stream = s.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+
+    state: dict = {"model": None}
+
+    def refresh(batch_df, _batch_id):
+        delta = LMModel(
+            *[df.localCheckpoint(eager=True) for df in lm_train(batch_df)]
+        )
+        state["model"] = (
+            delta
+            if state["model"] is None
+            else LMModel(
+                *[
+                    df.localCheckpoint(eager=True)
+                    for df in lm_merge(state["model"], delta)
+                ]
+            )
+        )
+
+    q = stream.writeStream.foreachBatch(refresh).trigger(availableNow=True).start()
+    assert q.awaitTermination(300)
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2
+
+    whole = lm_train(docs)
+    assert _rows(state["model"].unigrams) == _rows(whole.unigrams)
+    assert _rows(state["model"].bigrams) == _rows(whole.bigrams)
