@@ -2406,3 +2406,39 @@ def test_cms_sharded_build_and_exact_delete_rung(spark):
     assert est.filter(F.col("cms_estimate") <= 0).count() == 0
     plan = formatted_plan(est)
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_hll_overlap_rung(spark):
+    """The overlap estimator's scale rung (r19 library capability): two
+    500k×REPLICAS-key sides with a planted 40% overlap — side sketches
+    are the only corpus-scale work (one aggregate each, O(2^lg_k)
+    state), the report is scalar math, and the estimate lands within
+    its own error budget of the planted truth."""
+    from flink_stream_processing_spark.operators.hll_overlap import (
+        hll_overlap_report,
+        hll_side_sketch,
+    )
+
+    n = 500_000 * REPLICAS
+    shared = int(n * 0.4)
+    a = spark.range(0, n).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("key")
+    )
+    b = spark.range(n - shared, 2 * n - shared).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("key")
+    )
+    sa = _timed(
+        f"hll_side_sketch @{n} keys",
+        lambda: hll_side_sketch(a).localCheckpoint(eager=True),
+    )
+    sb = hll_side_sketch(b).localCheckpoint(eager=True)
+    rep = _timed(
+        "hll_overlap_report (scalar math)",
+        lambda: hll_overlap_report(sa, sb).localCheckpoint(eager=True),
+    ).collect()[0]
+    print(
+        f"\n  [{REPLICAS * 5}k] overlap est {rep['est_intersection']} vs "
+        f"true {shared} (budget {rep['err_budget']})",
+        file=__import__('sys').stderr,
+    )
+    assert abs(rep["est_intersection"] - shared) <= rep["err_budget"]
