@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .parallelism import spread_fanout
 from .text import TOKEN_SPLIT_RE
 
 
@@ -325,7 +326,11 @@ def minhash_near_dups(
     duplicates). At 100 TB the same reuse is expressed by persisting the
     shingle/signature tables (the incremental_* path); within a one-shot
     job, executor-local MEMORY_AND_DISK materialization is the equivalent."""
-    sh_arr = shingle_array(df, text, id_col, n)
+    # Re-spread before the checkpoint: the scan side is typically 1 split
+    # at bench scale, and everything downstream of the materialized arrays
+    # (signature folds, band hashing, verify array_intersects) is O(tokens)
+    # per-row CPU that must use every core. No-op on wide inputs.
+    sh_arr = spread_fanout(shingle_array(df, text, id_col, n))
     arrs = sh_arr.select(
         F.col(id_col), F.array_distinct("sh_arr").alias("sh_arr")
     ).localCheckpoint(eager=True)
@@ -398,7 +403,7 @@ def incremental_minhash_near_dups(
 
     Returns (doc_a=corpus id, doc_b=new id, jaccard) above threshold.
     """
-    new_arr = shingle_array(new_batch, text, id_col, n).select(
+    new_arr = spread_fanout(shingle_array(new_batch, text, id_col, n)).select(
         F.col(id_col), F.array_distinct("sh_arr").alias("sh_arr")
     ).localCheckpoint(eager=True)
     new_bands = band_hashes(
@@ -485,8 +490,10 @@ def simhash(
     hashes = F.transform(
         F.split(F.lower(F.trim(F.col(text))), TOKEN_SPLIT_RE), hash_one
     )
+    # The signature fold is O(tokens × 64) per row off a typically
+    # 1-split scan — re-spread so it uses every core (no-op when wide).
     return (
-        df.select(F.col(id_col), hashes.alias("hs"))
+        spread_fanout(df.select(F.col(id_col), hashes.alias("hs")))
         .select(id_col, F.expr(_SIMHASH_SUMS_EXPR).alias("sums"))
         .select(id_col, F.expr(_SIMHASH_PACK_EXPR).alias("simhash"))
     )
@@ -645,10 +652,17 @@ def connected_components(
     # repartition BEFORE the checkpoint: each round's propagation join
     # then needs zero exchanges — the O(edges) side never re-shuffles and
     # the trailing exchange moves only O(nodes) rows.
+    # Labels SEEDED at min(self, min neighbor) — the identity-label
+    # round 0 collapses into one aggregate over the already-staged edges
+    # (same node set as distinct(src): symmetrization puts every node on
+    # the src side), so the loop starts one propagation step ahead at the
+    # cost of a min() instead of a full join round. The fixpoint is
+    # unchanged: labels still only carry same-component member ids and
+    # only ever decrease.
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.min("dst").alias("mn"))
+        .select("node", F.least(F.col("node"), F.col("mn")).alias("lbl"))
         .repartition(loop_parts, "node")
         .localCheckpoint(eager=True)
     )
@@ -658,7 +672,14 @@ def connected_components(
     lbl_type = labels.schema["lbl"].dataType
     converged = False
     for _ in range(max_iter):
-        neigh = edges.join(labels, edges["src"] == labels["node"]).select(
+        # SHUFFLE_HASH on the label vector: both sides are co-partitioned
+        # on the join key (zero exchange either way), but sort-merge would
+        # re-SORT the O(edges) side every round — hash-building the
+        # O(nodes) label side instead streams the edges unsorted
+        # (guide §3.1; measured ~20 % per-round at sf0.1).
+        neigh = edges.join(
+            labels.hint("shuffle_hash"), edges["src"] == labels["node"]
+        ).select(
             F.col("dst").alias("node"),
             "lbl",
             F.lit(None).cast(lbl_type).alias("own"),
@@ -678,7 +699,7 @@ def connected_components(
         # sides are O(nodes); AQE right-sizes the exchanges at runtime.
         hop = new.select(F.col("node").alias("hn"), F.col("lbl").alias("hl"))
         new = (
-            new.join(hop, new["lbl"] == hop["hn"], "left")
+            new.join(hop.hint("shuffle_hash"), new["lbl"] == hop["hn"], "left")
             .select(
                 "node",
                 F.least("lbl", "hl").alias("lbl"),
@@ -788,6 +809,9 @@ def token_window_hashes(
         F.col("n_tokens") >= window,
         F.sequence(F.lit(0), (F.col("n_tokens") - window).cast("int")),
     ).otherwise(F.array().cast("array<int>"))
+    # O(n_tokens) md5-of-window-slice work per row — re-spread the (often
+    # 1-split) tokenized base so window hashing uses every core.
+    base = spread_fanout(base)
     return base.select(
         id_col,
         F.explode(

@@ -94,8 +94,12 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     for _ in range(iters):
+        # SHUFFLE_HASH on the rank vector: co-partitioned with the staged
+        # edges (zero exchange), but sort-merge would re-sort the O(edges)
+        # side every iteration — hash-building the O(nodes) rank side
+        # streams the edges unsorted (guide §3.1; same rule as the CC loop).
         ranks = (
-            contrib_base.join(ranks, contrib_base.src == ranks.node)
+            contrib_base.join(ranks.hint("shuffle_hash"), contrib_base.src == ranks.node)
             .select(F.col("dst").alias("node"), (F.col("pr") / F.col("outdeg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("s"))

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .parallelism import spread_fanout
+
 # Word-boundary tokenizer shared by all text ops.
 TOKEN_SPLIT_RE = r"\s+"
 # BPE-ish pre-tokenizer: word pieces or single non-space punctuation —
@@ -189,11 +191,14 @@ def _fuzzy_pairs_d2(names: DataFrame, max_name_len: int) -> DataFrame:
         ).isNull(),
         F.col("name"),
     )
-    base = (
-        names.filter(F.col("name").isNotNull())
-        .select(guarded.alias("name"))
-        .localCheckpoint(eager=True)
-    )
+    # The distinct-names relation is tiny (AQE coalesces it to ~1
+    # partition), but every deletion-key explode below does O(L²) hash
+    # work per row — re-spread before the checkpoint so those stages use
+    # every core (measured at sf0.1: three single-task 3-5 s explode
+    # stages collapse to sub-second; no-op when the input is already wide).
+    base = spread_fanout(
+        names.filter(F.col("name").isNotNull()).select(guarded.alias("name"))
+    ).localCheckpoint(eager=True)
     # The four plain-key classes fold into ONE join: LEFT = K0 ∪ K1
     # (depths 0-1), RIGHT = K1 ∪ K2 (depths 1-2). Key-length equality
     # makes depth combos self-selecting — (0,1) is the pure insert, (1,1)
@@ -321,7 +326,10 @@ def fuzzy_name_pairs(
     names = df.select(F.col(name_col).alias("name")).distinct()
     if max_dist == 2:
         return _fuzzy_pairs_d2(names, max_name_len)
-    base = names.filter(F.col("name").isNotNull()).localCheckpoint(eager=True)
+    # Same explode-parallelism guard as the d2 path (see _fuzzy_pairs_d2).
+    base = spread_fanout(names.filter(F.col("name").isNotNull())).localCheckpoint(
+        eager=True
+    )
     # K1 with positions: one row per deletion position (kh, pos, deleted
     # char). sequence(lo, hi) is DESCENDING when hi < lo, so the range is
     # gated on non-emptiness.

@@ -301,7 +301,12 @@ def q_table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     to (col_name, stats) rows driver-side-free via a tiny stack expr. The
     naive per-column UNION of scans reads the table N times; this reads it
     once."""
-    orders = _t(spark, sf_dir, "orders")
+    from ..operators.parallelism import spread_fanout
+
+    # Five countDistinct aggregates expand the input ×6 (Expand node)
+    # before the partial agg, all inside the 1-split scan stage — re-spread
+    # so the expand+partial-agg uses every core (no-op when wide).
+    orders = spread_fanout(_t(spark, sf_dir, "orders"))
     aggs = []
     for c in _PROFILE_COLS_NUM + _PROFILE_COLS_STR:
         aggs += [
@@ -606,8 +611,14 @@ def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the constraint the math imposes."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
     out_schema = "user_id bigint, event_id bigint, value double, ewma double"
+    # Partition count derived from the session, not a constant tuned for
+    # one machine: per-user results are partition-count invariant (each
+    # user's series lands whole in one partition and runs its own exact
+    # recursion), so this only sets parallelism — scale-adaptive per the
+    # driver's lower-core bench runs and any real cluster.
+    n_parts = spark.sparkContext.defaultParallelism
     return (
-        ev.repartition(32, "user_id")
+        ev.repartition(n_parts, "user_id")
         .mapInPandas(_ewma_partition, out_schema)
         .orderBy("user_id", "event_id")
     )

@@ -125,9 +125,13 @@ def q_user_trend_partition_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB with millions of tiny keys; hash-checked against the same
     regr_slope oracle as the applyInPandas twin."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
-    out = ev.repartition(32, "user_id").mapInPandas(
-        _fit_partition, "user_id long, n_events long, slope double"
-    )
+    # Session-derived partition count (was a hard-coded 32): per-user OLS
+    # partials are exact sums folded per user within one partition, so the
+    # count only sets parallelism — scale-adaptive for the driver's
+    # lower-core runs and real clusters alike.
+    out = ev.repartition(
+        spark.sparkContext.defaultParallelism, "user_id"
+    ).mapInPandas(_fit_partition, "user_id long, n_events long, slope double")
     return out.select(
         "user_id", "n_events", F.round("slope", 6).alias("slope")
     ).orderBy("user_id")

@@ -339,8 +339,14 @@ def q_ngram_overlap_decontamination(spark: SparkSession, sf_dir: str) -> DataFra
     # collision (2^-64 per pair) could overcount one doc's hit count; at
     # corpus scale that expected error is orders of magnitude below the
     # contamination threshold anyone filters at.
-    g = docs.select("doc_id", "source", F.explode(grams).alias("gram_s")).select(
-        "doc_id", "source", F.xxhash64("gram_s").alias("gram")
+    # The 8-token gram construction + hash is O(tokens) per row off a
+    # 1-split scan — re-spread so it uses every core (no-op when wide).
+    from ..operators.parallelism import spread_fanout
+
+    g = (
+        spread_fanout(docs.select("doc_id", "source", "text"))
+        .select("doc_id", "source", F.explode(grams).alias("gram_s"))
+        .select("doc_id", "source", F.xxhash64("gram_s").alias("gram"))
     )
     bench = g.filter(F.col("source") == "src0").select("gram").distinct()
     train_g = (

@@ -198,11 +198,17 @@ def q_kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("timestamp", LongType()),
         ]
     )
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "event_type",
-        F.round("value", 6).alias("amount"),
-        F.unix_millis("ts").alias("timestamp"),
+    from ..operators.parallelism import spread_fanout
+
+    # to_json + from_json per row off a 1-split scan — re-spread so the
+    # serde round-trip uses every core (no-op when the input is wide).
+    ev = spread_fanout(
+        load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("amount"),
+            F.unix_millis("ts").alias("timestamp"),
+        )
     )
     values = transaction_wire_value(ev)
     parsed = values.select(F.from_json(F.col("value"), wire_schema).alias("t"))

@@ -652,10 +652,17 @@ def q_map_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map_filter), element-wise add original+doubled (map_zip_with), and
     reduce each result to scalars (size / sorted kept keys / aggregate of
     map_values). All per-row JVM expressions — no shuffle, no UDF."""
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("double").alias("k"),
-        F.col("value").alias("v"),
+    from ..operators.parallelism import spread_fanout
+
+    # JSON extraction + four map-HOF evaluations per row off a 1-split
+    # scan — re-spread so the per-row battery uses every core (no-op when
+    # the input is already wide).
+    ev = spread_fanout(
+        _t(spark, sf_dir, "events").select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("double").alias("k"),
+            F.col("value").alias("v"),
+        )
     )
     m1 = F.create_map(F.lit("k"), F.col("k"), F.lit("val"), F.col("v"))
     doubled = F.transform_values(m1, lambda _, v: v * 2)

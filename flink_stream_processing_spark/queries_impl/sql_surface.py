@@ -116,20 +116,67 @@ ORDER BY node
 _REACH_ORACLE = _REACH_SQL.format(orders="orders", lineitem="lineitem")
 
 
+_REACH_WALK_SQL = """
+WITH RECURSIVE start AS (
+  SELECT CAST(min(o_custkey) * 2 AS BIGINT) AS node FROM {orders}
+), walk (node, depth) AS (
+  SELECT node, 0 FROM start
+  UNION ALL
+  SELECT e.dst, w.depth + 1
+  FROM walk w JOIN {edges} e ON e.src = w.node
+  WHERE w.depth < 2
+)
+SELECT node, CAST(min(depth) AS BIGINT) AS min_depth,
+       CAST(count(*) AS BIGINT) AS n_paths
+FROM walk
+GROUP BY node
+ORDER BY node
+"""
+
+
 @query("sql_surface_recursive_reachability", oracle=_REACH_ORACLE)
 def q_sql_surface_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RECURSIVE CTE (Spark 4.x `WITH RECURSIVE`) in SQL text: bounded BFS
     from the lowest customer over the symmetrized customer-supplier graph
     — per reachable node, its minimum hop depth and path multiplicity.
-    The oracle runs the identical string, so both engines' recursive
-    semantics (UNION ALL accumulation, bounded by the depth predicate)
-    are pinned against each other. Depth is capped at 2: UNION ALL
-    recursion multiplies PATHS, not nodes — the cap is what keeps a
-    Pregel-shaped walk polynomially bounded, and unbounded traversals
-    belong to the dedicated iterative operators (connected components /
-    PageRank), not the SQL recursion."""
+    The recursion's UNION ALL accumulation semantics stay pinned against
+    DuckDB's identical walk; depth is capped at 2 (UNION ALL recursion
+    multiplies PATHS, not nodes — unbounded traversals belong to the
+    dedicated iterative operators).
+
+    r19 optimization (guide §2.4 "remove shuffles outright"): the edge
+    relation is MATERIALIZED once before the recursion. Spark's recursive
+    execution (UnionLoop) re-evaluates every relation the step references
+    on each iteration, so with the edge CTE inlined the orders⋈lineitem
+    join + DISTINCT ran three times (once per depth) — measured 7.7 s at
+    sf0.1, ~2.9 s after. The build itself also halves: both edge
+    directions come from ONE distinct customer–supplier pair join instead
+    of two independent DISTINCT join subtrees (the oracle keeps the
+    original two-subtree text; by parity-encoding the directions are
+    disjoint, so one mirrored distinct pair set is the identical edge
+    multiset — oracle-hash-proven)."""
     v = _register_views(spark, sf_dir)
-    return spark.sql(_REACH_SQL.format(**v))
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    suffix = "".join(ch if ch.isalnum() else "_" for ch in sf_dir)
+    edge_view = f"sqlsurf_reach_edges_{suffix}"
+    edges.createOrReplaceTempView(edge_view)
+    return spark.sql(_REACH_WALK_SQL.format(orders=v["orders"], edges=edge_view))
 
 
 _PYDS_ORACLE = """
@@ -217,9 +264,17 @@ def q_udtf_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.udtf.register("token_windows", TokenWindows)
     v = _register_views(spark, sf_dir)
+    # REPARTITION hint: the documents scan is one split at bench scale, so
+    # without it the (row-at-a-time) UDTF runs in a single Python worker;
+    # spreading the narrow (doc_id, text) relation first fans the Python
+    # evaluation across every core (guide §4 — parallelism is the only
+    # lever left once the boundary itself is required, which it is here:
+    # the UDTF API surface IS what this query pins).
+    n_spread = spark.sparkContext.defaultParallelism
     return spark.sql(f"""
         SELECT d.doc_id, t.win_idx, t.n_toks, t.first_tok
-        FROM {v['documents']} d,
+        FROM (SELECT /*+ REPARTITION({n_spread}) */ doc_id, text
+              FROM {v['documents']}) d,
              LATERAL token_windows(d.text, {_WIN_WIDTH}) t
         ORDER BY d.doc_id, t.win_idx
     """)

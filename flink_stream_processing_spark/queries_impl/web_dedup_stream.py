@@ -64,6 +64,7 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 from pyspark.sql.window import Window
 
 from ..operators.dedup import token_window_hashes
+from ..operators.parallelism import spread_fanout
 from ..operators.text import tokens_col
 
 # Single-source family constants (synthetic event-time epoch, watermark
@@ -901,9 +902,11 @@ def q_span_coverage_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression overhead — the plan pin (test_span_coverage_profile_single_scan)
     encodes that choice deliberately."""
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(F.col("doc_id"), tokens_col().alias("toks")).withColumn(
-        "n_tokens", F.size("toks").cast("long")
-    )
+    # All three window sizes' md5 hashing happens in the map stage below —
+    # re-spread the 1-split scan so it runs on every core (no-op when wide).
+    base = spread_fanout(
+        docs.select(F.col("doc_id"), tokens_col().alias("toks"))
+    ).withColumn("n_tokens", F.size("toks").cast("long"))
     wexpr = """
     flatten(transform(array(10, 20, 40), w ->
       CASE WHEN n_tokens >= w THEN
