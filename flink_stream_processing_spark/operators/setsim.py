@@ -95,6 +95,11 @@ def _hashed_shingle_arrays(
     shingle construction re-executes per branch (measured 3x the whole
     operator's cost)."""
     return (
+        # r19 note: a spread_fanout here was tried and REVERTED — the
+        # shingle+hash projection is light enough that the extra exchange
+        # lost by kill-switch A/B (containment 3.58 s unspread vs 3.85 s;
+        # the heavy per-branch work already re-spreads at the postings
+        # explode's explicit repartition).
         shingle_array(docs, text=text, id_col=id_col, n=n)
         .select(id_col, F.array_distinct("sh_arr").alias("sh"))
         .withColumn("shh", F.transform("sh", lambda x: F.xxhash64(x)))

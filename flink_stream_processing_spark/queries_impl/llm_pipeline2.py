@@ -572,6 +572,9 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
+    # r19 note: a spread_fanout on the tokenize base was tried and REVERTED
+    # — plain tokenize+explode is too light to pay for the extra exchange
+    # (kill-switch A/B min 1.65 s unspread vs 2.02 s spread at sf0.1).
     tok = docs.select("doc_id", F.explode(_toks()).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))

@@ -274,6 +274,9 @@ def q_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (codepoint bincount per doc): the declarative 28-replace-expression
     alternative re-scans the text 28 times per row and measured ~10×
     slower at sf0.1. Map-only, two-column scan, no shuffle."""
+    # r19 note: a spread_fanout before the mapInPandas was tried and
+    # REVERTED — the vectorized bincount is ~1 s total here, under the
+    # exchange cost (kill-switch A/B min 1.08 s unspread vs 1.16 s).
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
