@@ -4,19 +4,22 @@ The driver's test tables are single-file, SINGLE-ROW-GROUP parquet, so every
 scan is one task no matter what ``spark.sql.files.*`` says (a parquet split
 cannot be narrower than a row group). Everything map-side before the first
 exchange — tokenization, window hashing, shingle construction, signature
-folds, Python batch UDFs — therefore ran on ONE core at bench scale
-(measured r19: 3-5 s single-task stages behind `AQEShuffleRead coalesced`
-or 1-split scans, across the fuzzy/dedup/span/text families).
+folds — therefore ran on ONE core at bench scale (measured r19: 3-5 s
+single-task stages behind `AQEShuffleRead coalesced` or 1-split scans,
+across the fuzzy/dedup/span families).
 
 ``spread_fanout`` is the guide §2.5 fix ("input skew: one huge unsplittable
-file — repartition immediately after the read"), made SCALE-ADAPTIVE: it
-re-spreads only when the relation's current parallelism is below the
-session's core count, so on a real cluster (thousands of input splits, AQE
-post-shuffle partitioning sized to data volume) it is a plan no-op — the
-exchange only appears where the input genuinely under-parallelizes the
-downstream per-row work. The exchange it inserts moves the narrow input
-relation once; the stages it parallelizes do O(fanout) work per row, which
-is why the trade wins whenever it fires.
+file — repartition immediately after the read"), made SCALE-ADAPTIVE via
+the optimizer's own size statistics (the same estimates broadcast planning
+uses): a relation is re-spread only when its estimated bytes are below one
+scan-split per session core — i.e. when its scan parallelism CANNOT reach
+the core count. On a real cluster the corpus-scale inputs these operators
+see are orders of magnitude past that bound, so the exchange never appears;
+where it does fire, it moves the narrow input relation once while the
+stages it parallelizes do O(fanout) hash/serde work per row — the trade
+that wins whenever it fires (and loses for plain tokenize/aggregate inputs,
+which is why call sites are curated per the r19 kill-switch A/Bs rather
+than blanket).
 """
 
 from __future__ import annotations
@@ -26,20 +29,37 @@ import os
 from pyspark.sql import DataFrame
 
 
+def _estimated_bytes(df: DataFrame):
+    """Optimizer size estimate of the relation (logical-plan statistics —
+    no execution, the same numbers auto-broadcast thresholds read).
+    None when unavailable (e.g. streaming plans)."""
+    try:
+        # py4j maps the Scala BigInt to a Python int; str() also covers the
+        # JavaObject case so the conversion is version-proof.
+        return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return None
+
+
 def spread_fanout(df: DataFrame, target: int | None = None) -> DataFrame:
-    """Round-robin ``df`` across the session's parallelism IF its current
-    partitioning is narrower — identity otherwise. Row-multiset preserved
+    """Round-robin ``df`` across the session's parallelism IF its estimated
+    size is under one scan split per core (so its scan parallelism cannot
+    reach the core count) — identity otherwise. Row-multiset preserved
     (round-robin repartition re-buckets rows, never drops/dups them); only
     safe above order-insensitive consumers, which every caller here is
     (hash/count/min aggregates, per-row projections)."""
     if os.environ.get("SPARK_GRAFT_NO_SPREAD"):  # measurement kill-switch
         return df
-    sc = df.sparkSession.sparkContext
-    goal = target or sc.defaultParallelism
+    spark = df.sparkSession
+    goal = target or spark.sparkContext.defaultParallelism
     try:
-        current = df.rdd.getNumPartitions()
+        # Canonical byte value (conf.get returns size strings like "134217728b").
+        split_bytes = int(
+            spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+        )
     except Exception:
-        return df
-    if current >= goal:
+        split_bytes = 128 * 1024 * 1024
+    est = _estimated_bytes(df)
+    if est is None or est >= goal * split_bytes:
         return df
     return df.repartition(goal)
