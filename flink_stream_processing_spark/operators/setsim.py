@@ -72,6 +72,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import shingle_array
+from .parallelism import spread_fanout
 
 
 def _hashed_shingle_arrays(
@@ -176,7 +177,18 @@ def _rare_first_prefix(
             ).alias("sh_h"),
         )
     )
-    return postings, prefix
+    # r19: the groupBy(id) aggregate behind ``ordered`` is AQE-coalesced by
+    # its INPUT bytes (~couple MB => 4 post-shuffle partitions), and every
+    # verify join downstream is broadcast at bench scale, so the whole
+    # candidate-gen + two-stage-verify compute (the O(candidates x array)
+    # intersects — 23.8 s CPU measured on allpairs at sf0.1) inherited that
+    # 4-task width; the explicit repartition(par, id) before the verify was
+    # silently ELIMINATED because the child already carried hash(id)
+    # partitioning. Re-spreading the exploded prefix (a few hundred KB)
+    # restores core-count parallelism for the entire downstream pipeline
+    # (and makes the verify repartition a real exchange again); the gate in
+    # spread_fanout keeps it a no-op at corpus scale.
+    return postings, spread_fanout(prefix)
 
 
 def allpairs_jaccard_join(

@@ -267,7 +267,15 @@ def hyperplane_lsh_tables(
             ]
             yield pd.concat(frames, ignore_index=True)
 
-    return embeddings.select(id_col, vec_col).mapInPandas(assign, out_schema)
+    # r19: the single-split embeddings scan ran the L-way GEMM+stack fan-out
+    # (O(rows x L x dim) output) in ONE task (profiled 3.5 s, 12.7 MB write
+    # from 1 task at sf0.1); spread parallelizes it, size-gated to a no-op
+    # at corpus scale.
+    from .parallelism import spread_fanout
+
+    return spread_fanout(embeddings.select(id_col, vec_col)).mapInPandas(
+        assign, out_schema
+    )
 
 
 def embedding_near_dup_pairs(
@@ -330,8 +338,15 @@ def embedding_near_dup_pairs(
         keep = S[iu, ju] >= threshold - eps
         return pd.DataFrame({"id_a": ids[iu[keep]], "id_b": ids[ju[keep]]})
 
+    # r19: explicit partition count for the per-bucket GEMM stage — AQE
+    # coalesces the groupBy exchange by BYTE size (measured: 9 tasks at
+    # sf0.1), but the stage's cost is the Python-side O(bucket² x dim)
+    # matmul, invisible to byte-based sizing. A user-specified count is
+    # never coalesced; defaultParallelism keeps it scale-adaptive.
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
     cand = (
-        stacked.groupBy("table_id", "bucket")
+        stacked.repartition(par, "table_id", "bucket")
+        .groupBy("table_id", "bucket")
         .applyInPandas(bucket_pairs, pair_schema)
         .distinct()
     )
