@@ -147,6 +147,12 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
             F.greatest("u", "v").alias("v"),
         )
         .distinct()
+        # r19: e feeds deg (twice, via the union) AND the arc build — without
+        # materialization the upstream edge derivation (here: a lineitem
+        # self-join + distinct) re-executes per consumer. O(edges) rows,
+        # same checkpoint discipline as the CC/PageRank loops; rotated A/B
+        # at sf0.1: 1.51 s -> 1.06 s with both checkpoints.
+        .localCheckpoint(eager=True)
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -168,6 +174,9 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
             F.when(F.col("rku") < F.col("rkv"), F.col("v")).otherwise(F.col("u")).alias("b"),
             F.when(F.col("rku") < F.col("rkv"), F.col("rkv")).otherwise(F.col("rku")).alias("rkb"),
         )
+        # r19: arcs feeds three consumers (both wedge sides + the closing
+        # probe); materialized once for the same reason as e above.
+        .localCheckpoint(eager=True)
     )
     w1 = arcs.select(F.col("a"), F.col("b").alias("x"), F.col("rkb").alias("rkx"))
     w2 = arcs.select(F.col("a"), F.col("b").alias("y"), F.col("rkb").alias("rky"))

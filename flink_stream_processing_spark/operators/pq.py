@@ -57,8 +57,14 @@ def pq_encode(
     # size(v)/m per row — constant-folded for fixed-width corpora.
     sub = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub")
     w = (F.size(F.col("v")) / m).cast("int")
-    vexp = emb.select(
-        F.col(id_col), v.alias("v"), sub
+    # r19: the m-way subspace explode + k broadcast-codebook distance folds
+    # do O(m*k*width) float work per input row; on the driver's single-split
+    # scan that all ran in ONE task (profiled 0.9 s at sf0.1). Spread is
+    # size-gated — a no-op once the corpus scan has real splits.
+    from .parallelism import spread_fanout
+
+    vexp = spread_fanout(emb.select(F.col(id_col), v.alias("v"))).select(
+        id_col, "v", sub
     ).select(
         id_col, "sub", F.slice("v", F.col("sub") * w + 1, w).alias("sv")
     )

@@ -94,8 +94,15 @@ def cosine_topk_batch(
     size, switch to the LSH/IVF paths which prune the corpus per query."""
     from pyspark.sql.window import Window
 
-    corpus = embeddings.select(
-        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("nrm")
+    # r19: the (corpus x query) fold does O(n_queries x dim) float work per
+    # corpus row; on the driver's single-split scan that ran in ONE task.
+    # Size-gated spread — a no-op once the corpus scan has real splits.
+    from .parallelism import spread_fanout
+
+    corpus = spread_fanout(
+        embeddings.select(
+            F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("nrm")
+        )
     )
     qs = queries.select(
         F.col(query_id_col),

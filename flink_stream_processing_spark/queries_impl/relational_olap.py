@@ -96,8 +96,18 @@ ORDER BY o_orderpriority
 
 @query("approx_distinct_bounds", oracle=_APPROX_DISTINCT_ORACLE)
 def q_approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r19: the distinct-pair merge exchange is AQE-coalesced by its BYTE
+    # size (2.75 MB of partial sketches -> 2 post-shuffle partitions), but
+    # the merge cost is per-pair HLL/dedup CPU (profiled 1.6 s on 2 tasks at
+    # sf0.1). An explicit (group, distinct-key) repartition pins the merge
+    # width to the core count — scale-adaptive via defaultParallelism, and
+    # at corpus scale a distinct-agg's exchange is unavoidable anyway
+    # (partial agg barely shrinks high-cardinality distinct pairs).
+    # Rotated A/B at sf0.1: 2.24 s base vs 1.40 s pinned; results equal.
+    par = spark.sparkContext.defaultParallelism
     return (
         _t(spark, sf_dir, "orders")
+        .repartition(par, "o_orderpriority", "o_custkey")
         .groupBy("o_orderpriority")
         .agg(
             F.count_distinct("o_custkey").alias("exact_custs"),

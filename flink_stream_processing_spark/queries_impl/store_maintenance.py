@@ -270,6 +270,10 @@ def minhash_store_append(batch: DataFrame, fingerprint_store: DataFrame):
     )
 
     survivors = incremental_exact_dedup(batch, fingerprint_store).select("doc_id")
+    # r19 note: a spread_fanout on shingle_array(batch) was tried and
+    # REVERTED — the 1/10-corpus batch's shingle+fold work is too light to
+    # pay for the inserted exchange (rotated A/B: 1.84 s unspread vs 2.16 s
+    # spread at sf0.1).
     new_arrs = (
         shingle_array(batch)
         .join(survivors, "doc_id", "semi")
