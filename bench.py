@@ -530,6 +530,21 @@ def main() -> None:
     # timings measure the operators, not process startup.
     QUERIES["window_metrics"](spark, sf_dir).collect()
     spark.range(1000).mapInPandas(lambda it: it, "id long").collect()
+    # r19: the Python DataSource V2 path spawns its own planner/reader
+    # Python processes, distinct from the UDF worker pool the line above
+    # warms — their first use cost ~3 s landing entirely on whichever
+    # datasource query ran first (r18 retry pair 12.6->2.0 s; 4.4 s at
+    # sf0.01). A 2-row throwaway read is the same process-startup warmup,
+    # not a result precompute (the benched query reads different options).
+    try:
+        from flink_stream_processing_spark.sources.pydatasource import register
+
+        register(spark)
+        spark.read.format("txn_gen").option("rows", "2").option(
+            "partitions", "1"
+        ).load().collect()
+    except Exception as e:
+        print(f"  warmup skip pydatasource: {e}", file=sys.stderr)
     # r19: push the JVM past the C2-JIT cliff before timing starts. The
     # single light query above was not enough — measured repeatedly (r18
     # retry pairs, the r19 rotation harness): identical plans run 3-6x

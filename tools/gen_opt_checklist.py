@@ -45,33 +45,39 @@ DIRECT = {
     "ewma_smoothing": "scale-adaptive partitions (was 32)",
     "user_trend_partition_local": "scale-adaptive partitions (was 32)",
     "training_corpus_clean": "inherits minhash spread",
-    "semantic_dedup_keep": "inherits minhash spread",
     "tfidf_top_terms": "spread tried + REVERTED (A/B loss)",
     "char_entropy_quality": "spread tried + REVERTED (A/B loss)",
-    "allpairs_jaccard_join": "setsim spread tried + REVERTED",
-    "containment_join": "setsim spread tried + REVERTED",
+    "allpairs_jaccard_join": "spread: exploded prefix (verify ran 4-task; 4.40->2.76)",
+    "containment_join": "spread: exploded prefix (3.33->2.48)",
     "streaming_url_dedup": "examined: stream-machinery floor (8-part state, tuned r12)",
     "streaming_content_dedup": "examined: stream-machinery floor",
     "streaming_hot_hosts": "examined: stream-machinery floor",
     "streaming_crawl_pipeline": "examined: stream-machinery floor",
     "streaming_host_sessions": "examined: stream-machinery floor",
     "streaming_takedown_decrements": "examined: stream-machinery floor",
-    "python_datasource_transactions": "examined: Python-source worker spawn; 0.8 s warm, bench cold-path only",
+    "python_datasource_transactions": "warmup: DataSource-V2 Python process spawn absorbed (5.39->1.16)",
     "jdbc_source_roundtrip": "examined: embedded-Derby write+read floor",
     "xml_source_roundtrip": "examined: write+read round-trip floor",
     "q5_region_revenue": "examined: 1.19 s isolated; baseline 5.74 was the JIT cliff -> warmup fix",
     "q1_pricing_summary": "examined: spread A/B LOST (0.41 plain vs 0.85); left alone",
     "q21_waiting_suppliers": "examined: already algebraically collapsed, exchanges reused",
+    "embedding_near_dup_pairs": "spread scan + pinned GEMM width (2.62->1.50)",
+    "pq_adc_topk": "spread: subspace explode + codebook folds (1.61->1.36)",
+    "cosine_topk_batch": "spread: corpus x query dot folds (0.88->0.72)",
+    "approx_distinct_bounds": "pinned distinct-merge width (2.24->1.40)",
+    "triangle_count_cosuppliers": "localCheckpoint e + arcs (1.51->1.06)",
+    "mmr_diversified_topk": "inherits cosine_topk_batch spread (neutral A/B)",
+    "semantic_dedup_keep": "inherits minhash + embedding spreads",
+    "minhash_store_append": "spread tried + REVERTED (1.84 vs 2.16 A/B loss)",
 }
 
 # Queries examined via the tier profiles and left alone (warm-isolated sec).
 EXAMINED = {
-    "text_stats_per_lang": 0.54, "embedding_near_dup_pairs": 2.15,
-    "mad_robust_outliers": 1.12, "mmr_diversified_topk": 1.72,
-    "minhash_store_append": 1.91, "zscore_anomalies": 1.20,
+    "text_stats_per_lang": 0.54,
+    "mad_robust_outliers": 1.12, "zscore_anomalies": 1.20,
     "content_defined_chunks": 1.29, "kmeans_assign_update": 1.00,
     "sql_surface_ordered_set_aggs": 1.87, "analytic_running_totals": 1.06,
-    "decimal_arithmetic_battery": 0.95, "approx_distinct_bounds": 2.14,
+    "decimal_arithmetic_battery": 0.95,
     "cep_funnel_sequences": 0.79, "bigram_lm_perplexity": 1.29,
     "hybrid_rrf_search": 1.78, "cross_encoder_rerank": 1.48,
     "winsorized_totalprice": 1.00, "gopher_quality_rules": 0.96,
