@@ -22,8 +22,21 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint with a kill switch (mirrors the spread_fanout
+    A/B convention): SPARK_GRAFT_NO_CKPT=1 keeps the raw composition so
+    tests/measurements can inspect the un-truncated logical plan (the
+    checkpoint hides the subtree — e.g. the degree broadcast — from the
+    final explain)."""
+    if os.environ.get("SPARK_GRAFT_NO_CKPT"):
+        return df
+    return df.localCheckpoint(eager=True)
 
 
 def pagerank(
@@ -147,13 +160,13 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
             F.greatest("u", "v").alias("v"),
         )
         .distinct()
-        # r19: e feeds deg (twice, via the union) AND the arc build — without
-        # materialization the upstream edge derivation (here: a lineitem
-        # self-join + distinct) re-executes per consumer. O(edges) rows,
-        # same checkpoint discipline as the CC/PageRank loops; rotated A/B
-        # at sf0.1: 1.51 s -> 1.06 s with both checkpoints.
-        .localCheckpoint(eager=True)
     )
+    # r19: e feeds deg (twice, via the union) AND the arc build — without
+    # materialization the upstream edge derivation (here: a lineitem
+    # self-join + distinct) re-executes per consumer. O(edges) rows, same
+    # checkpoint discipline as the CC/PageRank loops; rotated A/B at
+    # sf0.1: 1.51 s -> 1.06 s with both checkpoints.
+    e = _ckpt(e)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -174,10 +187,10 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
             F.when(F.col("rku") < F.col("rkv"), F.col("v")).otherwise(F.col("u")).alias("b"),
             F.when(F.col("rku") < F.col("rkv"), F.col("rkv")).otherwise(F.col("rku")).alias("rkb"),
         )
-        # r19: arcs feeds three consumers (both wedge sides + the closing
-        # probe); materialized once for the same reason as e above.
-        .localCheckpoint(eager=True)
     )
+    # r19: arcs feeds three consumers (both wedge sides + the closing
+    # probe); materialized once for the same reason as e above.
+    arcs = _ckpt(arcs)
     w1 = arcs.select(F.col("a"), F.col("b").alias("x"), F.col("rkb").alias("rkx"))
     w2 = arcs.select(F.col("a"), F.col("b").alias("y"), F.col("rkb").alias("rky"))
     wedges = w1.join(w2, "a").filter(F.col("rkx") < F.col("rky")).select("a", "x", "y")

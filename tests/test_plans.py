@@ -209,13 +209,25 @@ def test_salted_join_pins_shuffle_hash_and_no_cartesian(spark):
     assert "Cartesian" not in plan, plan
 
 
-def test_triangle_count_broadcasts_degrees_no_cartesian(spark):
+def test_triangle_count_broadcasts_degrees_no_cartesian(spark, monkeypatch):
     """Triangle counting: the O(nodes) degree/rank relation joins in as a
-    broadcast; wedge + closing joins are keyed (never cartesian)."""
+    broadcast; wedge + closing joins are keyed (never cartesian).
+
+    r19: the shipped form localCheckpoints the edge and arc relations (they
+    feed 3 consumers each), which truncates the final plan — the degree
+    broadcast now lives inside the checkpointed arc build. The broadcast
+    property is asserted on the raw composition via the SPARK_GRAFT_NO_CKPT
+    kill switch; the shipped (checkpointed) plan keeps the no-cartesian
+    assertion."""
     df = QUERIES["triangle_count_cosuppliers"](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan, plan
-    assert has_broadcast_join(df)
+
+    monkeypatch.setenv("SPARK_GRAFT_NO_CKPT", "1")
+    raw = QUERIES["triangle_count_cosuppliers"](spark, SF_DIR)
+    raw_plan = raw._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in raw_plan, raw_plan
+    assert has_broadcast_join(raw)
 
 
 def test_mmr_prefilter_broadcasts_queries(spark):
