@@ -203,8 +203,16 @@ def test_pca_equals_numpy_model(spark_global, data, k):
     scale = max(1.0, float(np.abs(evals).max()))
     assert np.allclose(model.eigenvalues, evals, atol=1e-7 * scale)
     assert np.allclose(model.mean, mu, atol=1e-9)
+    # Eigenvector stability needs EVERY gap around the returned spectrum —
+    # including the gap between the k-th kept eigenvalue and the first
+    # EXCLUDED one (hypothesis counterexample r19: 3 points in 4-d, k=3 —
+    # rank-2 covariance makes eigenvalues 3 and 4 both ~0, so the 3rd
+    # eigenvector is an arbitrary null-space basis vector on either engine
+    # while all KEPT gaps look fine).
+    full_evals = np.sort(np.linalg.eigvalsh(np.cov(X, rowvar=False)))[::-1]
     gaps_ok = all(
-        (evals[i] - evals[i + 1]) > 1e-6 * scale for i in range(len(evals) - 1)
+        (full_evals[i] - full_evals[i + 1]) > 1e-6 * scale
+        for i in range(min(k, len(full_evals) - 1))
     )
     if gaps_ok:
         assert np.allclose(
