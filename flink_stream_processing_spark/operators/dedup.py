@@ -581,6 +581,86 @@ def simhash_near_dups(
     return pairs.filter(F.col("hamming") <= max_hamming)
 
 
+def _cc_local_max_edges() -> int:
+    """Symmetrized-edge bound under which :func:`connected_components`
+    uses the single-task numpy path. Sized by per-task memory, not by
+    this machine: 4M edges is ~64 MB of int64 index arrays in the one
+    task — the same order as a broadcast hash-join build side — while
+    corpus-scale near-dup graphs (billions of edges) stay far above it.
+    Overridable per deployment (``SPARK_GRAFT_CC_LOCAL_MAX_EDGES``);
+    ``SPARK_GRAFT_NO_LOCAL_CC`` disables the path for A/B measurement."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_NO_LOCAL_CC"):
+        return -1
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CC_LOCAL_MAX_EDGES", "4000000"))
+    except ValueError:
+        return 4_000_000
+
+
+def _cc_local_supported(staged: DataFrame) -> bool:
+    """The numpy path needs node-id min to agree with Spark's ordering
+    under numpy/pandas semantics: exact for integers, and for strings
+    (UTF-8 byte order equals code-point order, which is Python str
+    order). Exotic id types fall back to the distributed loop."""
+    from pyspark.sql import types as T
+
+    return isinstance(
+        staged.schema["src"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.StringType),
+    )
+
+
+def _cc_local(staged: DataFrame) -> DataFrame:
+    """Exact min-label connected components of a SMALL symmetrized edge
+    relation in one executor task: all edge rows stream into a single
+    ``mapInPandas`` partition as Arrow batches; labels live in
+    index space over the sorted node universe (``np.unique`` — index
+    order equals value order, so index min IS value min), and each
+    vectorized round applies min-propagation over every edge plus one
+    path-halving hop until fixpoint. Same fixpoint as the distributed
+    loop (labels only decrease, only within components), so the output
+    (node, lbl) frame is bit-identical."""
+    src_type = staged.schema["src"].dataType
+    out_schema = (
+        f"node {src_type.simpleString()}, lbl {src_type.simpleString()}"
+    )
+
+    def cluster(batches):
+        import numpy as np
+        import pandas as pd
+
+        srcs: list = []
+        dsts: list = []
+        for pdf in batches:
+            srcs.append(pdf["src"].to_numpy())
+            dsts.append(pdf["dst"].to_numpy())
+        if not srcs:
+            return
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+        si, di = inv[: len(src)], inv[len(src) :]
+        lbl = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            prev = lbl
+            nxt = lbl.copy()
+            # propagate: nxt[a] <= lbl[b] for every directed edge (the
+            # staged relation is symmetric, so one direction covers both)
+            np.minimum.at(nxt, si, lbl[di])
+            # path halving (labels are node indices, so lbl[lbl] is a hop)
+            nxt = np.minimum(nxt, nxt[nxt])
+            if np.array_equal(nxt, prev):
+                break
+            lbl = nxt
+        yield pd.DataFrame({"node": nodes, "lbl": nodes[lbl]})
+
+    # coalesce(1): narrow read of the already-materialized blocks into the
+    # single numpy task — no shuffle, no driver collect.
+    return staged.coalesce(1).mapInPandas(cluster, out_schema)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",
@@ -619,6 +699,22 @@ def connected_components(
     hundreds of partitions. This loop shape is deliberately the
     GraphX/GraphFrames propagation pattern expressed in plain DataFrame
     ops, so it needs no extra library at 100 TB.
+
+    SMALL-GRAPH FAST PATH (r20, guide §1.2 "the distributed algorithm"):
+    once the symmetrized edge relation is materialized and counted, a
+    graph under ``SPARK_GRAFT_CC_LOCAL_MAX_EDGES`` symmetrized edges
+    (default 4M — tens of MB in one task, the same order as a broadcast
+    hash-join build side) is clustered in ONE executor task: a vectorized
+    numpy min-label propagation over the whole edge list inside
+    ``mapInPandas`` (see :func:`_cc_local`). The distributed loop pays
+    ~5 scheduled stages per round regardless of data volume; at bench
+    scale that fixed cost is the entire runtime (measured r20: 3.1 s loop
+    vs ~0.3 s local for the ER d1 graph, identical labels). The fixpoint
+    is the same exact min-label-by-value (integer/string min — no
+    floats), so results are bit-identical; the bound is data-derived (the
+    exact post-distinct edge count, never a plan estimate), and above it
+    — every corpus-scale graph — the distributed loop runs unchanged.
+    Kill switch ``SPARK_GRAFT_NO_LOCAL_CC`` for A/B measurement.
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     # Materialize the symmetrized edge set ONCE: without this, every
@@ -642,6 +738,8 @@ def connected_components(
     except (TypeError, ValueError):  # e.g. "auto" on some platforms
         session_parts = spark.sparkContext.defaultParallelism
     n_edges = staged.count()  # scalar off the materialized relation
+    if n_edges <= _cc_local_max_edges() and _cc_local_supported(staged):
+        return _cc_local(staged)
     loop_parts = max(8, min(session_parts, n_edges // 500_000 + 1))
     # Re-stage hash-partitioned ON THE JOIN KEY: every propagation round's
     # join then sees its big side already distributed on `src` and only

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .parallelism import spread_fanout
+from .parallelism import is_fanout_narrow, spread_fanout
 
 # Word-boundary tokenizer shared by all text ops.
 TOKEN_SPLIT_RE = r"\s+"
@@ -196,9 +196,11 @@ def _fuzzy_pairs_d2(names: DataFrame, max_name_len: int) -> DataFrame:
     # work per row — re-spread before the checkpoint so those stages use
     # every core (measured at sf0.1: three single-task 3-5 s explode
     # stages collapse to sub-second; no-op when the input is already wide).
-    base = spread_fanout(
-        names.filter(F.col("name").isNotNull()).select(guarded.alias("name"))
-    ).localCheckpoint(eager=True)
+    filtered = names.filter(F.col("name").isNotNull()).select(guarded.alias("name"))
+    # Small-regime signal reused below to pick the K2 self-join build
+    # (hash build only when the whole relation is provably small).
+    small_regime = is_fanout_narrow(filtered)
+    base = spread_fanout(filtered).localCheckpoint(eager=True)
     # The four plain-key classes fold into ONE join: LEFT = K0 ∪ K1
     # (depths 0-1), RIGHT = K1 ∪ K2 (depths 1-2). Key-length equality
     # makes depth combos self-selecting — (0,1) is the pure insert, (1,1)
@@ -262,14 +264,26 @@ def _fuzzy_pairs_d2(names: DataFrame, max_name_len: int) -> DataFrame:
             F.greatest(left_name, right_name).alias("name_b"),
         ]
 
+    # r20 join strategies (guide §3.1, rotated A/B min-of-6 at sf0.1):
+    # the r19 "merge" hints forced sort-merge at every scale, paying a
+    # full sort of both exploded key relations per join. c_plain is now
+    # UNHINTED — AQE broadcasts the small L side from runtime sizes at
+    # bench scale and demotes to sort-merge at corpus scale (full+sort
+    # 2.94 s -> 2.52 s). The K2 self-join hash-builds one side
+    # (shuffle_hash, 2.52 -> 2.19 s) ONLY in the small regime certified
+    # by the same gate spread_fanout fires on (exact-stats checkpoint
+    # base under the capped per-core bound); at corpus scale the O(n·L²)
+    # build side could not fit a hash partition, so the hint falls back
+    # to sort-merge (the r19 ADVICE gating pattern).
     left = k0.unionByName(k1u)
     right = k1u.unionByName(k2u)
-    lft, rgt = left.alias("L"), right.hint("merge").alias("R")
+    lft, rgt = left.alias("L"), right.alias("R")
     c_plain = lft.join(
         rgt,
         (F.col("L.kh") == F.col("R.kh")) & (F.col("L.name") != F.col("R.name")),
     ).select(*_pair(F.col("L.name"), F.col("R.name")))
-    a2, b2 = k2.alias("a2"), k2.hint("merge").alias("b2")
+    k2_build = "shuffle_hash" if small_regime else "merge"
+    a2, b2 = k2.alias("a2"), k2.hint(k2_build).alias("b2")
     c_two_subs = a2.join(
         b2,
         (F.col("a2.kh") == F.col("b2.kh"))
@@ -344,7 +358,12 @@ def fuzzy_name_pairs(
         "name", "s.kh", "s.pos", "s.ch"
     )
     k0 = base.select(F.xxhash64("name").alias("kh"), "name")
-    a, b = k1.alias("a"), k1.hint("merge").alias("b")
+    # r20: hints removed (guide §3.1) — the r19 "merge" hints forced a
+    # sort of both 270k-row key relations per join at every scale; with
+    # AQE deciding from runtime sizes the d1 pair build measured
+    # 1.77 s -> 1.37 s (rotated min-of-4, sf0.1), and at corpus scale the
+    # planner's default is the same sort-merge the hint forced.
+    a, b = k1.alias("a"), k1.alias("b")
     # Same-length substitution: both deleted the mismatch position and the
     # deleted chars differ. Matching at pos with equal chars would mean
     # equal strings (excluded by name<name); matching at different
@@ -359,7 +378,7 @@ def fuzzy_name_pairs(
         F.least("a.name", "b.name").alias("name_a"),
         F.greatest("a.name", "b.name").alias("name_b"),
     )
-    z, d1 = k0.alias("z"), k1.hint("merge").alias("d1")
+    z, d1 = k0.alias("z"), k1.alias("d1")
     c_insert = z.join(
         d1,
         (F.col("z.kh") == F.col("d1.kh")) & (F.col("z.name") != F.col("d1.name")),

@@ -125,3 +125,62 @@ def test_cc_incremental_equals_union_find_model(spark_global, e1, e2):
     labels = connected_components(_pairs(spark, e1))
     inc = cc_incremental(labels, _pairs(spark, e2))
     assert _rowset(inc) == _uf_partition(e1 + e2)
+
+
+def test_cc_local_fast_path_matches_distributed_loop(spark):
+    """r20: small graphs take the single-task numpy path; its (node, lbl)
+    output must be bit-identical to the distributed propagation loop on
+    the same edges — longs AND strings — and the gate must respect the
+    kill switch / edge-count bound env overrides."""
+    import os
+
+    rows = [
+        (1, 2), (2, 3), (3, 1),          # triangle
+        (10, 11), (11, 12),              # chain
+        (5, 5),                          # self loop
+        (100, 7), (7, 100),              # both directions + dup
+    ]
+    pairs = _pairs(spark, rows)
+
+    def run(**env):
+        saved = {k: os.environ.get(k) for k in env}
+        try:
+            for k, v in env.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+            return _rowset(connected_components(pairs))
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
+    local = run(SPARK_GRAFT_NO_LOCAL_CC=None)
+    dist = run(SPARK_GRAFT_NO_LOCAL_CC="1")
+    assert local == dist
+    # bound of 0 edges forces the distributed loop too
+    tiny_bound = run(SPARK_GRAFT_CC_LOCAL_MAX_EDGES="0")
+    assert tiny_bound == dist
+
+    # string node ids (entity-resolution shape): same equivalence
+    srows = [("b", "c"), ("c", "d"), ("x", "y")]
+    spairs = spark.createDataFrame(srows, "doc_a string, doc_b string")
+    sl = sorted(
+        (r["node"], r["lbl"]) for r in connected_components(spairs).collect()
+    )
+    saved = os.environ.get("SPARK_GRAFT_NO_LOCAL_CC")
+    os.environ["SPARK_GRAFT_NO_LOCAL_CC"] = "1"
+    try:
+        sd = sorted(
+            (r["node"], r["lbl"]) for r in connected_components(spairs).collect()
+        )
+    finally:
+        if saved is None:
+            os.environ.pop("SPARK_GRAFT_NO_LOCAL_CC", None)
+        else:
+            os.environ["SPARK_GRAFT_NO_LOCAL_CC"] = saved
+    assert sl == sd
+    assert sl == [("b", "b"), ("c", "b"), ("d", "b"), ("x", "x"), ("y", "x")]
